@@ -1,0 +1,27 @@
+"""limetrans_ray — a Ray-Data-native extract→transform→index + BM25 engine.
+
+A from-scratch rebuild of the capabilities of hbz/limetrans (a
+Metafacture-based extract–transform–Elasticsearch-index pipeline, see
+SURVEY.md) as an idiomatic Ray Data engine over Common-Crawl-style
+Parquet webtext:
+
+- ``functions/``  — pure, deterministic per-value / per-batch functions
+  (HTML text extraction, analyzer chain, URL canonicalization,
+  varint/block-max posting codecs, text statistics, filter grammar).
+- ``sources/``    — deterministic synthetic webtext fixture generator and
+  read helpers (the reference's FileQueue analogue).
+- ``stages/``     — map_batches stage callables / actor-pool classes
+  (normalize, tokenize, invert, dedup, ANN, multimodal stubs).
+- ``pipelines/``  — end-to-end Dataset pipelines (index build, search,
+  dedup suite, relational analogues of limetrans' per-record operators).
+- ``state/``      — index segment/manifest IO, BM25 math, the
+  single-process pure-Python oracle engine used for rank-identity tests.
+
+Nothing in this package calls ``ray.init`` / ``ray.shutdown``; sessions
+are owned by the driver, ``bench.py`` and the pytest fixture only.
+"""
+
+__version__ = "0.1.0"
+
+ANALYZER_VERSION = 1
+FORMAT_VERSION = 1

@@ -1,0 +1,150 @@
+"""Deterministic analyzer chain shared verbatim by index and query paths.
+
+This is the from-scratch analogue of the reference's Elasticsearch
+analyzer (reference main/src/main/resources/elasticsearch/
+hbztitle-settings-v8.json:124-197): ``hyphen_protect`` char filter →
+standard tokenizer → hyphen multiplexing → lowercase → German+English
+stop words (settings-v8.json:66-122) → ``icu_folding`` →
+``word_delimiter_graph`` with ``catenate_all`` + ``preserve_original``.
+The 103-case ``ElasticsearchQueryTest`` matrix (reference
+main/src/test/java/hbz/limetrans/ElasticsearchQueryTest.java:168-298)
+pins the observable behavior we keep:
+
+- a hyphenated/apostrophized token emits *multiple index terms*: its
+  split parts plus the catenated form (``e-payment`` → ``e``,
+  ``payment``, ``epayment``), so any written variant of a compound
+  matches any queried variant;
+- unicode/ASCII folding (``über`` → ``uber``, ``ß`` → ``ss``);
+- German + English stop words removed.
+
+Divergences (ours, by design; the chain is self-consistent between index
+and query so rank-identity vs. the oracle is exact): no snowball
+stemming, no positional phrase terms (phrase queries are out of scope
+for v1).
+
+Semantics contract (used by index build, query parsing, BM25 and the
+oracle engine — all import *these* functions):
+
+- ``tokenize_index(text)`` → flat list of terms with multiplicity;
+  a document's term frequency is the count of each term in that list and
+  its length is the document length ``dl`` used by BM25.
+- ``analyze_query(text)`` → list of *synonym groups* (one per raw
+  token); a group's variants are OR'd, groups are AND'd/OR'd per query
+  mode; scoring sums BM25 over the distinct union of variant terms in
+  ascending term order (the canonical float summation order).
+
+Any change here bumps ``limetrans_ray.ANALYZER_VERSION``.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+TOKEN_PATTERN = r"[^\W_]+(?:['’‐-][^\W_]+)*"
+_TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
+_DELIM_RE = re.compile(r"['’‐-]+")
+
+# Single-char fold map applied after NFKD-decompose + combining-mark strip
+# (the icu_folding analogue for characters NFKD does not decompose).
+_FOLD_MAP = str.maketrans(
+    {
+        "ß": "ss",
+        "æ": "ae",
+        "œ": "oe",
+        "ø": "o",
+        "đ": "d",
+        "ð": "d",
+        "þ": "th",
+        "ł": "l",
+        "ı": "i",
+    }
+)
+
+# Stop-word lists in the spirit of the reference's German+English lists
+# (hbztitle-settings-v8.json:66-122); stored raw, applied post-fold.
+_STOPWORDS_RAW = (
+    # English
+    "a an and are as at be but by for from has he in is it its of on or "
+    "that the to was were will with "
+    # German
+    "der die das und oder ein eine einer eines einem einen ist sind war "
+    "mit von zu im den dem des auf für als auch bei nach über aus dass "
+    # French (webtext corpus includes fr rows)
+    "le la les un une et ou est dans pour par sur au aux du ce cette"
+).split()
+
+
+def fold(token: str) -> str:
+    """Casefold + ICU-folding-style diacritic removal. Frozen."""
+    s = token.casefold().translate(_FOLD_MAP)
+    s = unicodedata.normalize("NFKD", s)
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    return unicodedata.normalize("NFC", s)
+
+
+STOPWORDS = frozenset(fold(w) for w in _STOPWORDS_RAW)
+
+# Per-process memo of raw token → tuple of emitted variants. Web-scale
+# token streams are zipfian, so this turns the per-token analyzer cost
+# into a dict hit for almost every occurrence. Bounded to keep worker
+# heaps sane on adversarial vocabularies.
+_VARIANT_CACHE: dict[str, tuple[str, ...]] = {}
+_VARIANT_CACHE_MAX = 1_000_000
+
+
+def token_variants(raw: str, *, stop: bool = True) -> tuple[str, ...]:
+    """Index/query terms emitted for one raw token (word_delimiter_graph
+    with catenate_all analogue): split parts + catenated form, folded,
+    ordered-unique, stop-word filtered."""
+    cached = _VARIANT_CACHE.get(raw) if stop else None
+    if cached is not None:
+        return cached
+    base = fold(raw)
+    parts = [p for p in _DELIM_RE.split(base) if p]
+    if len(parts) <= 1:
+        variants = tuple(parts)
+    else:
+        seen: dict[str, None] = dict.fromkeys(parts)
+        seen["".join(parts)] = None
+        variants = tuple(seen)
+    if stop:
+        variants = tuple(v for v in variants if v not in STOPWORDS)
+        if len(_VARIANT_CACHE) < _VARIANT_CACHE_MAX:
+            _VARIANT_CACHE[raw] = variants
+    return variants
+
+
+def tokenize_index(text: str, *, stop: bool = True) -> list[str]:
+    """Flat term stream for indexing (terms repeat with occurrences)."""
+    text = unicodedata.normalize("NFC", text)
+    out: list[str] = []
+    for raw in _TOKEN_RE.findall(text):
+        out.extend(token_variants(raw, stop=stop))
+    return out
+
+
+def analyze_query(text: str, *, stop: bool = True) -> list[tuple[str, ...]]:
+    """Query analysis → list of synonym groups (one per raw token).
+
+    Tokens that fold entirely to stop words produce no group (they do
+    not constrain AND matching), mirroring query-side stop filtering.
+    """
+    text = unicodedata.normalize("NFC", text)
+    groups: list[tuple[str, ...]] = []
+    for raw in _TOKEN_RE.findall(text):
+        variants = token_variants(raw, stop=stop)
+        if variants:
+            groups.append(variants)
+    return groups
+
+
+_SIMPLE_SPLIT_RE = re.compile(r"[^0-9a-z]+")
+
+
+def simple_terms(text: str) -> list[str]:
+    """Simplified whitespace/alnum tokenizer, lowercased — deliberately
+    expressible in ANSI SQL (``string_split_regex(lower(text),
+    '[^0-9a-z]+')``) so relational oracle queries can mirror it exactly.
+    Not used by the index path (which uses :func:`tokenize_index`)."""
+    return [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]

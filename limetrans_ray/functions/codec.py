@@ -1,0 +1,175 @@
+"""Posting-list codecs: vectorized varint (LEB128) + delta encoding +
+block-max skip metadata.
+
+This replaces the storage layer the reference delegates to
+Lucene/Elasticsearch (the bulk sink in reference
+main/src/main/java/hbz/limetrans/ElasticsearchIndexer.java). A posting
+*chunk* is one contiguous doc-id range of one term's postings:
+
+- ``ids_enc``  — varint of ``[first_doc, gap1, gap2, ...]`` (strictly
+  increasing doc ids, delta-encoded);
+- ``tfs_enc``  — varint of term frequencies (≥1, stored as ``tf``);
+- per fixed-size block (``BLOCK_SIZE`` postings): the last doc id, the
+  maximum idf-independent BM25 impact in the block (see
+  ``state/bm25.py``), and the byte offsets of the block starts in both
+  encodings — enough for block-max pruned scoring to decode only the
+  blocks it cannot skip.
+
+Everything is numpy-vectorized: encode is ~10 masked passes (one per
+possible varint byte), decode reconstructs values with ``np.add.at``
+over per-byte shift positions. No Python loops over postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + count of k in 1..9 with v >= 2**(7k)
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.empty(total, dtype=np.uint8)
+    for k in range(10):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[starts[mask] + k] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, offset: int = 0, end: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes (or a slice) back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if end is not None or offset:
+        b = b[offset : end if end is not None else len(b)]
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # value index for each byte: number of terminators strictly before it
+    vidx = np.zeros(len(b), dtype=np.int64)
+    np.cumsum(is_end[:-1], out=vidx[1:])
+    # byte position within its value: arange - (index of the value's first byte)
+    group_start = np.empty(len(b), dtype=np.int64)
+    first_of_group = np.zeros(len(b), dtype=bool)
+    first_of_group[0] = True
+    first_of_group[1:] = is_end[:-1]
+    group_start[first_of_group] = np.flatnonzero(first_of_group)
+    np.maximum.accumulate(np.where(first_of_group, group_start, 0), out=group_start)
+    shift = (np.arange(len(b), dtype=np.int64) - group_start) * 7
+    nvals = int(is_end.sum())
+    out = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(out, vidx, (b & np.uint8(0x7F)).astype(np.uint64) << shift.astype(np.uint64))
+    return out
+
+
+def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
+    """Encode strictly-increasing int64 doc ids as varint'd deltas."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty(len(ids), dtype=np.uint64)
+    if len(ids):
+        deltas[0] = np.uint64(ids[0])
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+    return varint_encode(deltas)
+
+
+def delta_decode_ids(buf: bytes | memoryview, *, base: int | None = None) -> np.ndarray:
+    """Inverse of :func:`delta_encode_ids` → int64 doc ids.
+
+    ``base``: when decoding a non-first block slice, the absolute doc id
+    preceding the slice (the slice's first value is then a gap, not an
+    absolute id).
+    """
+    deltas = varint_decode(buf).astype(np.int64)
+    if base is not None and len(deltas):
+        deltas[0] += base
+    return np.cumsum(deltas)
+
+
+def varint_block_offsets(values: np.ndarray, block_size: int = BLOCK_SIZE) -> np.ndarray:
+    """Byte offsets at which each block of ``block_size`` values starts
+    inside the varint encoding of ``values`` (int64 array, one entry per
+    block; offset 0 first)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(nbytes)])
+    return csum[0 : len(v) : block_size].copy() if len(v) else np.zeros(0, dtype=np.int64)
+
+
+def encode_chunk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    impacts: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one posting chunk. ``impacts`` is the per-posting
+    idf-independent BM25 impact (float64), used only to compute per-block
+    maxima. Returns the column dict for one segment row."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(ids)
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = np.uint64(ids[0])
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+    nblocks = (n + block_size - 1) // block_size
+    block_last = ids[np.minimum(np.arange(1, nblocks + 1) * block_size - 1, n - 1)]
+    # per-block max impact
+    pad = nblocks * block_size - n
+    imp = np.ascontiguousarray(impacts, dtype=np.float64)
+    imp_pad = np.concatenate([imp, np.full(pad, -np.inf)]) if pad else imp
+    block_max = imp_pad.reshape(nblocks, block_size).max(axis=1)
+    return {
+        "df": n,
+        "cf": int(tf.sum()),
+        "first_doc": int(ids[0]),
+        "last_doc": int(ids[-1]),
+        "ids_enc": varint_encode(deltas),
+        "tfs_enc": varint_encode(tf),
+        "block_last": block_last.astype(np.int64),
+        "block_max": block_max,
+        "ids_boff": varint_block_offsets(deltas, block_size),
+        "tfs_boff": varint_block_offsets(tf, block_size),
+    }
+
+
+def decode_chunk(ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole chunk → (doc_ids int64, tfs int64)."""
+    return delta_decode_ids(ids_enc), varint_decode(tfs_enc).astype(np.int64)
+
+
+def decode_blocks(
+    ids_enc: bytes,
+    tfs_enc: bytes,
+    ids_boff: np.ndarray,
+    tfs_boff: np.ndarray,
+    block_last: np.ndarray,
+    block_lo: int,
+    block_hi: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode blocks ``block_lo:block_hi`` of a chunk without touching the
+    rest. The first decoded delta is re-based on the previous block's
+    last doc id."""
+    base = int(block_last[block_lo - 1]) if block_lo > 0 else None
+    i_end = int(ids_boff[block_hi]) if block_hi < len(ids_boff) else len(ids_enc)
+    t_end = int(tfs_boff[block_hi]) if block_hi < len(tfs_boff) else len(tfs_enc)
+    ids = delta_decode_ids(
+        memoryview(ids_enc)[int(ids_boff[block_lo]) : i_end], base=base
+    )
+    tfs = varint_decode(memoryview(tfs_enc)[int(tfs_boff[block_lo]) : t_end]).astype(np.int64)
+    return ids, tfs

@@ -1,0 +1,265 @@
+"""BM25 top-k query path over a published index build.
+
+Replaces the reference's Elasticsearch search round-trip (reference
+es8/src/main/java/hbz/limetrans/ElasticsearchClientV8.java:243-246,
+``MAX_HITS`` core/.../ElasticsearchClient.java:30) with two scorers that
+must (and do — tests/test_index_query.py) return identical top-k:
+
+- :meth:`SearchEngine.search_exhaustive` — decode every posting of every
+  query term, vectorized float64 accumulation in ascending term order
+  (the canonical summation order shared with the oracle engine);
+- :meth:`SearchEngine.search_pruned` — block-max pruning in the WAND
+  family: posting chunks are bucket-aligned doc ranges; buckets are
+  processed in descending upper-bound order and skipped once their bound
+  drops below the running top-k threshold θ; inside a surviving bucket,
+  a term's posting *block* is decoded only if its own block-max bound
+  plus the other terms' bucket bounds can still beat θ. Skips are
+  provably score-safe (a skipped doc's total ≤ the skipped bound < θ),
+  so results are exactly the exhaustive top-k.
+
+Determinism: θ only prunes provably-losing docs, and final selection is
+``top_k_from_scores`` (score desc, doc_id asc) over exact float64 scores
+accumulated in ascending term order — identical across scorers, runs and
+build parallelism levels.
+
+Scale notes: doclens and term_stats load fully here (fine up to ~10^8
+docs per serving shard); at 10^12 docs both would be range-sharded with
+the segments and the scatter-gather handled by one serving actor per
+shard — the layout (term-hash shard column, bucket-aligned chunks)
+already supports that split.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions import codec
+from ..functions.analyzer import analyze_query
+from ..state import bm25
+from ..state.manifest import build_dir, current_build
+
+
+@dataclass
+class _Chunk:
+    first_doc: int
+    last_doc: int
+    ids_enc: bytes
+    tfs_enc: bytes
+    block_last: np.ndarray
+    block_max: np.ndarray
+    ids_boff: np.ndarray
+    tfs_boff: np.ndarray
+
+
+class SearchEngine:
+    """Loads a published build (CURRENT pointer) and serves top-k BM25."""
+
+    def __init__(self, index_root: str, build_id: str | None = None, *, preload: bool = True):
+        import json
+
+        build_id = build_id or current_build(index_root)
+        self.bdir = build_dir(index_root, build_id)
+        with open(os.path.join(self.bdir, "stats.json")) as fh:
+            self.stats = json.load(fh)
+        self.n_docs = int(self.stats["n_docs"])
+        self.max_doc = int(self.stats.get("max_doc", self.n_docs - 1))
+        self.avgdl = float(self.stats["avgdl"])
+
+        docs = pq.read_table(os.path.join(self.bdir, "docs"), columns=["doc_id", "doclen"])
+        self.doclens = np.zeros(self.max_doc + 1, dtype=np.int64)
+        self.doclens[docs.column("doc_id").to_numpy()] = docs.column("doclen").to_numpy()
+
+        ts = pq.read_table(os.path.join(self.bdir, "term_stats"))
+        self.df = dict(
+            zip(ts.column("term").to_pylist(), ts.column("df").to_numpy().tolist())
+        )
+
+        self._seg_dir = os.path.join(self.bdir, "segments")
+        self._segments: pa.Table | None = None
+        self._term_rows: dict[str, list[int]] | None = None
+        if preload:
+            self._preload_segments()
+
+    # ------------------------------------------------------------------ io
+
+    def _preload_segments(self) -> None:
+        tbl = pq.read_table(self._seg_dir)
+        self._segments = tbl
+        rows: dict[str, list[int]] = {}
+        for i, t in enumerate(tbl.column("term").to_pylist()):
+            rows.setdefault(t, []).append(i)
+        self._term_rows = rows
+
+    def _chunks(self, term: str) -> list[_Chunk]:
+        if self._segments is not None:
+            idxs = self._term_rows.get(term, [])
+            rows = [self._segments.slice(i, 1) for i in idxs]
+        else:
+            tbl = pq.read_table(
+                self._seg_dir, filters=[("term", "==", term)]
+            )
+            rows = [tbl.slice(i, 1) for i in range(len(tbl))]
+        chunks = [
+            _Chunk(
+                first_doc=r.column("first_doc")[0].as_py(),
+                last_doc=r.column("last_doc")[0].as_py(),
+                ids_enc=r.column("ids_enc")[0].as_py(),
+                tfs_enc=r.column("tfs_enc")[0].as_py(),
+                block_last=np.asarray(r.column("block_last")[0].as_py(), dtype=np.int64),
+                block_max=np.asarray(r.column("block_max")[0].as_py(), dtype=np.float64),
+                ids_boff=np.asarray(r.column("ids_boff")[0].as_py(), dtype=np.int64),
+                tfs_boff=np.asarray(r.column("tfs_boff")[0].as_py(), dtype=np.int64),
+            )
+            for r in rows
+        ]
+        chunks.sort(key=lambda c: c.first_doc)
+        return chunks
+
+    def _postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Full decoded postings of ``term`` (concatenated chunks)."""
+        parts = [codec.decode_chunk(c.ids_enc, c.tfs_enc) for c in self._chunks(term)]
+        if not parts:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+
+    # -------------------------------------------------------------- scoring
+
+    def _prepare(self, query: str):
+        groups = analyze_query(query)
+        terms = sorted({t for g in groups for t in g if t in self.df})
+        idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
+        return groups, terms, idfs
+
+    def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
+        if pruned:
+            return self.search_pruned(query, k, mode)
+        return self.search_exhaustive(query, k, mode)
+
+    def search_exhaustive(self, query: str, k: int = 10, mode: str = "and"):
+        groups, terms, idfs = self._prepare(query)
+        if not groups:
+            return []
+        acc = np.zeros(self.max_doc + 1, dtype=np.float64)
+        seen = np.zeros(self.max_doc + 1, dtype=bool)
+        postings = {}
+        for t in terms:  # ascending term order — canonical float summation
+            ids, tfs = self._postings(t)
+            postings[t] = ids
+            imp = bm25.impact(tfs, self.doclens[ids], self.avgdl)
+            acc[ids] += idfs[t] * imp
+            seen[ids] = True
+        # group coverage for AND/OR
+        mask = None
+        for g in groups:
+            gmask = np.zeros(self.max_doc + 1, dtype=bool)
+            any_term = False
+            for t in g:
+                if t in postings:
+                    gmask[postings[t]] = True
+                    any_term = True
+            if not any_term:
+                gmask[:] = False
+            if mask is None:
+                mask = gmask
+            elif mode == "and":
+                mask &= gmask
+            else:
+                mask |= gmask
+        docs = np.flatnonzero(mask if mask is not None else seen)
+        return bm25.top_k_from_scores(docs, acc[docs], k)
+
+    def search_pruned(self, query: str, k: int = 10, mode: str = "and"):
+        groups, terms, idfs = self._prepare(query)
+        if not groups:
+            return []
+        if not terms:
+            return []
+        w = int(self.stats["bucket_width"])
+        term_chunks: dict[str, dict[int, _Chunk]] = {}
+        buckets: set[int] = set()
+        for t in terms:
+            by_bucket = {c.first_doc // w: c for c in self._chunks(t)}
+            term_chunks[t] = by_bucket
+            buckets.update(by_bucket)
+        if not buckets:
+            return []
+        # per-bucket upper bound: Σ_t idf_t * max block impact in bucket
+        blist = sorted(buckets)
+        ub = np.zeros(len(blist), dtype=np.float64)
+        bpos = {b: i for i, b in enumerate(blist)}
+        for t in terms:
+            for b, c in term_chunks[t].items():
+                ub[bpos[b]] += idfs[t] * float(c.block_max.max())
+        # process buckets in (ub desc, bucket asc) order
+        order = np.lexsort((np.asarray(blist), -ub))
+        results: list[tuple[int, float]] = []
+        theta = -np.inf
+        for oi in order:
+            b = blist[oi]
+            if len(results) >= k and ub[oi] < theta:
+                break  # all remaining buckets have even lower bounds
+            lo = b * w
+            acc = np.zeros(w, dtype=np.float64)
+            gmasks = [np.zeros(w, dtype=bool) for _ in groups]
+            hit_any = [False] * len(groups)
+            for t in terms:  # ascending term order
+                c = term_chunks[t].get(b)
+                if c is None:
+                    continue
+                # block-level refinement: decode only blocks whose own
+                # bound + other terms' bucket bound can still beat θ
+                other_ub = ub[bpos[b]] - idfs[t] * float(c.block_max.max())
+                nblocks = len(c.block_last)
+                want = np.flatnonzero(idfs[t] * c.block_max + other_ub >= theta) \
+                    if len(results) >= k else np.arange(nblocks)
+                if len(want) == 0:
+                    continue
+                # decode contiguous runs of wanted blocks
+                runs = np.split(want, np.flatnonzero(np.diff(want) > 1) + 1)
+                ids_all, tfs_all = [], []
+                for run in runs:
+                    ids_r, tfs_r = codec.decode_blocks(
+                        c.ids_enc, c.tfs_enc, c.ids_boff, c.tfs_boff,
+                        c.block_last, int(run[0]), int(run[-1]) + 1,
+                    )
+                    ids_all.append(ids_r)
+                    tfs_all.append(tfs_r)
+                ids = np.concatenate(ids_all)
+                tfs = np.concatenate(tfs_all)
+                imp = bm25.impact(tfs, self.doclens[ids], self.avgdl)
+                local = ids - lo
+                acc[local] += idfs[t] * imp
+                for gi, g in enumerate(groups):
+                    if t in g:
+                        gmasks[gi][local] = True
+                        hit_any[gi] = True
+            if mode == "and":
+                mask = np.ones(w, dtype=bool)
+                for gi, gm in enumerate(gmasks):
+                    mask &= gm
+            else:
+                mask = np.zeros(w, dtype=bool)
+                for gm in gmasks:
+                    mask |= gm
+            local_docs = np.flatnonzero(mask)
+            if len(local_docs) == 0:
+                continue
+            cand = bm25.top_k_from_scores(local_docs + lo, acc[local_docs], k)
+            results = _merge_topk(results, cand, k)
+            if len(results) >= k:
+                theta = results[-1][1]
+        return results[:k]
+
+
+def _merge_topk(a: list[tuple[int, float]], b: list[tuple[int, float]], k: int):
+    merged = sorted(a + b, key=lambda x: (-x[1], x[0]))
+    return merged[:k]
