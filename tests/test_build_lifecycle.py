@@ -1,0 +1,82 @@
+"""Build lifecycle: resume from checkpoint, manifests/lineage, atomic
+publish + retention, zero-doc refusal (the reference's index-lifecycle
+semantics — ElasticsearchClient.java alias switch/retention; SURVEY.md
+§2.2 and FIXTURES.md §4 "manifests / resume")."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from limetrans_ray.pipelines.build_index import build_index
+from limetrans_ray.pipelines.search import SearchEngine
+from limetrans_ray.state.manifest import current_build
+
+
+def test_manifests_and_lineage(built_index):
+    root, stats = built_index
+    bdir = os.path.join(root, "builds", stats["build_id"])
+    for stage in ["fwd", "docs", "segments", "term_stats"]:
+        mpath = os.path.join(bdir, "manifests", f"{stage}.json")
+        assert os.path.exists(mpath)
+        with open(mpath) as fh:
+            m = json.load(fh)
+        assert m["input_fingerprint"] == stats["input_fingerprint"]
+        assert m["partitions"], f"{stage} manifest has no partition lineage"
+        assert all("bytes" in p for p in m["partitions"])
+        assert os.path.exists(os.path.join(bdir, f"_DONE_{stage}"))
+
+
+def test_full_resume_skips_all_stages(ray_session, webtext_dir, built_index):
+    root, stats = built_index
+    stats2 = build_index(webtext_dir, root)
+    assert stats2["build_id"] == stats["build_id"]
+    assert stats2["metrics"] == {}  # nothing re-ran
+
+
+def test_partial_resume_reruns_only_invalidated(ray_session, webtext_dir, built_index):
+    root, stats = built_index
+    bdir = os.path.join(root, "builds", stats["build_id"])
+    os.remove(os.path.join(bdir, "_DONE_term_stats"))
+    stats2 = build_index(webtext_dir, root)
+    assert list(stats2["metrics"]) == ["term_stats_s"]
+    # results unchanged after the resumed rebuild
+    eng = SearchEngine(root)
+    assert eng.search("payment market", 5)
+
+
+def test_current_pointer(built_index):
+    root, stats = built_index
+    assert current_build(root) == stats["build_id"]
+
+
+def test_zero_docs_refused(ray_session, tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.timestamp("us")),
+                "html": pa.array([], pa.binary()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        ),
+        str(empty / "e.parquet"),
+    )
+    root = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="zero documents"):
+        build_index(str(empty), root)
+    assert not os.path.exists(os.path.join(root, "CURRENT"))
+
+
+def test_retention(ray_session, webtext_dir, tmp_path):
+    root = str(tmp_path / "idx")
+    for i in range(4):
+        build_index(webtext_dir, root, build_id=f"b-{i}")
+    kept = sorted(os.listdir(os.path.join(root, "builds")))
+    assert kept == ["b-1", "b-2", "b-3"]  # current + 2 previous
+    assert current_build(root) == "b-3"

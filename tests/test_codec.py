@@ -1,0 +1,72 @@
+"""Posting codec round-trip tests (FIXTURES.md §4: seeded sequences +
+edge cases), including property-based coverage via hypothesis."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from limetrans_ray.functions import codec
+
+
+def test_varint_edges():
+    v = np.array(
+        [0, 1, 127, 128, 129, 16383, 16384, 2**31 - 1, 2**63 - 1, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(v)), v)
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.zeros(0, dtype=np.uint64)) == b""
+    assert len(codec.varint_decode(b"")) == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=500))
+def test_varint_roundtrip_property(values):
+    v = np.array(values, dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(v)), v)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=400, unique=True)
+)
+def test_delta_ids_roundtrip(ids):
+    arr = np.sort(np.array(ids, dtype=np.int64))
+    assert np.array_equal(codec.delta_decode_ids(codec.delta_encode_ids(arr)), arr)
+
+
+def test_chunk_roundtrip_and_blocks():
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(10**7, size=1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 100, size=1000).astype(np.int64)
+    imp = rng.random(1000)
+    ch = codec.encode_chunk(ids, tfs, imp, block_size=128)
+    d_ids, d_tfs = codec.decode_chunk(ch["ids_enc"], ch["tfs_enc"])
+    assert np.array_equal(d_ids, ids) and np.array_equal(d_tfs, tfs)
+    assert ch["df"] == 1000 and ch["cf"] == int(tfs.sum())
+    nblocks = len(ch["block_last"])
+    assert nblocks == 8
+    # block-max is the max impact within each block
+    for b in range(nblocks):
+        assert ch["block_max"][b] == imp[b * 128 : (b + 1) * 128].max()
+    # partial decode of every block range matches the slice
+    for lo, hi in [(0, 1), (3, 5), (7, 8), (0, 8)]:
+        bi, bt = codec.decode_blocks(
+            ch["ids_enc"], ch["tfs_enc"], ch["ids_boff"], ch["tfs_boff"],
+            ch["block_last"], lo, hi,
+        )
+        assert np.array_equal(bi, ids[lo * 128 : hi * 128])
+        assert np.array_equal(bt, tfs[lo * 128 : hi * 128])
+
+
+def test_single_posting_chunk():
+    ch = codec.encode_chunk(
+        np.array([42], dtype=np.int64),
+        np.array([3], dtype=np.int64),
+        np.array([0.5]),
+    )
+    ids, tfs = codec.decode_chunk(ch["ids_enc"], ch["tfs_enc"])
+    assert ids.tolist() == [42] and tfs.tolist() == [3]
+    assert ch["block_last"].tolist() == [42]
