@@ -1,44 +1,295 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (documents → inverted index →
+BM25 top-k) on sf0.001; ``queries()`` exposes one callable per
+implemented operator family from SURVEY.md §2 (+ the training-data
+extensions); ``oracle_sql()`` gives the DuckDB-verifiable ANSI-SQL
+mirror for every SQL-expressible entry (same column names, rounded
+floats where engines differ in summation order). Ray is initialised by
+the driver BEFORE this module is imported — nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# BM25 reference query set over the documents-table vocabulary
+# (FIXTURES.md §3 spirit: single terms, multi-term AND, frequency
+# discrimination, tie cases).
+BM25_QUERY_SET = [
+    "spark",
+    "query join",
+    "window agg",
+    "customer order line",
+    "hash merge",
+    "stream batch",
+    "table scan filter",
+    "slow fast",
+    "big small value",
+    "sort group key",
+]
+
+
+def _index_root(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/limetrans_ray_index/{tag}"
+
+
+def _bm25_topk(sf_dir: str, k: int = 10):
+    """Flagship: build (or resume) the inverted index over the documents
+    table, then run the reference query set through the block-max pruned
+    scorer. Returns (query, rank, doc_id, score)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir)
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    build_index_from_documents(
+        ds, root, fingerprint=fingerprint_paths([doc_path])
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in BM25_QUERY_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    return _bm25_topk("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+def _ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.ann import brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(ds, queries, qdf["vec_id"].tolist(), k=10)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _ann_lsh_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.ann import lsh_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_topk(ds, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].tolist(), k=10)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _neardup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import minhash_lsh_candidates
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # word 3-gram shingles: the documents table shares a tiny vocabulary,
+    # so unigram sets would make every pair "similar" — sequences do not
+    out = minhash_lsh_candidates(ds, threshold=0.8, shingle_k=3)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import simhash_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def _langid_docs(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.stages.textstats import LangIdStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangIdStage(), batch_format="pyarrow", batch_size=512
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def _quality_docs(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.stages.textstats import QualityStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityStage(), batch_format="pyarrow", batch_size=512)
+    return out.select_columns(
+        ["doc_id", "q_n_chars", "q_n_tokens", "q_stop_ratio", "q_quality"]
+    )
+
+
+def _fingerprint_docs(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.stages.textstats import FingerprintStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        FingerprintStage(), batch_format="pyarrow", batch_size=512
+    ).select_columns(["doc_id", "fingerprint"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from limetrans_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / per-record operator analogues (SQL-checked)
+        "doc_stats": rel.doc_stats,
+        "filter_docs": rel.filter_docs,
+        "lineitem_agg": rel.lineitem_agg,
+        "topk_docs": rel.topk_docs,
+        "lookup_region": rel.lookup_region,
+        "semi_join_orders": rel.semi_join_orders,
+        "anti_join_customers": rel.anti_join_customers,
+        "term_df": rel.term_df,
+        "token_counts": rel.token_counts,
+        "events_window": rel.events_window,
+        # training-data operators
+        "dedup_exact": _dedup_exact,
+        "ann_topk": _ann_topk,
+        # fulltext flagship + non-SQL-expressible extensions (rows-only)
+        "bm25_topk": _bm25_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "neardup_minhash": _neardup_minhash,
+        "simhash_pairs": _simhash_pairs,
+        "langid_docs": _langid_docs,
+        "quality_docs": _quality_docs,
+        "fingerprint_docs": _fingerprint_docs,
+    }
+
+
+# -------------------------------------------------------------- oracle SQL
+
+_SIMPLE_SPLIT = "string_split_regex(lower(text), '[^0-9a-z]+')"
+_TOKENS = f"list_filter({_SIMPLE_SPLIT}, x -> x <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": """
+            SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "filter_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en'
+              AND regexp_matches(text, 'spark')
+              AND regexp_matches(CAST(n_chars AS VARCHAR), '^[0-9]{3}$')
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+        """,
+        "lookup_region": """
+            SELECT r.r_name AS region_name, count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "semi_join_orders": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name = 'NATION_7')
+            GROUP BY o_orderstatus
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, count(*) AS n
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_totalprice > 400000.0)
+            GROUP BY c_mktsegment
+        """,
+        "term_df": f"""
+            SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term
+                FROM documents)
+            GROUP BY term
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens,
+                   len(list_distinct({_TOKENS})) AS n_uniq_tokens
+            FROM documents
+        """,
+        "events_window": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, w_start
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+            dims AS (SELECT unnest(generate_series(1,
+                        (SELECT max(len(embedding)) FROM embeddings))) AS i),
+            flat AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                         * CAST(e.embedding[dims.i] AS DOUBLE)) AS dot,
+                     sqrt(sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                              * CAST(q.embedding[dims.i] AS DOUBLE))) AS nq,
+                     sqrt(sum(CAST(e.embedding[dims.i] AS DOUBLE)
+                              * CAST(e.embedding[dims.i] AS DOUBLE))) AS ne
+              FROM q, embeddings e, dims
+              GROUP BY q.vec_id, e.vec_id
+            )
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dot/(nq*ne) DESC, vec_id) AS rank,
+                   vec_id, round(dot / (nq * ne), 6) AS cosine
+            FROM flat QUALIFY rank <= 10
+        """,
+    }

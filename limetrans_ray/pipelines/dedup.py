@@ -1,0 +1,269 @@
+"""Cross-document deduplication suite (exact + near-dup families).
+
+The reference dedups only *within* a record (``dedup``/``uniq`` fix
+commands, reference main/src/main/java/hbz/limetrans/function/
+Dedup.java:19-24) and across documents implicitly via the ES ``_id``
+(SURVEY.md §2.9). A training-data pipeline needs explicit cross-corpus
+dedup; each operator here is a Ray Data pipeline over a document table:
+
+- :func:`exact_dedup`            — hash-group keep-first (deterministic)
+- :func:`minhash_lsh_candidates` — shingle → MinHash → banded LSH
+  buckets → candidate pairs → exact-Jaccard verification
+- :func:`simhash_near_dups`     — 64-bit SimHash, 4-band blocking,
+  Hamming-distance verification
+- :func:`embedding_near_dups`   — cosine ≥ τ against an embedding
+  column (brute force per batch vs a normalized broadcast matrix)
+
+Scale notes: candidate-pair verification joins texts back by doc id via
+a broadcast lookup — fine while candidates ≪ corpus (the common case
+after banding); at 10^12 docs the verify step becomes a second
+hash-join keyed on doc_id, which the band-bucket `groupby` layout
+already supports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions.textstats import (
+    hash64_column,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+    word_shingles,
+)
+
+
+# --------------------------------------------------------------------- exact
+
+def exact_dedup(ds: rd.Dataset, col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Keep the smallest ``id_col`` per distinct ``col`` value.
+
+    Pattern: add a stable content hash in a vectorized ``map_batches``
+    (so the shuffle key is 8 bytes, not the document), then a grouped
+    Min — the pre-aggregated exact-dedup of SURVEY.md §2.9. Returns
+    (doc_id, n_dups) — one row per distinct content.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64_column(batch.column(col).to_pylist()).astype(np.int64)
+        return pa.table(
+            {"content_hash": pa.array(h), id_col: batch.column(id_col)}
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_dups"))
+        .select_columns([id_col, "n_dups"])
+    )
+
+
+# ------------------------------------------------------------------- minhash
+
+def minhash_lsh_candidates(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 1,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Near-duplicate pairs with exact Jaccard ≥ ``threshold``.
+
+    Stages (the classic MinHash-LSH shape over Ray Data):
+    1. per batch: shingle sets → minhash signatures → explode to one
+       row per (band_id, band_hash, doc_id)  [vectorized, stateless]
+    2. ``groupby(band_id, band_hash)`` → emit candidate pairs from
+       buckets with ≥2 docs  [the only shuffle; bucket sizes are small
+       for any sane banding]
+    3. verify candidates with exact shingle Jaccard (false-positive
+       removal; LSH false-negative rate for j≥0.8 at 128/32 banding is
+       ≈(1-(1-0.8^4)^32) ⇒ miss ≈ 5e-8).
+
+    Returns a pandas DataFrame (a_id, b_id, jaccard) sorted by ids —
+    candidate volume is tiny relative to the corpus.
+    """
+    a_params, b_params = minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    a_ref = ray.put((a_params, b_params))
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        ap, bp = ray.get(a_ref)
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        band_ids, band_hashes, doc_ids = [], [], []
+        for i, t in enumerate(texts):
+            sig = minhash_signature(word_shingles(t, shingle_k), ap, bp)
+            bh = sig.reshape(bands, rows_per_band)
+            for b in range(bands):
+                band_ids.append(b)
+                band_hashes.append(stable_hash64(bh[b].tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                doc_ids.append(int(ids[i]))
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                id_col: pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+    band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["a_id", "b_id"])
+
+    cand = (
+        band_rows.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}).astype(
+            {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
+        )
+    cand = cand.drop_duplicates().astype(np.int64)
+
+    # verification: fetch texts of candidate docs only (broadcast filter)
+    needed = set(cand["a_id"]).union(cand["b_id"])
+    needed_ref = ray.put(needed)
+
+    def project_needed(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids = batch.column(id_col).to_numpy()
+        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(ids))
+        return batch.filter(pa.array(mask)).select([id_col, text_col])
+
+    texts_df = ds.map_batches(project_needed, batch_format="pyarrow").to_pandas()
+    shingle_map = {
+        int(r[id_col]): word_shingles(r[text_col], shingle_k)
+        for _, r in texts_df.iterrows()
+    }
+    jac = np.array(
+        [jaccard(shingle_map[a], shingle_map[b]) for a, b in zip(cand["a_id"], cand["b_id"])]
+    )
+    out = cand.assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- simhash
+
+def simhash_near_dups(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> pd.DataFrame:
+    """Pairs whose 64-bit SimHash differs by ≤ ``max_hamming`` bits.
+
+    Blocking: split the fingerprint into 4 16-bit bands; any pair within
+    Hamming ≤ 3 shares at least one exact band (pigeonhole) →
+    ``groupby(band_id, band_value)`` then verify Hamming distance.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        fps = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        band_ids = np.repeat(np.arange(4, dtype=np.int32), n)
+        band_vals = np.concatenate(
+            [((fps >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64) for b in range(4)]
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids),
+                "band_val": pa.array(band_vals),
+                id_col: pa.array(np.tile(ids, 4), pa.int64()),
+                "fp": pa.array(np.tile(fps.astype(np.int64), 4)),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        fps = g["fp"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(int(fps[i]) ^ int(fps[j])).count("1")
+                if d <= max_hamming:
+                    rows.append((int(ids[i]), int(ids[j]), d))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"])
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []}).astype(
+            {"a_id": np.int64, "b_id": np.int64, "hamming": np.int64}
+        )
+    return (
+        pairs.drop_duplicates(subset=["a_id", "b_id"])
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+        .astype({"a_id": np.int64, "b_id": np.int64, "hamming": np.int64})
+    )
+
+
+# ----------------------------------------------------------------- embedding
+
+def embedding_near_dups(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> pd.DataFrame:
+    """Pairs with cosine similarity ≥ ``threshold``.
+
+    The corpus embedding matrix is L2-normalized once, broadcast via
+    ``ray.put``, and each batch does one float64 matmul against it —
+    brute force O(n²) compute but O(n·d) memory per task; at larger n,
+    swap the broadcast side for LSH buckets (see pipelines/ann.py).
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat))
+
+    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_a, m = ray.get(ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ m.T
+        rows = []
+        for i in range(len(ids)):
+            hits = np.flatnonzero(sims[i] >= threshold)
+            for j in hits:
+                if ids[i] < ids_a[j]:
+                    rows.append((int(ids[i]), int(ids_a[j]), float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "cosine"])
+
+    pairs = ds.map_batches(batch_pairs, batch_format="pandas").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": np.int64, "b_id": np.int64, "cosine": np.float64}
+        )
+    return pairs.sort_values(["a_id", "b_id"]).reset_index(drop=True)

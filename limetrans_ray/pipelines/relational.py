@@ -1,0 +1,259 @@
+"""Relational analogues of the reference's per-record operator surface,
+expressed Ray-Data-first over the driver's synthetic star schema.
+
+Each function here implements one operator family from SURVEY.md §2 as
+a Dataset pipeline and has an exact ANSI-SQL mirror in
+``__ray_entry__.oracle_sql`` (DuckDB verifies row counts + schemas +
+value hashes at sf=0.01):
+
+- projections/filters  → the Metafix ``copy_field``/``if any_match``
+  surface (SURVEY.md §2.3) via the LimetransFilter grammar;
+- broadcast lookups    → ``lookup(path, map)`` (§2.6): small dimension
+  dicts shipped once via ``ray.put``;
+- semi/anti joins      → ``verify_links`` membership and skip sets
+  (§2.6): broadcast key sets, vectorized isin masks;
+- grouped aggregates   → Counter / RepeatedFieldsLogger analogues
+  (§2.7), pre-aggregated per batch where the key space is small;
+- sort/top-k           → §2.8;
+- windowed aggregates  → the streaming-shaped events table, tumbling
+  1-hour windows (ray_guide streaming pattern).
+
+Functions never call ``ray.init`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.analyzer import simple_terms
+from ..functions.filter import filter_dataset
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ----------------------------------------------------------- agg / projection
+
+def doc_stats(sf_dir: str) -> rd.Dataset:
+    """Grouped counts over documents (RepeatedFieldsLogger analogue)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+    return ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def filter_docs(sf_dir: str) -> rd.Dataset:
+    """LimetransFilter grammar atoms, vectorized: equals + regex +
+    regex-on-casted-int (all three atom kinds)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = filter_dataset(ds, ["lang=en", "text=~spark", "n_chars=~^[0-9]{3}$"], op="all")
+    return out.select_columns(["doc_id", "source", "n_chars"])
+
+
+def lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style wide aggregate (the big groupby shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return batch.append_column("revenue", rev)
+
+    ds = ds.map_batches(add_revenue, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="rev_raw"),
+        Count(alias_name="n"),
+    )
+
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_revenue"] = df["rev_raw"].round(2)
+        return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "n"]]
+
+    return agg.map_batches(round_cols, batch_format="pandas")
+
+
+def topk_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic top-k (n_chars desc, doc_id asc) — §2.8."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+# --------------------------------------------------------------- joins
+
+def lookup_region(sf_dir: str) -> rd.Dataset:
+    """Broadcast dimension lookup (the ``lookup(path, map)`` pattern):
+    nation+region are tiny → one dict shipped via ray.put, applied per
+    batch; only the small aggregate shuffles."""
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    r_name = dict(zip(region["r_regionkey"], region["r_name"]))
+    nat_to_region = {
+        int(r.n_nationkey): r_name[r.n_regionkey] for r in nation.itertuples()
+    }
+    lookup_ref = ray.put(nat_to_region)
+
+    def add_region(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        batch["region_name"] = batch["c_nationkey"].map(lut)
+        return batch[["region_name", "c_acctbal"]]
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    agg = cust.map_batches(add_region, batch_format="pandas").groupby(
+        "region_name"
+    ).aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="bal_raw"))
+
+    def round_bal(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_acctbal"] = df["bal_raw"].round(2)
+        return df[["region_name", "n_customers", "sum_acctbal"]]
+
+    return agg.map_batches(round_bal, batch_format="pandas")
+
+
+def semi_join_orders(sf_dir: str, nation_name: str = "NATION_7") -> rd.Dataset:
+    """Semi-join (verify_links membership analogue): orders whose
+    customer belongs to one nation — key set broadcast, isin mask."""
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    nk = int(nation.loc[nation["n_name"] == nation_name, "n_nationkey"].iloc[0])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    keys = cust.to_pandas()
+    keyset = set(keys.loc[keys["c_nationkey"] == nk, "c_custkey"].astype(int))
+    keys_ref = ray.put(np.fromiter(keyset, dtype=np.int64, count=len(keyset)))
+
+    def member(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = np.isin(batch.column("o_custkey").to_numpy(), k)
+        return batch.filter(pa.array(mask))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    agg = orders.map_batches(member, batch_format="pyarrow").groupby(
+        "o_orderstatus"
+    ).aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="p_raw"))
+
+    def round_p(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["p_raw"].round(2)
+        return df[["o_orderstatus", "n_orders", "sum_price"]]
+
+    return agg.map_batches(round_p, batch_format="pandas")
+
+
+def anti_join_customers(sf_dir: str, min_price: float = 400_000.0) -> rd.Dataset:
+    """Anti-join (the ``skip*`` set analogue): customers with no
+    high-value order (> ``min_price``).
+
+    The qualifying-customer key set is distilled to a compact int64
+    array and broadcast (at 10^12 scale this becomes a Bloom filter
+    with the same pipeline shape)."""
+    okeys = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t.column("o_totalprice"), min_price)),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    arr = np.sort(np.array(okeys, dtype=np.int64))
+    keys_ref = ray.put(arr)
+
+    def not_member(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        mask = ~np.isin(batch.column("c_custkey").to_numpy(), k)
+        return batch.filter(pa.array(mask))
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    return (
+        cust.map_batches(not_member, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# --------------------------------------------------------------- text / terms
+
+def term_df(sf_dir: str) -> rd.Dataset:
+    """Document frequency per term, simplified SQL-mirrorable tokenizer.
+
+    Pre-aggregated: each batch emits (term, partial_df) rows — the
+    shuffle moves term partials, never raw tokens (SURVEY.md §4 skew
+    rule)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for term in set(simple_terms(t)):
+                counts[term] = counts.get(term, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "pdf": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-doc token counts with the SQL-mirrorable tokenizer."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(simple_terms(t)) for t in texts), dtype=np.int64, count=len(texts))
+        u = np.fromiter(
+            (len(set(simple_terms(t))) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n),
+                "n_uniq_tokens": pa.array(u),
+            }
+        )
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- events
+
+def events_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window aggregate over the events stream table
+    (ordered-log treatment per the streaming-shaped-workloads pattern)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        # unit-independent epoch seconds (parquet gives datetime64[us])
+        w = (batch["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        return pd.DataFrame(
+            {"event_type": batch["event_type"], "w_start": w, "value": batch["value"]}
+        )
+
+    agg = ds.map_batches(add_window, batch_format="pandas").groupby(
+        ["event_type", "w_start"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="v_raw"))
+
+    def round_v(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["v_raw"].round(2)
+        return df[["event_type", "w_start", "n", "sum_value"]]
+
+    return agg.map_batches(round_v, batch_format="pandas")

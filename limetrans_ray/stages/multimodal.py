@@ -1,0 +1,127 @@
+"""Multimodal column stages (image/audio/video as opaque binary).
+
+The decode kernels themselves are STUBBED — the image/audio libraries
+are not available in this environment — behind a deterministic fake
+(seeded from the payload bytes), but the Ray-side plumbing is real and
+tested: schema contracts, actor-pool stage signature (decoder "model"
+loaded once per actor in ``__init__``), small-batch handling for large
+binary payloads, and typed metadata columns. Swap ``_decode_stub`` for
+a real decoder (PIL/ffmpeg) without touching the pipeline shape.
+
+Usage pattern (binary payloads dominate block size, so batches stay
+small and the batch format stays Arrow end-to-end):
+
+    ds.map_batches(ImageDecodeStage(target=(64, 64)),
+                   batch_format="pyarrow", batch_size=64,
+                   concurrency=8, num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class DecoderNotAvailable(NotImplementedError):
+    """Raised when a real decoder is requested but no codec library
+    exists in this environment."""
+
+
+def _decode_stub(payload: bytes, channels: int, side: int) -> np.ndarray:
+    """Deterministic fake decode: seeded uint8 tensor derived from the
+    payload digest — stable across processes, no wall clock."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(side, side, channels), dtype=np.uint8)
+
+
+class ImageDecodeStage:
+    """binary image column → fixed-size uint8 tensor + typed metadata.
+
+    Actor-pool stage: the (stubbed) decoder and resize kernel are set up
+    once per actor; per batch everything stays Arrow. Output columns:
+    ``pixels`` (FixedSizeList<uint8>), ``height``/``width``/``channels``.
+    """
+
+    def __init__(
+        self,
+        image_col: str = "payload",
+        target: tuple[int, int] = (32, 32),
+        *,
+        real_decoder: bool = False,
+    ):
+        if real_decoder:
+            raise DecoderNotAvailable(
+                "no image codec library in this environment; "
+                "run with real_decoder=False for the deterministic stub"
+            )
+        self.image_col = image_col
+        self.h, self.w = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.image_col).to_pylist()
+        n = len(payloads)
+        tensors = np.empty((n, self.h * self.w * 3), dtype=np.uint8)
+        for i, p in enumerate(payloads):
+            img = _decode_stub(p, 3, max(self.h, self.w))[: self.h, : self.w]
+            tensors[i] = img.reshape(-1)
+        pixels = pa.FixedSizeListArray.from_arrays(
+            pa.array(tensors.reshape(-1)), self.h * self.w * 3
+        )
+        out = batch.drop_columns([self.image_col])
+        out = out.append_column("pixels", pixels)
+        out = out.append_column("height", pa.array(np.full(n, self.h, dtype=np.int32)))
+        out = out.append_column("width", pa.array(np.full(n, self.w, dtype=np.int32)))
+        out = out.append_column("channels", pa.array(np.full(n, 3, dtype=np.int32)))
+        return out
+
+
+class ImageFeatureStage:
+    """pixels tensor → small float feature vector (channel means/stds —
+    a stand-in for a real embedding model; the actor-pool/batch shape is
+    what a model-inference stage would use, weights loaded in
+    ``__init__``)."""
+
+    def __init__(self, pixels_col: str = "pixels"):
+        self.pixels_col = pixels_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.pixels_col)
+        flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+        n = batch.num_rows
+        per = flat.reshape(n, -1, 3)
+        feats = np.concatenate(
+            [per.mean(axis=1), per.std(axis=1)], axis=1
+        )  # (n, 6)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), 6)
+        return batch.append_column("features", arr)
+
+
+class FrameSampleStage:
+    """binary "video" column → every k-th frame's payload slice (stub:
+    fixed-stride byte windows standing in for frame extraction; the
+    contract — one input row explodes into ``n_frames`` output rows
+    with ``frame_idx`` — is the real part)."""
+
+    def __init__(self, video_col: str = "payload", n_frames: int = 4, frame_bytes: int = 256):
+        self.video_col = video_col
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.video_col).to_pylist()
+        other_cols = [c for c in batch.column_names if c != self.video_col]
+        out_idx, frames, frame_no = [], [], []
+        for i, p in enumerate(payloads):
+            stride = max(1, len(p) // self.n_frames)
+            for f in range(self.n_frames):
+                start = min(f * stride, max(0, len(p) - 1))
+                frames.append(p[start : start + self.frame_bytes])
+                frame_no.append(f)
+                out_idx.append(i)
+        cols = {c: batch.column(c).take(pa.array(out_idx)) for c in other_cols}
+        cols["frame_idx"] = pa.array(frame_no, pa.int32())
+        cols["frame"] = pa.array(frames, pa.binary())
+        return pa.table(cols)

@@ -1,0 +1,77 @@
+"""Batch-stage wrappers for the text-analysis functions — each an
+actor-pool-friendly callable class (state in ``__init__``, vectorized
+``__call__``), extending the reference's per-record normalization
+surface (SURVEY.md §2.3/2.10) with training-data operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.textstats import (
+    count_tokens_bpeish,
+    detect_language,
+    fingerprint64,
+    quality_features,
+)
+
+
+class LangIdStage:
+    """Adds ``lang_pred`` (stop-word-hit heuristic over {en,de,fr})."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [detect_language(t) for t in batch.column(self.text_col).to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+class QualityStage:
+    """Adds the quality feature columns + composite score."""
+
+    KEYS = (
+        "n_chars", "n_tokens", "punct_ratio", "digit_ratio",
+        "stop_ratio", "mean_token_len", "quality",
+    )
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [quality_features(t) for t in batch.column(self.text_col).to_pylist()]
+        for key in self.KEYS:
+            typ = pa.int64() if key in ("n_chars", "n_tokens") else pa.float64()
+            batch = batch.append_column(
+                f"q_{key}", pa.array([f[key] for f in feats], typ)
+            )
+        return batch
+
+
+class TokenCountStage:
+    """Adds ``n_tokens_bpeish`` (words + isolated punctuation)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = np.fromiter(
+            (count_tokens_bpeish(t) for t in batch.column(self.text_col).to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("n_tokens_bpeish", pa.array(counts))
+
+
+class FingerprintStage:
+    """Adds ``fingerprint`` (order-sensitive rolling hash, hex string —
+    stays portable through SQL/pandas without int64 overflow)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            f"{fingerprint64(t):016x}" for t in batch.column(self.text_col).to_pylist()
+        ]
+        return batch.append_column("fingerprint", pa.array(fps, pa.string()))

@@ -1,0 +1,123 @@
+"""Dedup suite + similarity search over synthetic corpora with planted
+duplicates (the FIXTURES.md §4 oracles for the training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from limetrans_ray.pipelines.ann import brute_force_topk, lsh_topk
+from limetrans_ray.pipelines.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """120 docs; 100-119 are near/exact duplicates of 0-19."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(100)]
+    for i in range(20):
+        words = texts[i].split()
+        if i % 2 == 0:
+            texts.append(" ".join(words))  # exact dup
+        else:
+            words[5] = "changed"
+            texts.append(" ".join(words))  # near dup (~59/61 jaccard)
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(120), pa.int64()), "text": texts})
+    )
+
+
+def test_exact_dedup(ray_session, doc_ds):
+    out = exact_dedup(doc_ds).to_pandas().sort_values("doc_id")
+    # 10 exact dups collapse onto their originals
+    assert len(out) == 110
+    dup_groups = out[out["n_dups"] > 1]
+    assert len(dup_groups) == 10
+    assert (dup_groups["doc_id"] < 20).all()  # keep-first = min doc_id
+
+
+def test_minhash_finds_planted_neardups(ray_session, doc_ds):
+    pairs = minhash_lsh_candidates(doc_ds, threshold=0.8)
+    found = set(zip(pairs["a_id"], pairs["b_id"]))
+    for i in range(20):
+        assert (i, 100 + i) in found, f"planted dup pair ({i},{100+i}) missed"
+    # jaccard values are exact (verification step)
+    exact = pairs[(pairs["a_id"] < 20) & (pairs["b_id"] == pairs["a_id"] + 100)]
+    assert (exact[exact["a_id"] % 2 == 0]["jaccard"] == 1.0).all()
+    assert (exact[exact["a_id"] % 2 == 1]["jaccard"] < 1.0).all()
+
+
+def test_simhash_finds_exact_dups(ray_session, doc_ds):
+    pairs = simhash_near_dups(doc_ds, max_hamming=3)
+    found = set(zip(pairs["a_id"], pairs["b_id"]))
+    for i in range(0, 20, 2):  # exact dups have hamming 0
+        assert (i, 100 + i) in found
+    assert (pairs["hamming"] <= 3).all()
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    # clustered corpus: 8 clusters × 10 points (near neighbors are truly
+    # similar — the regime hyperplane LSH is built for)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    base = np.repeat(centers, 10, axis=0) + 0.3 * rng.standard_normal((80, 32))
+    # 80-89 are tiny perturbations of 0-9 (near-dups)
+    near = base[:10] + 0.01 * rng.standard_normal((10, 32))
+    mat = np.vstack([base, near]).astype(np.float32)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(90), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+            }
+        )
+    ), mat
+
+
+def test_embedding_near_dups(ray_session, emb_ds):
+    ds, _ = emb_ds
+    pairs = embedding_near_dups(ds, threshold=0.99)
+    found = set(zip(pairs["a_id"], pairs["b_id"]))
+    for i in range(10):
+        assert (i, 80 + i) in found
+
+
+def test_brute_force_topk_matches_numpy(ray_session, emb_ds):
+    ds, mat = emb_ds
+    q = mat[:3].astype(np.float64)
+    out = brute_force_topk(ds, q, [0, 1, 2], k=5)
+    m = mat.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(3):
+        sims = mn @ mn[qi]
+        expect = np.lexsort((np.arange(90), -sims))[:5].tolist()
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == expect, qi
+    assert set(out.columns) == {"query_id", "rank", "vec_id", "cosine"}
+
+
+def test_lsh_topk_recall(ray_session, emb_ds):
+    ds, mat = emb_ds
+    q = mat[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q, list(range(5)), k=5)
+    approx = lsh_topk(ds, q, list(range(5)), k=5, n_planes=10, probe_hamming=3)
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.8  # recall floor for the probe budget
+    # the perturbed twin must be found (cosine ≈ 1)
+    top1 = approx[(approx["query_id"] == 0) & (approx["rank"] <= 2)]["vec_id"].tolist()
+    assert 80 in top1 or 0 in top1

@@ -1,0 +1,104 @@
+"""Multimodal stub plumbing (schema, actor signature, explode layout)
+and the text-analysis stage wrappers over Ray Data."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from limetrans_ray.stages.multimodal import (
+    DecoderNotAvailable,
+    FrameSampleStage,
+    ImageDecodeStage,
+    ImageFeatureStage,
+)
+from limetrans_ray.stages.textstats import (
+    FingerprintStage,
+    LangIdStage,
+    QualityStage,
+    TokenCountStage,
+)
+
+
+@pytest.fixture()
+def media_ds(ray_session):
+    import ray.data as rd
+
+    payloads = [bytes([i]) * (1000 + i) for i in range(8)]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(8), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+
+
+def test_image_decode_stage(ray_session, media_ds):
+    out = media_ds.map_batches(
+        ImageDecodeStage("payload", target=(16, 16)),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    )
+    tbl = out.to_pandas().sort_values("media_id")
+    assert len(tbl) == 8
+    assert (tbl["height"] == 16).all() and (tbl["channels"] == 3).all()
+    assert all(len(p) == 16 * 16 * 3 for p in tbl["pixels"])
+    # deterministic: same payload → same fake pixels across runs
+    tbl2 = media_ds.map_batches(
+        ImageDecodeStage("payload", target=(16, 16)), batch_format="pyarrow"
+    ).to_pandas().sort_values("media_id")
+    assert np.array_equal(np.stack(tbl["pixels"].values), np.stack(tbl2["pixels"].values))
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(DecoderNotAvailable):
+        ImageDecodeStage(real_decoder=True)
+
+
+def test_feature_stage_chains(ray_session, media_ds):
+    out = media_ds.map_batches(
+        ImageDecodeStage("payload", target=(8, 8)), batch_format="pyarrow", batch_size=4
+    ).map_batches(ImageFeatureStage(), batch_format="pyarrow", batch_size=4)
+    tbl = out.to_pandas()
+    assert all(len(f) == 6 for f in tbl["features"])
+
+
+def test_frame_sample_explodes(ray_session, media_ds):
+    out = media_ds.map_batches(
+        FrameSampleStage("payload", n_frames=4), batch_format="pyarrow", batch_size=3
+    ).to_pandas()
+    assert len(out) == 8 * 4
+    assert set(out["frame_idx"]) == {0, 1, 2, 3}
+    assert out.groupby("media_id").size().eq(4).all()
+
+
+def test_textstats_stages(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [
+                    "the cat sat on the mat and it was happy today",
+                    "der hund ist auf der straße und er ist froh heute",
+                    "le chat est dans la maison avec le chien aussi",
+                ],
+            }
+        )
+    )
+    lang = ds.map_batches(LangIdStage(), batch_format="pyarrow").to_pandas()
+    assert lang.sort_values("doc_id")["lang_pred"].tolist() == ["en", "de", "fr"]
+
+    q = ds.map_batches(QualityStage(), batch_format="pyarrow").to_pandas()
+    assert {"q_n_chars", "q_quality", "q_stop_ratio"} <= set(q.columns)
+    assert (q["q_quality"] > 0).all()
+
+    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow").to_pandas()
+    assert (t["n_tokens_bpeish"] >= 9).all()
+
+    f = ds.map_batches(FingerprintStage(), batch_format="pyarrow").to_pandas()
+    assert f["fingerprint"].str.len().eq(16).all()
+    assert f["fingerprint"].nunique() == 3
