@@ -1,0 +1,251 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Default mode: one fresh Ray session at ``RAY_GRAFT_CPUS`` (default 32)
+runs the headline pipelines and prints ONE JSON line:
+
+    {"metric": "index build + BM25 query + operator suite wall time",
+     "value": <headline seconds>, "unit": "sec",
+     "queries": {<component>: seconds, ...}, "sf": ..., "num_cpus": N,
+     ...extra keys (docs_per_s, p50/p95 query latency, result_hash)}
+
+Components:
+- ``index_build``   — full webtext build (extract→dedup→SPIMI→merge→
+  segments) over the deterministic bench tier (150k pages, generated
+  once into /tmp and cached);
+- ``bm25_queries``  — p50/p95/QPS of top-10 BM25 over the reference
+  query set against the freshly built index (warmed, single process);
+- operator suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+  lineitem_agg, term_df, dedup_exact, ann_topk, events_window.
+
+``--scaling`` mode (the in-sandbox stand-in for the N vs 4N-node rule):
+runs the *index build only* twice in fresh subprocesses at 8 and 32
+CPUs on the same input, reports docs/s at both, the scaling efficiency
+(throughput ratio / CPU ratio, target ≥0.8), and asserts cross-
+parallelism result identity (identical top-k ids+scores per query).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "600000"))
+BENCH_INPUT = f"/tmp/limetrans_bench/input_{BENCH_ROWS}"
+REFERENCE_QUERIES = [
+    "holzbau", "atlas", "gebiet", "zinnen", "payment", "web", "xylophone",
+    "holzbau atlas", "drei zinnen gebiet", "web search engine",
+    "payment market", "query token index", "market report",
+    "holzbau-atlas", "drei-zinnen-gebiet", "e-payment", "epayment",
+    "uber die strasse", "über die straße", "résumé", "resume annee",
+    "recherche données", "zahlung handel", "fromage montagne",
+    "page", "payment payment", "modern web systems",
+    "data stream filter", "index build merge", "report study analysis",
+]
+
+
+def _quiet():
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+
+
+def _gen_input():
+    from limetrans_ray.sources.webtext import write_webtext
+
+    write_webtext(BENCH_INPUT, BENCH_ROWS, n_files=32)
+
+
+def _build(index_root: str) -> dict:
+    from limetrans_ray.pipelines.build_index import build_index
+
+    shutil.rmtree(index_root, ignore_errors=True)
+    return build_index(BENCH_INPUT, index_root)
+
+
+def _query_bench(index_root: str, reps: int = 5):
+    import numpy as np
+
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(index_root, preload=True)
+    results = {}
+    for q in REFERENCE_QUERIES:  # warm + capture results for identity hash
+        results[q] = eng.search(q, 10, mode="and")
+    lat = []
+    for _ in range(reps):
+        for q in REFERENCE_QUERIES:
+            t0 = time.perf_counter()
+            eng.search(q, 10, mode="and")
+            lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    digest = hashlib.blake2b(
+        json.dumps({q: r for q, r in sorted(results.items())}).encode(),
+        digest_size=12,
+    ).hexdigest()
+    return {
+        "p50_ms": float(np.percentile(lat, 50) * 1e3),
+        "p95_ms": float(np.percentile(lat, 95) * 1e3),
+        "qps": float(len(lat) / lat.sum()),
+        "result_hash": digest,
+    }
+
+
+def _operator_suite(sf_dir: str) -> dict:
+    import __ray_entry__ as em
+
+    q = em.queries()
+    times = {}
+    for name in ["lineitem_agg", "term_df", "dedup_exact", "ann_topk", "events_window"]:
+        t0 = time.perf_counter()
+        out = q[name](sf_dir)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_bench(index_only: bool = False) -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _gen_input()
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    _quiet()
+    # warm the worker pool + OS page cache before timing (BASELINE.md §3:
+    # measure compute + shuffle, not process spawn / first disk read)
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+    rd.read_parquet(BENCH_INPUT, columns=["url"]).count()
+    index_root = f"/tmp/limetrans_bench/index_{num_cpus}"
+    t0 = time.perf_counter()
+    stats = _build(index_root)
+    build_s = time.perf_counter() - t0
+    out = {
+        "queries": {"index_build": round(build_s, 2)},
+        "num_cpus": num_cpus,
+        "n_docs": stats["n_docs"],
+        "docs_per_s": round(stats["n_docs"] / build_s, 1),
+        "stage_seconds": {k: round(v, 2) for k, v in stats["metrics"].items()},
+    }
+    t0 = time.perf_counter()
+    qb = _query_bench(index_root)
+    out["queries"]["bm25_queries"] = round(time.perf_counter() - t0, 2)
+    out.update(
+        {"p50_query_ms": round(qb["p50_ms"], 3), "p95_query_ms": round(qb["p95_ms"], 3),
+         "qps": round(qb["qps"], 1), "result_hash": qb["result_hash"]}
+    )
+    if not index_only:
+        out["queries"].update(_operator_suite(sf_dir))
+        out["sf"] = sf_dir
+    out["value"] = round(sum(out["queries"].values()), 2)
+    out["metric"] = (
+        "webtext index build + BM25 p95 + operator suite wall seconds "
+        f"({BENCH_ROWS} pages)"
+    )
+    out["unit"] = "sec"
+    ray.shutdown()
+    return out
+
+
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "1600000"))
+SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+
+
+def _hardware_ceiling() -> dict:
+    """Calibrate this machine's own 8→32-process scaling: N identical
+    pure-CPU subprocesses (hashing loops — no Ray, no memory-bandwidth
+    pressure, no shared state). On shared/frequency-throttled vCPUs the
+    throughput ratio is well below 4×; that ratio is the ceiling ANY
+    8-vs-32 measurement on this box can reach, so the scaling criterion
+    is reported both raw and normalized by it. (On a real N- vs 4N-node
+    cluster the nodes do not share silicon and this ceiling is ~1.)"""
+    code = (
+        "import hashlib,time\n"
+        "t0=time.time()\n"
+        "h=b'x'*1024\n"
+        "for i in range(1500000): h=hashlib.blake2b(h,digest_size=64).digest()*16\n"
+        "print(time.time()-t0)\n"
+    )
+
+    def run_n(n: int) -> float:
+        t0 = time.time()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        for p in procs:
+            p.communicate()
+        return time.time() - t0
+
+    w8 = min(run_n(8) for _ in range(2))
+    w32 = min(run_n(32) for _ in range(2))
+    ratio = (32 / w32) / (8 / w8)  # throughput ratio, ideal = 4
+    return {"tput_ratio_8_to_32": round(ratio, 3), "ceiling_efficiency": round(ratio / 4, 3)}
+
+
+def run_scaling() -> dict:
+    """8 vs 32 CPUs on the same input in fresh processes, best of
+    ``SCALING_REPS`` per level (BASELINE.md protocol: tier sized so the
+    8-CPU run takes ≳60 s; hardware ceiling calibrated separately)."""
+    best: dict[int, dict] = {}
+    for rep in range(SCALING_REPS):
+        for ncpu in (8, 32):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_INDEX_ONLY="1",
+                GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            if ncpu not in best or r["docs_per_s"] > best[ncpu]["docs_per_s"]:
+                best[ncpu] = r
+    hw = _hardware_ceiling()
+    tput8, tput32 = best[8]["docs_per_s"], best[32]["docs_per_s"]
+    eff = (tput32 / tput8) / (32 / 8)
+    return {
+        "metric": "index-build scaling efficiency, 8 vs 32 CPUs (N vs 4N stand-in)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_s_8": tput8,
+        "docs_per_s_32": tput32,
+        "sec_8": best[8]["queries"]["index_build"],
+        "sec_32": best[32]["queries"]["index_build"],
+        "speedup": round(tput32 / tput8, 2),
+        "hardware_ceiling": hw,
+        "efficiency_normalized": round(min(1.0, eff / hw["ceiling_efficiency"]), 3),
+        "result_identity": best[8]["result_hash"] == best[32]["result_hash"],
+        "result_hash": best[32]["result_hash"],
+        "scaling_rows": SCALING_ROWS,
+        "queries": {
+            "index_build_8cpu": best[8]["queries"]["index_build"],
+            "index_build_32cpu": best[32]["queries"]["index_build"],
+        },
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(index_only=bool(os.environ.get("GRAFT_BENCH_INDEX_ONLY")))))

@@ -27,20 +27,34 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (int64, vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nbytes
+
+
+def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array in one vectorized pass.
+
+    Returns ``(buf, offsets)`` where ``offsets`` has n+1 entries and
+    value i occupies ``buf[offsets[i]:offsets[i+1]]`` — slicing the
+    buffer at value boundaries yields valid standalone varint streams,
+    which is how per-cell / per-block encodings are produced without a
+    Python-level encode call per cell (the per-call numpy overhead
+    dominates otherwise; see BENCH notes).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
-    # bytes needed per value: 1 + count of k in 1..9 with v >= 2**(7k)
-    nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    starts = ends - nbytes
-    out = np.empty(total, dtype=np.uint8)
+        return b"", np.zeros(1, dtype=np.int64)
+    nbytes = varint_lengths(v)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
     for k in range(10):
         mask = nbytes > k
         if not mask.any():
@@ -48,7 +62,37 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    return varint_encode_all(values)[0]
+
+
+def segmented_delta_encode(ids: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Deltas of int64 ids with a reset at every segment start (the
+    start value is stored absolute) — one vectorized pass for all
+    cells of a batch/shard."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    deltas = np.empty(len(ids), dtype=np.uint64)
+    if len(ids):
+        deltas[0] = np.uint64(ids[0])
+        deltas[1:] = np.diff(ids).astype(np.uint64)
+        deltas[seg_starts] = ids[seg_starts].astype(np.uint64)
+    return deltas
+
+
+def segmented_delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`segmented_delta_encode` (vectorized segmented
+    cumsum: global cumsum minus the running total before each segment)."""
+    d = deltas.astype(np.int64)
+    if len(d) == 0:
+        return d
+    csum = np.cumsum(d)
+    base = csum[seg_starts] - d[seg_starts]
+    counts = np.diff(np.append(seg_starts, len(d)))
+    return csum - np.repeat(base, counts)
 
 
 def varint_decode(buf: bytes | memoryview, offset: int = 0, end: int | None = None) -> np.ndarray:

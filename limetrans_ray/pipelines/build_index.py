@@ -5,33 +5,41 @@ The analogue of the reference's production run (``hbz.limetrans.Main`` →
 Limetrans.java:431-501) with the Elasticsearch sink replaced by our own
 SPIMI posting-list builder (SURVEY.md §7):
 
-    read_parquet (webtext)                                 [pruned columns]
-      → map_batches(ExtractNormalizeStage)                 [drop html early]
-      → groupby(part).map_groups(dedup+rank+tokenize)      [shuffle #1]
-      → write fwd/ parquet                                 [stage checkpoint]
-    read fwd → per-partition counts → dense doc_id offsets [tiny aggregate]
-      → write docs/ parquet + stats.json
-    read fwd → map_batches(InvertStage)                    [SPIMI partials]
-      → groupby(term, bucket).map_groups(MergeEncodeGroup) [shuffle #2]
+    read_parquet (url, warc_ts only)  → KeyStage            [~2% of bytes]
+      → dedup winners + dense doc ids (key-only exchange)   [shuffle #1*]
+    read_parquet (full columns)
+      → map_batches(ExtractTokenizeStage)                   [shuffle-free]
+      → write fwd/ parquet                                  [checkpoint]
+    fwd → corpus stats (n_docs, avgdl) + docs/ parquet
+    fwd → map_batches(InvertStage)                          [SPIMI partials]
+      → groupby(term, bucket).map_groups(MergeEncodeGroup)  [shuffle #2]
       → write segments/ parquet
-    read segments meta → groupby(term) Sum(df/cf)          [term_stats]
-    publish: manifests + atomic CURRENT pointer flip       [alias switch]
+    segments meta → term_stats (df/cf per term)
+    publish: manifests + atomic CURRENT pointer flip        [alias switch]
+
+(*) The dedup/rank exchange intentionally moves ONLY the key columns —
+canonical-url hash, timestamp, url hash (~40 B/row) — never document
+text, then broadcasts the winner table into the single heavy pass. An
+earlier design that co-partitioned full rows by hash spent most of its
+wall time sorting text through the object store; keying the exchange on
+2% of the bytes removed that bottleneck (see BENCH notes).
 
 Every stage records a manifest (input fingerprint + per-partition
 lineage + metrics) and a done marker; re-running ``build_index`` on the
 same input resumes after the last completed stage. The build is
-parallelism-invariant: doc ids derive from (hash(canonical_url), url)
+parallelism-invariant: doc ids derive from (hash(canonical_url), canon)
 order, chunk boundaries from data-dependent bucket widths — never from
-task/batch boundaries — so two builds at different CPU counts produce
-logically identical indexes (tests/test_determinism.py).
+task/batch boundaries — so builds at different CPU counts produce
+logically identical indexes (tests/test_determinism.py, bench --scaling
+result-identity check).
 
-Scale notes (100 TB / 10^12 docs): ``part_bits`` bounds the dedup/rank
-group size — raise it so one group (≈N/2^part_bits docs) fits a worker;
-``bucket_width`` bounds the largest posting-merge group (hot-term skew:
-a stop-word-scale term becomes one chunk per bucket instead of one
-giant ``groupby`` value — the salted-key design of SURVEY.md §4);
-``fwd/`` on disk is the classic SPIMI spill and what makes the build
-resumable without re-tokenizing.
+Scale notes (100 TB / 10^12 docs): ``bucket_width`` bounds the largest
+posting-merge group (hot-term skew); metadata aggregates switch from
+driver-side pandas to distributed groupbys past ``SMALL_AGG_BYTES``;
+the winner broadcast becomes a doc_key-bucketed hash join once the key
+table outgrows one machine (documented in stages/indexing.py); ``fwd/``
+on disk is the classic SPIMI spill and what makes the build resumable
+without re-tokenizing.
 """
 
 from __future__ import annotations
@@ -44,31 +52,39 @@ from collections import Counter
 from dataclasses import asdict, dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
 from ..functions.analyzer import tokenize_index
 from ..stages.indexing import (
-    AssignDocIdStage,
-    ExtractNormalizeStage,
+    ExtractTokenizeStage,
     InvertStage,
-    MergeEncodeGroup,
-    dedup_rank_tokenize_group,
+    KeyStage,
+    MergeShardGroup,
+    compute_winners,
 )
 from ..state import manifest as mf
 
 
 @dataclass
 class IndexBuildConfig:
-    part_bits: int = 6              # 2^part_bits dedup/doc-id hash partitions
-    n_term_shards: int = 16         # segment layout fan-out (term-hash dirs)
+    n_term_shards: int = 256        # term-hash merge groups (also the segment
+                                    # layout fan-out): bounds merge parallelism
     block_size: int = codec.BLOCK_SIZE
     bucket_width: int | None = None  # posting-chunk doc-range; None → from corpus size
     batch_size: int = 2048          # rows per extract/tokenize batch
+    invert_batch_size: int = 16384  # rows per SPIMI invert batch: large enough
+                                    # to amortize per-(term,bucket) cell
+                                    # overhead (doc ids are hash-ordered, every
+                                    # batch spans most buckets), small enough
+                                    # for task balance and cache-sized sorts
+                                    # (measured sweet spot; see BASELINE.md)
     retain: int = 2                 # previous builds kept after publish
 
     def resolved_bucket_width(self, max_doc: int) -> int:
@@ -82,6 +98,30 @@ class IndexBuildConfig:
 def _clean_dir(path: str) -> None:
     if os.path.isdir(path):
         shutil.rmtree(path)
+
+
+# Metadata aggregates far below this size run single-threaded on the
+# driver: a distributed all-to-all barrier costs seconds of fixed
+# overhead and buys nothing for kilobytes of input. Above it, the same
+# aggregation runs as a Ray groupby (the 100 TB path).
+SMALL_AGG_BYTES = 512 << 20
+
+
+def _dir_bytes(directory: str) -> int:
+    size = 0
+    for root, _dirs, fs in os.walk(directory):
+        size += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+    return size
+
+
+def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):
+    """Run a metadata aggregation on the driver (pandas) when the pruned
+    input columns are small, else distributed (Ray groupby). Returns a
+    pandas DataFrame or a Ray Dataset respectively."""
+    if _dir_bytes(directory) <= SMALL_AGG_BYTES:
+        tbl = pq.read_table(directory, columns=columns)
+        return pandas_fn(tbl.to_pandas())
+    return ray_fn(rd.read_parquet(directory, columns=columns))
 
 
 def build_index(
@@ -115,18 +155,35 @@ def build_index(
     os.makedirs(bdir, exist_ok=True)
     metrics: dict[str, float] = {}
 
-    # ---- stage 1: extract → normalize → dedup → rank → tokenize → fwd/
+    # ---- stage 1: key-only dedup/rank → winners; extract+tokenize → fwd/
     fwd_dir = os.path.join(bdir, "fwd")
     if not mf.stage_done(bdir, "fwd", fp):
         t0 = time.perf_counter()
+        keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
+            KeyStage(), batch_format="pyarrow", batch_size=65536
+        )
+        keys_tbl = pa.concat_tables(
+            [ray.get(ref) for ref in keys_ds.to_arrow_refs()]
+        )
+        n_input = keys_tbl.num_rows
+        if n_input == 0 or "doc_key" not in keys_tbl.schema.names:
+            raise ValueError(
+                "refusing to build an index over zero documents "
+                "(the reference skips the alias switch on zero docs, "
+                "ElasticsearchClient.java:284-295)"
+            )
+        winners = compute_winners(keys_tbl)
+        del keys_tbl
+        metrics["dedup_keys_s"] = time.perf_counter() - t0
+        winners_ref = ray.put(winners)
+        n_docs_expected = len(winners["doc_id"])
+
+        t0 = time.perf_counter()
         ds = rd.read_parquet(files, columns=["url", "warc_ts", "html", "text", "lang"])
-        ds = ds.map_batches(
-            ExtractNormalizeStage(cfg.part_bits),
+        fwd = ds.map_batches(
+            ExtractTokenizeStage(winners_ref),
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-        )
-        fwd = ds.groupby("part").map_groups(
-            dedup_rank_tokenize_group, batch_format="pyarrow"
         )
         _clean_dir(fwd_dir)
         fwd.write_parquet(fwd_dir)
@@ -135,11 +192,18 @@ def build_index(
             bdir,
             "fwd",
             input_fingerprint=fp,
+            rows_out=n_docs_expected,
             partitions=mf.partition_lineage(fwd_dir),
-            metrics={"seconds": metrics["fwd_s"], "input_files": len(files)},
+            metrics={
+                "seconds": metrics["fwd_s"],
+                "dedup_keys_seconds": metrics["dedup_keys_s"],
+                "input_files": len(files),
+                "input_rows": n_input,
+                "duplicates_dropped": n_input - n_docs_expected,
+            },
         )
 
-    stats = _finish_from_fwd(index_root, build_id, fp, cfg, publish, dense_ids=True)
+    stats = _finish_from_fwd(index_root, build_id, fp, cfg, publish)
     stats.setdefault("metrics", {}).update(metrics)
     return stats
 
@@ -180,13 +244,12 @@ def build_index_from_documents(
                 terms_col.append([k for k, _ in items])
                 tfs_col.append([v for _, v in items])
                 doclens[i] = sum(cnt.values())
+            sid = [str(i) for i in ids]
             return pa.table(
                 {
-                    # provided ids ARE the doc ids: one part, rank = id
-                    "part": pa.array(np.zeros(len(texts), dtype=np.int32)),
-                    "local_rank": pa.array(ids),
-                    "url": pa.array([str(i) for i in ids], pa.string()),
-                    "canon": pa.array([str(i) for i in ids], pa.string()),
+                    "doc_id": pa.array(ids),
+                    "url": pa.array(sid, pa.string()),
+                    "canon": pa.array(sid, pa.string()),
                     "lang": pa.array([""] * len(texts), pa.string()),
                     "doclen": pa.array(doclens),
                     "terms": pa.array(terms_col, pa.list_(pa.string())),
@@ -205,7 +268,7 @@ def build_index_from_documents(
             metrics={"seconds": time.perf_counter() - t0},
         )
 
-    return _finish_from_fwd(index_root, build_id, fp, cfg, publish, dense_ids=False)
+    return _finish_from_fwd(index_root, build_id, fp, cfg, publish)
 
 
 def _finish_from_fwd(
@@ -214,8 +277,6 @@ def _finish_from_fwd(
     fp: str,
     cfg: IndexBuildConfig,
     publish: bool,
-    *,
-    dense_ids: bool,
 ) -> dict:
     """Stages 2-4 over an existing fwd/ checkpoint (see module doc)."""
     bdir = mf.build_dir(index_root, build_id)
@@ -224,7 +285,7 @@ def _finish_from_fwd(
     stats_path = os.path.join(bdir, "stats.json")
     metrics: dict[str, float] = {}
 
-    # ---- stage 2: doc-id offsets + docs/ + stats.json
+    # ---- stage 2: corpus stats + docs/ projection
     if not mf.stage_done(bdir, "docs", fp):
         t0 = time.perf_counter()
         # an empty input writes no fwd files at all — refuse cleanly, like
@@ -237,47 +298,49 @@ def _finish_from_fwd(
                 "(the reference skips the alias switch on zero docs, "
                 "ElasticsearchClient.java:284-295)"
             )
-        meta = rd.read_parquet(fwd_dir, columns=["part", "local_rank", "doclen"])
-        agg = meta.groupby("part").aggregate(
-            Count(alias_name="n"),
-            Sum("doclen", alias_name="terms"),
-            Max("local_rank", alias_name="max_rank"),
+        def _ray_corpus_stats(meta):  # pragma: no cover — >SMALL_AGG_BYTES path
+            agg = meta.aggregate(
+                Sum("doclen", alias_name="terms"), Max("doc_id", alias_name="max_doc")
+            )
+            return pd.DataFrame(
+                {"n": [meta.count()], "terms": [agg["terms"]], "max_doc": [agg["max_doc"]]}
+            )
+
+        pdf = _small_groupby(
+            fwd_dir,
+            ["doc_id", "doclen"],
+            lambda df: pd.DataFrame(
+                {
+                    "n": [len(df)],
+                    "terms": [df["doclen"].sum()],
+                    "max_doc": [df["doc_id"].max()],
+                }
+            ),
+            _ray_corpus_stats,
         )
-        pdf = agg.to_pandas().sort_values("part")
-        n_parts = 1 << cfg.part_bits
-        counts = np.zeros(n_parts, dtype=np.int64)
-        counts[pdf["part"].to_numpy()] = pdf["n"].to_numpy()
-        n_docs = int(counts.sum())
-        total_terms = int(pdf["terms"].sum())
+        n_docs = int(pdf["n"].iloc[0])
+        total_terms = int(pdf["terms"].iloc[0])
+        max_doc = int(pdf["max_doc"].iloc[0])
         if n_docs == 0:
-            raise ValueError(
-                "refusing to build an index over zero documents "
-                "(the reference skips the alias switch on zero docs, "
-                "ElasticsearchClient.java:284-295)"
-            )
-        if dense_ids:
-            offsets = np.zeros(n_parts, dtype=np.int64)
-            offsets[1:] = np.cumsum(counts)[:-1]
-            max_doc = n_docs - 1
-        else:
-            offsets = np.zeros(n_parts, dtype=np.int64)
-            max_doc = int(pdf["max_rank"].max())
-        offsets_ref = ray.put(offsets)
-        docs = (
-            rd.read_parquet(
-                fwd_dir, columns=["part", "local_rank", "url", "canon", "lang", "doclen"]
-            )
-            .map_batches(AssignDocIdStage(offsets_ref), batch_format="pyarrow", batch_size=65536)
-            .select_columns(["doc_id", "url", "canon", "lang", "doclen"])
-        )
+            raise ValueError("refusing to build an index over zero documents")
+        # docs/ = metadata projection of fwd. Small corpora: one direct
+        # columnar copy on the driver (a distributed pass costs more in
+        # fixed overhead than it moves in bytes); large: Ray projection.
+        doc_cols = ["doc_id", "url", "canon", "lang", "doclen"]
         _clean_dir(docs_dir)
-        docs.write_parquet(docs_dir)
+        if _dir_bytes(fwd_dir) <= SMALL_AGG_BYTES:
+            os.makedirs(docs_dir, exist_ok=True)
+            pq.write_table(
+                pq.read_table(fwd_dir, columns=doc_cols),
+                os.path.join(docs_dir, "docs.parquet"),
+            )
+        else:  # pragma: no cover — >SMALL_AGG_BYTES path
+            rd.read_parquet(fwd_dir, columns=doc_cols).write_parquet(docs_dir)
         stats = {
             "n_docs": n_docs,
             "max_doc": max_doc,
             "total_terms": total_terms,
             "avgdl": total_terms / n_docs,
-            "part_offsets": offsets.tolist(),
             "bucket_width": cfg.resolved_bucket_width(max_doc),
             "analyzer_version": ANALYZER_VERSION,
             "format_version": FORMAT_VERSION,
@@ -306,27 +369,27 @@ def _finish_from_fwd(
     seg_dir = os.path.join(bdir, "segments")
     if not mf.stage_done(bdir, "segments", fp):
         t0 = time.perf_counter()
-        offsets_ref = ray.put(np.asarray(stats["part_offsets"], dtype=np.int64))
-        dl_tbl = rd.read_parquet(docs_dir, columns=["doc_id", "doclen"]).to_pandas()
+        # doclen array for block-max impacts: a direct columnar read (8B/doc;
+        # at 10^12 docs this broadcast becomes per-doc-range shards colocated
+        # with the merge tasks — the bucket layout already partitions it)
+        dl_tbl = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
         doclens = np.zeros(stats["max_doc"] + 1, dtype=np.int64)
-        doclens[dl_tbl["doc_id"].to_numpy()] = dl_tbl["doclen"].to_numpy()
+        doclens[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column("doclen").to_numpy()
         doclens_ref = ray.put(doclens)
         partials = rd.read_parquet(
-            fwd_dir, columns=["part", "local_rank", "terms", "tfs"]
+            fwd_dir, columns=["doc_id", "terms", "tfs"]
         ).map_batches(
-            InvertStage(offsets_ref, stats["bucket_width"]),
+            InvertStage(stats["bucket_width"], cfg.n_term_shards),
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=cfg.invert_batch_size,
         )
-        merger = MergeEncodeGroup(
-            doclens_ref, stats["avgdl"], cfg.n_term_shards, cfg.block_size
-        )
+        merger = MergeShardGroup(doclens_ref, stats["avgdl"], cfg.block_size)
 
-        def merge_encode_group(group: pa.Table) -> pa.Table:
+        def merge_shard_group(group: pa.Table) -> pa.Table:
             return merger(group)
 
-        segs = partials.groupby(["term", "bucket"]).map_groups(
-            merge_encode_group, batch_format="pyarrow"
+        segs = partials.groupby("shard").map_groups(
+            merge_shard_group, batch_format="pyarrow"
         )
         _clean_dir(seg_dir)
         segs.write_parquet(seg_dir)
@@ -343,13 +406,25 @@ def _finish_from_fwd(
     ts_dir = os.path.join(bdir, "term_stats")
     if not mf.stage_done(bdir, "term_stats", fp):
         t0 = time.perf_counter()
-        ts = (
-            rd.read_parquet(seg_dir, columns=["term", "df", "cf"])
-            .groupby("term")
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+        ts_pdf = _small_groupby(
+            seg_dir,
+            ["term", "df", "cf"],
+            lambda df: df.groupby("term", as_index=False).agg(
+                df=("df", "sum"), cf=("cf", "sum")
+            ),
+            lambda seg: seg.groupby("term").aggregate(
+                Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+            ),
         )
         _clean_dir(ts_dir)
-        ts.write_parquet(ts_dir)
+        if isinstance(ts_pdf, pd.DataFrame):
+            os.makedirs(ts_dir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(ts_pdf, preserve_index=False),
+                os.path.join(ts_dir, "term_stats.parquet"),
+            )
+        else:
+            ts_pdf.write_parquet(ts_dir)
         metrics["term_stats_s"] = time.perf_counter() - t0
         mf.write_stage_manifest(
             bdir,

@@ -5,6 +5,14 @@ Each class follows the reference's state-loaded-once pattern
 reference main/src/main/java/hbz/limetrans/Limetrans.java:335-366): all
 setup (regex compile, broadcast ``ray.get``) happens in ``__init__`` /
 first call, per-batch work is vectorized.
+
+Shuffle design (SURVEY.md §4 / §7.3): the dedup + doc-id assignment
+exchange moves ONLY keys — ``(canon, doc_key, warc_ts, url_hash)``,
+~40 bytes/row — never the document text. The winner/rank table is then
+broadcast and the heavy extract+tokenize pass is shuffle-free
+map_batches. The posting merge keys on ``(term, bucket)`` where
+``bucket = doc_id // bucket_width`` bounds hot-term group sizes (the
+salted-key treatment for stop-word-scale skew).
 """
 
 from __future__ import annotations
@@ -14,7 +22,6 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from ..functions.analyzer import tokenize_index
@@ -25,185 +32,256 @@ from ..functions import codec
 from ..state import bm25
 
 
-class ExtractNormalizeStage:
-    """html→text extraction + url canonicalization + language tagging.
-
-    The per-record transform analogue (Metafix normalization, SURVEY.md
-    §2.3): populates ``text`` (byte-identical to ``extract_text`` for
-    rows without pre-supplied text), ``canon`` (dedup key), fills empty
-    ``lang`` via :func:`detect_language`, computes the 64-bit ``doc_key``
-    and its hash partition, and drops the heavy ``html`` column
-    immediately (SURVEY.md §7.4 "very wide records").
-    """
-
-    def __init__(self, part_bits: int = 6):
-        self.part_shift = np.uint64(64 - part_bits)
+class KeyStage:
+    """(url, warc_ts) → dedup-key rows. Reads only two tiny columns of
+    the input (prune-at-the-read); the downstream dedup/rank exchange
+    therefore moves ~2% of the corpus bytes."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        htmls = batch.column("html")
-        out_text: list[str] = []
-        out_lang: list[str] = []
-        canons: list[str] = []
-        for i, (u, t, lg) in enumerate(zip(urls, texts, langs)):
-            if not t:
-                t = extract_text(htmls[i].as_py())
-            else:
-                t = unicodedata.normalize("NFC", t)
-            out_text.append(t)
-            out_lang.append(lg if lg else detect_language(t))
-            canons.append(canonical_url(u))
         doc_key = np.fromiter(
-            (stable_hash64(c) for c in canons), dtype=np.uint64, count=len(canons)
+            (stable_hash64(canonical_url(u)) for u in urls),
+            dtype=np.uint64,
+            count=len(urls),
         )
-        part = (doc_key >> self.part_shift).astype(np.int32)
+        url_hash = np.fromiter(
+            (stable_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)
+        )
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "canon": pa.array(canons, pa.string()),
-                "warc_ts": batch.column("warc_ts"),
-                "text": pa.array(out_text, pa.string()),
-                "lang": pa.array(out_lang, pa.string()),
                 "doc_key": pa.array(doc_key, pa.uint64()),
-                "part": pa.array(part, pa.int32()),
+                "warc_ts": batch.column("warc_ts"),
+                "url_hash": pa.array(url_hash, pa.uint64()),
             }
         )
 
 
-def dedup_rank_tokenize_group(group: pa.Table) -> pa.Table:
-    """Per hash-partition group: exact dedup on ``canon`` (representative
-    = min (warc_ts, url), the deterministic keep-first — SURVEY.md §2.9),
-    canonical ordering by (doc_key, canon) → ``local_rank``, then
-    tokenize once producing the forward index (terms, tfs, doclen).
+def compute_winners(keys: pa.Table) -> dict[str, np.ndarray]:
+    """Driver-side dedup + rank over the key table (pure numpy sorts —
+    no Python-object comparisons in the hot path).
 
-    Runs as ``groupby("part").map_groups``; the result is
-    parallelism-invariant because ordering depends only on data.
+    Dedup is keyed on ``doc_key`` = 64-bit hash of the canonical url
+    (collision odds ≈ n²/2^65 — two distinct canonical urls colliding
+    would merge as duplicates; documented accepted risk, mirrored by the
+    test oracle). Winner per key = min (warc_ts, url_hash); doc ids are
+    the dense ranks of the distinct keys in ascending doc_key order —
+    parallelism-invariant because the ordering depends only on data
+    (SURVEY.md §7.4). Returns parallel arrays sorted by doc_key.
+
+    Scale note: at 10^12 docs this table no longer fits one machine; the
+    same computation distributes as a key-only ``groupby(doc_key >>
+    shift).map_groups`` with per-partition offsets (partition counts →
+    driver cumsum), and the winner lookup becomes a doc_key-bucketed
+    hash join instead of a broadcast. The sandbox path keeps the
+    single-array layout because the whole table is ~32 B/doc.
     """
-    order = pc.sort_indices(
-        group,
-        sort_keys=[("canon", "ascending"), ("warc_ts", "ascending"), ("url", "ascending")],
-    )
-    g = group.take(order)
-    canon = g.column("canon").to_pylist()
-    keep = np.ones(len(canon), dtype=bool)
-    for i in range(1, len(canon)):
-        if canon[i] == canon[i - 1]:
-            keep[i] = False
-    g = g.filter(pa.array(keep))
-    order2 = pc.sort_indices(
-        g, sort_keys=[("doc_key", "ascending"), ("canon", "ascending")]
-    )
-    g = g.take(order2)
+    doc_key = keys.column("doc_key").to_numpy().astype(np.uint64)
+    ts = keys.column("warc_ts").cast(pa.int64()).to_numpy()
+    url_hash = keys.column("url_hash").to_numpy().astype(np.uint64)
 
-    texts = g.column("text").to_pylist()
-    terms_col: list[list[str]] = []
-    tfs_col: list[list[int]] = []
-    doclens = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        cnt = Counter(tokenize_index(t))
-        # ascending term order inside each doc row — canonical layout
-        items = sorted(cnt.items())
-        terms_col.append([k for k, _ in items])
-        tfs_col.append([v for _, v in items])
-        doclens[i] = sum(cnt.values())
-
-    return pa.table(
-        {
-            "part": g.column("part"),
-            "local_rank": pa.array(np.arange(len(texts), dtype=np.int64)),
-            "url": g.column("url"),
-            "canon": g.column("canon"),
-            "lang": g.column("lang"),
-            "warc_ts": g.column("warc_ts"),
-            "doclen": pa.array(doclens),
-            "terms": pa.array(terms_col, pa.list_(pa.string())),
-            "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
-        }
-    )
+    # winner per doc_key: order by (doc_key, ts, url_hash), keep first
+    order = np.lexsort((url_hash, ts, doc_key))
+    key_s = doc_key[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    widx = order[first]          # already ascending in doc_key
+    n = len(widx)
+    return {
+        "doc_key": doc_key[widx],
+        "win_ts": ts[widx],
+        "win_url_hash": url_hash[widx],
+        "doc_id": np.arange(n, dtype=np.int64),
+    }
 
 
-class AssignDocIdStage:
-    """fwd row (part, local_rank) → global dense ``doc_id`` via the
-    driver-computed per-partition offsets (broadcast once via
-    ``ray.put``, fetched zero-copy from the worker's local object store
-    on first use — never shipped inside the task closure; SURVEY.md §7.4
-    parallelism-invariant doc ids)."""
+class ExtractTokenizeStage:
+    """The heavy, shuffle-free pass: html→text extraction (byte-exact,
+    NFC), language tagging, winner filtering (drop URL-variant
+    duplicates), doc-id attachment via the broadcast winner arrays
+    (binary search on doc_key), and tokenization into the forward index
+    row (doc_id, url, canon, lang, doclen, terms, tfs).
 
-    def __init__(self, offsets_ref):
-        self._ref = offsets_ref
-        self._offsets: np.ndarray | None = None
+    Winner arrays are fetched zero-copy from the local object store on
+    first use (never shipped in the task closure).
+    """
+
+    def __init__(self, winners_ref):
+        self._ref = winners_ref
+        self._w = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._offsets is None:
-            self._offsets = np.asarray(ray.get(self._ref), dtype=np.int64)
-        part = batch.column("part").to_numpy()
-        rank = batch.column("local_rank").to_numpy()
-        doc_id = self._offsets[part] + rank
-        return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
+        if self._w is None:
+            self._w = ray.get(self._ref)
+        w = self._w
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        htmls = batch.column("html")
+        ts = batch.column("warc_ts").cast(pa.int64()).to_numpy()
+
+        canons = [canonical_url(u) for u in urls]
+        doc_key = np.fromiter(
+            (stable_hash64(c) for c in canons), dtype=np.uint64, count=len(canons)
+        )
+        url_hash = np.fromiter(
+            (stable_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)
+        )
+        pos = np.searchsorted(w["doc_key"], doc_key)
+        pos = np.clip(pos, 0, len(w["doc_key"]) - 1)
+        # NOTE: duplicate doc_keys (hash collision between distinct
+        # canons) resolve to the first slot; the winner filter below
+        # then keeps exactly one row — collision odds are ~n²/2^64.
+        is_winner = (
+            (w["doc_key"][pos] == doc_key)
+            & (w["win_ts"][pos] == ts)
+            & (w["win_url_hash"][pos] == url_hash)
+        )
+        doc_ids = w["doc_id"][pos]
+
+        out_doc, out_url, out_canon, out_lang = [], [], [], []
+        terms_col, tfs_col, doclens = [], [], []
+        for i in np.flatnonzero(is_winner):
+            t = texts[i]
+            if not t:
+                t = extract_text(htmls[int(i)].as_py())
+            else:
+                t = unicodedata.normalize("NFC", t)
+            lang = langs[i] if langs[i] else detect_language(t)
+            cnt = Counter(tokenize_index(t))
+            items = sorted(cnt.items())
+            out_doc.append(int(doc_ids[i]))
+            out_url.append(urls[i])
+            out_canon.append(canons[i])
+            out_lang.append(lang)
+            terms_col.append([k for k, _ in items])
+            tfs_col.append([v for _, v in items])
+            doclens.append(sum(cnt.values()))
+
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "url": pa.array(out_url, pa.string()),
+                "canon": pa.array(out_canon, pa.string()),
+                "lang": pa.array(out_lang, pa.string()),
+                "doclen": pa.array(doclens, pa.int64()),
+                "terms": pa.array(terms_col, pa.list_(pa.string())),
+                "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+            }
+        )
 
 
 class InvertStage:
     """Forward-index batch → posting partials keyed (term, bucket).
 
-    The SPIMI partial step (SURVEY.md §7.1 M5): per batch an in-memory
-    ``(term, bucket) → [postings]`` map is built and emitted as one
-    Arrow row per key. ``bucket = doc_id // bucket_width`` makes chunk
-    doc-ranges disjoint, so the downstream ``groupby(["term","bucket"])``
-    merge is skew-bounded (a stop-word-scale term becomes one group per
-    bucket, each ≤ bucket_width postings — the salted-hot-key design of
-    SURVEY.md §4) and chunks concatenate in bucket order at query time.
+    The SPIMI partial step (SURVEY.md §7.1 M5), fully vectorized: the
+    batch's (terms, tfs) list columns are flattened once, terms are
+    dictionary-encoded, and one ``np.lexsort`` groups the flat postings
+    by (term, bucket, doc_id). Each cell is emitted delta+varint
+    ENCODED, so the posting-merge shuffle moves ~2.5 bytes/posting
+    instead of 12 (pre-aggregate + compress before the exchange —
+    SURVEY.md §4 skew/shuffle rules).
+
+    ``bucket = doc_id // bucket_width`` makes chunk doc-ranges disjoint,
+    so the downstream ``groupby(["term","bucket"])`` merge is
+    skew-bounded (a stop-word-scale term becomes one group per bucket,
+    each ≤ bucket_width postings — the salted-hot-key design) and
+    chunks concatenate in bucket order at query time. Use large batches
+    here (cfg.invert_batch_size): doc ids are hash-ordered, so every
+    batch touches most buckets and bigger batches amortize the
+    per-(term,bucket) row overhead.
     """
 
-    def __init__(self, offsets_ref, bucket_width: int):
-        self._ref = offsets_ref
-        self._offsets: np.ndarray | None = None
+    def __init__(self, bucket_width: int, n_merge_shards: int):
         self.w = int(bucket_width)
+        self.n_merge_shards = int(n_merge_shards)
+        self._shard_cache: dict[str, int] = {}
+
+    def _shards_for(self, vocab) -> np.ndarray:
+        cache = self._shard_cache
+        n = self.n_merge_shards
+        out = np.empty(len(vocab), dtype=np.int32)
+        for i, term in enumerate(vocab.to_pylist()):
+            s = cache.get(term)
+            if s is None:
+                s = stable_hash64(term) % n
+                if len(cache) < 2_000_000:
+                    cache[term] = s
+            out[i] = s
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._offsets is None:
-            self._offsets = np.asarray(ray.get(self._ref), dtype=np.int64)
-        part = batch.column("part").to_numpy()
-        rank = batch.column("local_rank").to_numpy()
-        doc_ids = self._offsets[part] + rank
-        terms = batch.column("terms")
-        tfs = batch.column("tfs")
-        acc: dict[tuple[str, int], tuple[list[int], list[int]]] = {}
-        for i in range(len(batch)):
-            did = int(doc_ids[i])
-            bucket = did // self.w
-            row_terms = terms[i].as_py()
-            row_tfs = tfs[i].as_py()
-            for t, f in zip(row_terms, row_tfs):
-                cell = acc.get((t, bucket))
-                if cell is None:
-                    acc[(t, bucket)] = ([did], [f])
-                else:
-                    cell[0].append(did)
-                    cell[1].append(f)
-        keys = list(acc.keys())
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "pdf": pa.array([], pa.int64()),
+                "ids_enc": pa.array([], pa.binary()),
+                "tfs_enc": pa.array([], pa.binary()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        doc_ids = batch.column("doc_id").to_numpy()
+        terms_arr = batch.column("terms").combine_chunks()
+        lens = pc.list_value_length(terms_arr).to_numpy()
+        flat_terms = pc.list_flatten(terms_arr)
+        flat_tfs = pc.list_flatten(batch.column("tfs").combine_chunks()).to_numpy()
+        doc_rep = np.repeat(doc_ids, lens)
+        if len(doc_rep) == 0:
+            return empty
+        dict_arr = pc.dictionary_encode(flat_terms)
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        vocab = dict_arr.dictionary
+        bucket = doc_rep // self.w
+        limit = int(bucket.max()) + 1  # per-batch key packing base
+        key = codes * limit + bucket
+        order = np.lexsort((doc_rep, key))
+        k_s, d_s, t_s = key[order], doc_rep[order], flat_tfs[order]
+        starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        ends = np.append(starts[1:], len(k_s))
+        cell_codes = k_s[starts] // limit
+        cell_terms = vocab.take(pa.array(cell_codes))
+        cell_buckets = (k_s[starts] % limit).astype(np.int64)
+        # one batched varint pass for the whole batch, sliced per cell
+        deltas = codec.segmented_delta_encode(d_s, starts)
+        ibuf, ioffs = codec.varint_encode_all(deltas)
+        tbuf, toffs = codec.varint_encode_all(t_s.astype(np.uint64))
+        ids_enc = [ibuf[ioffs[s]:ioffs[e]] for s, e in zip(starts, ends)]
+        tfs_enc = [tbuf[toffs[s]:toffs[e]] for s, e in zip(starts, ends)]
+        shards = self._shards_for(vocab)[cell_codes]
         return pa.table(
             {
-                "term": pa.array([k[0] for k in keys], pa.string()),
-                "bucket": pa.array([k[1] for k in keys], pa.int64()),
-                "doc_ids": pa.array([acc[k][0] for k in keys], pa.list_(pa.int64())),
-                "tfs": pa.array([acc[k][1] for k in keys], pa.list_(pa.int32())),
+                "shard": pa.array(shards, pa.int32()),
+                "term": cell_terms,
+                "bucket": pa.array(cell_buckets),
+                "pdf": pa.array((ends - starts).astype(np.int64)),
+                "ids_enc": pa.array(ids_enc, pa.binary()),
+                "tfs_enc": pa.array(tfs_enc, pa.binary()),
             }
         )
 
 
-class MergeEncodeGroup:
-    """Per (term, bucket) group: merge partials → sorted postings →
-    delta+varint encoded chunk with block-max metadata (SURVEY.md §7.1
-    M5/M6). Needs the doclen array + avgdl (broadcast) to precompute
-    idf-independent per-block max impacts."""
+class MergeShardGroup:
+    """Per term-hash SHARD group: merge every (term, bucket) cell's
+    partials → sorted postings → delta+varint encoded chunks with
+    block-max metadata (SURVEY.md §7.1 M5/M6), fully vectorized.
 
-    def __init__(self, doclens_ref, avgdl: float, n_term_shards: int, block_size: int):
+    Grouping by shard (not by (term, bucket)) turns ~vocab×buckets tiny
+    per-group calls into a few hundred large ones; inside, ALL partials
+    of the shard are decoded in one segmented varint pass, re-grouped by
+    (term, bucket, doc_id) with one lexsort, and re-encoded in one pass
+    — per-cell work is numpy slicing, never per-cell numpy calls.
+    Needs the doclen array + avgdl (broadcast) for the idf-independent
+    per-block max impacts.
+    """
+
+    def __init__(self, doclens_ref, avgdl: float, block_size: int):
         self._ref = doclens_ref
         self._doclens: np.ndarray | None = None
         self.avgdl = float(avgdl)
-        self.n_shards = int(n_term_shards)
         self.block_size = int(block_size)
 
     @property
@@ -214,28 +292,85 @@ class MergeEncodeGroup:
         return self._doclens
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        term = group.column("term")[0].as_py()
-        bucket = int(group.column("bucket")[0].as_py())
-        ids = np.concatenate([np.asarray(x, dtype=np.int64) for x in group.column("doc_ids").to_pylist()])
-        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in group.column("tfs").to_pylist()])
-        order = np.argsort(ids, kind="stable")
-        ids, tfs = ids[order], tfs[order]
-        impacts = bm25.impact(tfs, self.doclens[ids], self.avgdl)
-        chunk = codec.encode_chunk(ids, tfs, impacts, self.block_size)
+        import pyarrow.compute as pc
+
+        shard = int(group.column("shard")[0].as_py())
+        pdf = group.column("pdf").to_numpy()
+        seg_starts = np.zeros(len(pdf), dtype=np.int64)
+        np.cumsum(pdf[:-1], out=seg_starts[1:])
+        # decode ALL partials in two segmented passes
+        ibuf = b"".join(group.column("ids_enc").to_pylist())
+        tbuf = b"".join(group.column("tfs_enc").to_pylist())
+        deltas = codec.varint_decode(ibuf)
+        ids = codec.segmented_delta_decode(deltas, seg_starts)
+        tfs = codec.varint_decode(tbuf).astype(np.int64)
+
+        # (term, bucket) cell key per posting
+        dict_arr = pc.dictionary_encode(group.column("term").combine_chunks())
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        vocab = dict_arr.dictionary
+        buckets = group.column("bucket").to_numpy()
+        limit = int(buckets.max()) + 1
+        cell_key_per_partial = codes * limit + buckets
+        key_p = np.repeat(cell_key_per_partial, pdf)
+        order = np.lexsort((ids, key_p))
+        k_s, id_s, tf_s = key_p[order], ids[order], tfs[order]
+
+        # cell boundaries
+        cstarts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
+        cends = np.append(cstarts[1:], len(k_s))
+        ccounts = cends - cstarts
+        cell_codes = k_s[cstarts] // limit
+        cell_terms = vocab.take(pa.array(cell_codes))
+        cell_buckets = (k_s[cstarts] % limit).astype(np.int64)
+
+        # per-posting impact; block grid aligned to cell starts
+        impacts = bm25.impact(tf_s, self.doclens[id_s], self.avgdl)
+        pos_in_cell = np.arange(len(k_s)) - np.repeat(cstarts, ccounts)
+        bs = np.flatnonzero(pos_in_cell % self.block_size == 0)  # block starts
+        nblocks = (ccounts + self.block_size - 1) // self.block_size
+        block_max = np.maximum.reduceat(impacts, bs) if len(bs) else np.zeros(0)
+        block_end_idx = np.append(bs[1:], len(k_s)) - 1
+        block_last = id_s[block_end_idx] if len(bs) else np.zeros(0, dtype=np.int64)
+
+        # one batched encode; per-cell and per-block slices by byte offset
+        enc_deltas = codec.segmented_delta_encode(id_s, cstarts)
+        ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
+        tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint64))
+
+        cf = np.add.reduceat(tf_s, cstarts) if len(cstarts) else np.zeros(0, dtype=np.int64)
+        first_doc = id_s[cstarts]
+        last_doc = id_s[cends - 1]
+
+        ids_enc, tfs_enc = [], []
+        bl_col, bm_col, ibo_col, tbo_col = [], [], [], []
+        bcum = np.zeros(len(cstarts) + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=bcum[1:])
+        for c in range(len(cstarts)):
+            s, e = cstarts[c], cends[c]
+            ids_enc.append(ibuf2[ioffs[s]:ioffs[e]])
+            tfs_enc.append(tbuf2[toffs[s]:toffs[e]])
+            blo, bhi = bcum[c], bcum[c + 1]
+            bl_col.append(block_last[blo:bhi].tolist())
+            bm_col.append(block_max[blo:bhi].tolist())
+            cell_bs = bs[blo:bhi]
+            ibo_col.append((ioffs[cell_bs] - ioffs[s]).tolist())
+            tbo_col.append((toffs[cell_bs] - toffs[s]).tolist())
+
         return pa.table(
             {
-                "term": pa.array([term], pa.string()),
-                "bucket": pa.array([bucket], pa.int64()),
-                "shard": pa.array([stable_hash64(term) % self.n_shards], pa.int32()),
-                "df": pa.array([chunk["df"]], pa.int64()),
-                "cf": pa.array([chunk["cf"]], pa.int64()),
-                "first_doc": pa.array([chunk["first_doc"]], pa.int64()),
-                "last_doc": pa.array([chunk["last_doc"]], pa.int64()),
-                "ids_enc": pa.array([chunk["ids_enc"]], pa.binary()),
-                "tfs_enc": pa.array([chunk["tfs_enc"]], pa.binary()),
-                "block_last": pa.array([chunk["block_last"].tolist()], pa.list_(pa.int64())),
-                "block_max": pa.array([chunk["block_max"].tolist()], pa.list_(pa.float64())),
-                "ids_boff": pa.array([chunk["ids_boff"].tolist()], pa.list_(pa.int64())),
-                "tfs_boff": pa.array([chunk["tfs_boff"].tolist()], pa.list_(pa.int64())),
+                "term": cell_terms,
+                "bucket": pa.array(cell_buckets),
+                "shard": pa.array(np.full(len(cstarts), shard, dtype=np.int32)),
+                "df": pa.array(ccounts.astype(np.int64)),
+                "cf": pa.array(cf.astype(np.int64)),
+                "first_doc": pa.array(first_doc.astype(np.int64)),
+                "last_doc": pa.array(last_doc.astype(np.int64)),
+                "ids_enc": pa.array(ids_enc, pa.binary()),
+                "tfs_enc": pa.array(tfs_enc, pa.binary()),
+                "block_last": pa.array(bl_col, pa.list_(pa.int64())),
+                "block_max": pa.array(bm_col, pa.list_(pa.float64())),
+                "ids_boff": pa.array(ibo_col, pa.list_(pa.int64())),
+                "tfs_boff": pa.array(tbo_col, pa.list_(pa.int64())),
             }
         )
