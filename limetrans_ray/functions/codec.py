@@ -102,6 +102,10 @@ def varint_decode(buf: bytes | memoryview, offset: int = 0, end: int | None = No
         b = b[offset : end if end is not None else len(b)]
     if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        # fast path: every value fits one byte (typical for dense-term
+        # gaps and tfs) — the stream IS the value array
+        return b.astype(np.uint64)
     is_end = (b & 0x80) == 0
     # value index for each byte: number of terminators strictly before it
     vidx = np.zeros(len(b), dtype=np.int64)

@@ -83,6 +83,13 @@ class SearchEngine:
         self._seg_dir = os.path.join(self.bdir, "segments")
         self._segments: pa.Table | None = None
         self._term_rows: dict[str, list[int]] | None = None
+        # warmed-serving caches (the ES filesystem/query-cache analogue):
+        # parsed chunk metadata per term, and decoded postings per term
+        # bounded by a postings budget (LRU).
+        self._chunk_cache: dict[str, list[_Chunk]] = {}
+        self._decoded_cache: "dict[str, list[tuple[np.ndarray, np.ndarray]]]" = {}
+        self._decoded_postings = 0
+        self._decoded_budget = 20_000_000  # ≈320 MB of id+tf arrays
         if preload:
             self._preload_segments()
 
@@ -97,6 +104,9 @@ class SearchEngine:
         self._term_rows = rows
 
     def _chunks(self, term: str) -> list[_Chunk]:
+        cached = self._chunk_cache.get(term)
+        if cached is not None:
+            return cached
         if self._segments is not None:
             idxs = self._term_rows.get(term, [])
             rows = [self._segments.slice(i, 1) for i in idxs]
@@ -119,11 +129,28 @@ class SearchEngine:
             for r in rows
         ]
         chunks.sort(key=lambda c: c.first_doc)
+        self._chunk_cache[term] = chunks
         return chunks
+
+    def _decoded(self, term: str) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Decoded (ids, tfs) per chunk, LRU-cached under a postings
+        budget — repeat queries on hot terms skip the varint decode."""
+        cached = self._decoded_cache.get(term)
+        if cached is not None:
+            return cached
+        parts = [codec.decode_chunk(c.ids_enc, c.tfs_enc) for c in self._chunks(term)]
+        n = sum(len(p[0]) for p in parts)
+        if n and self._decoded_postings + n > self._decoded_budget:
+            while self._decoded_cache and self._decoded_postings + n > self._decoded_budget:
+                _k, v = self._decoded_cache.popitem()
+                self._decoded_postings -= sum(len(x[0]) for x in v)
+        self._decoded_cache[term] = parts
+        self._decoded_postings += n
+        return parts
 
     def _postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Full decoded postings of ``term`` (concatenated chunks)."""
-        parts = [codec.decode_chunk(c.ids_enc, c.tfs_enc) for c in self._chunks(term)]
+        parts = self._decoded(term)
         if not parts:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         return (
@@ -184,10 +211,13 @@ class SearchEngine:
         if not terms:
             return []
         w = int(self.stats["bucket_width"])
-        term_chunks: dict[str, dict[int, _Chunk]] = {}
+        bsz = int(self.stats.get("config", {}).get("block_size", codec.BLOCK_SIZE))
+        term_chunks: dict[str, dict[int, tuple[int, _Chunk]]] = {}
         buckets: set[int] = set()
         for t in terms:
-            by_bucket = {c.first_doc // w: c for c in self._chunks(t)}
+            by_bucket = {
+                c.first_doc // w: (ci, c) for ci, c in enumerate(self._chunks(t))
+            }
             term_chunks[t] = by_bucket
             buckets.update(by_bucket)
         if not buckets:
@@ -197,7 +227,7 @@ class SearchEngine:
         ub = np.zeros(len(blist), dtype=np.float64)
         bpos = {b: i for i, b in enumerate(blist)}
         for t in terms:
-            for b, c in term_chunks[t].items():
+            for b, (_ci, c) in term_chunks[t].items():
                 ub[bpos[b]] += idfs[t] * float(c.block_max.max())
         # process buckets in (ub desc, bucket asc) order
         order = np.lexsort((np.asarray(blist), -ub))
@@ -212,9 +242,10 @@ class SearchEngine:
             gmasks = [np.zeros(w, dtype=bool) for _ in groups]
             hit_any = [False] * len(groups)
             for t in terms:  # ascending term order
-                c = term_chunks[t].get(b)
-                if c is None:
+                entry = term_chunks[t].get(b)
+                if entry is None:
                     continue
+                ci, c = entry
                 # block-level refinement: decode only blocks whose own
                 # bound + other terms' bucket bound can still beat θ
                 other_ub = ub[bpos[b]] - idfs[t] * float(c.block_max.max())
@@ -223,14 +254,19 @@ class SearchEngine:
                     if len(results) >= k else np.arange(nblocks)
                 if len(want) == 0:
                     continue
-                # decode contiguous runs of wanted blocks
+                cached = self._decoded_cache.get(t)
                 runs = np.split(want, np.flatnonzero(np.diff(want) > 1) + 1)
                 ids_all, tfs_all = [], []
                 for run in runs:
-                    ids_r, tfs_r = codec.decode_blocks(
-                        c.ids_enc, c.tfs_enc, c.ids_boff, c.tfs_boff,
-                        c.block_last, int(run[0]), int(run[-1]) + 1,
-                    )
+                    blo, bhi = int(run[0]), int(run[-1]) + 1
+                    if cached is not None:
+                        ids_r = cached[ci][0][blo * bsz : bhi * bsz]
+                        tfs_r = cached[ci][1][blo * bsz : bhi * bsz]
+                    else:
+                        ids_r, tfs_r = codec.decode_blocks(
+                            c.ids_enc, c.tfs_enc, c.ids_boff, c.tfs_boff,
+                            c.block_last, blo, bhi,
+                        )
                     ids_all.append(ids_r)
                     tfs_all.append(tfs_r)
                 ids = np.concatenate(ids_all)
