@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": rel.term_df,
         "token_counts": rel.token_counts,
         "events_window": rel.events_window,
+        "hash_join_orders": rel.hash_join_orders,
+        "session_windows": rel.session_windows,
+        "user_rolling": rel.user_rolling,
         # training-data operators
         "dedup_exact": _dedup_exact,
         "ann_topk": _ann_topk,
@@ -266,6 +269,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w_start,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, w_start
+        """,
+        "hash_join_orders": """
+            SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_orderstatus
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o)
+            SELECT user_id, CAST(sess + 1 AS BIGINT) AS session_no,
+                   count(*) AS n_events,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sess
+        """,
+        "user_rolling": """
+            SELECT event_id, user_id,
+                   round(SUM(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2)
+                       AS running_value
+            FROM events
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

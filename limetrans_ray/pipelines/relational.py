@@ -234,6 +234,29 @@ def token_counts(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(count_tokens, batch_format="pyarrow")
 
 
+def hash_join_orders(sf_dir: str) -> rd.Dataset:
+    """Both-sides-large hash join (``Dataset.join``, hash-partitioned on
+    the key — SURVEY.md §2.6 "both sides large" row; the SisisSuperFilter
+    parent-child join analogue): orders ⋈ customer, aggregated per
+    nation and order status."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    agg = joined.groupby(["c_nationkey", "o_orderstatus"]).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="p_raw")
+    )
+
+    def round_p(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["p_raw"].round(2)
+        return df[["c_nationkey", "o_orderstatus", "n_orders", "sum_price"]]
+
+    return agg.map_batches(round_p, batch_format="pandas")
+
+
 # --------------------------------------------------------------- events
 
 def events_window(sf_dir: str) -> rd.Dataset:
@@ -257,3 +280,47 @@ def events_window(sf_dir: str) -> rd.Dataset:
         return df[["event_type", "w_start", "n", "sum_value"]]
 
     return agg.map_batches(round_v, batch_format="pandas")
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windowing per user (streaming-shaped op): events of one
+    user sorted by ts; a gap > ``gap_minutes`` starts a new session.
+    ``groupby(user).map_groups`` over the ordered log — the documented
+    Ray Data treatment of event streams (ordering assumption: per-user
+    in-group sort, no cross-user order needed). Returns one row per
+    session (user_id, session_no, n_events, epoch-second bounds)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts"], kind="mergesort")
+        new = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            start=("ts", "min"),
+            end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out["session_no"] = range(1, len(out) + 1)
+        epoch = pd.Timestamp(0)
+        out["start_s"] = (out["start"] - epoch) // pd.Timedelta(seconds=1)
+        out["end_s"] = (out["end"] - epoch) // pd.Timedelta(seconds=1)
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "session_no", "n_events", "start_s", "end_s", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def user_rolling(sf_dir: str) -> rd.Dataset:
+    """Per-key running aggregate (windowed cumulative sum): events per
+    user ordered by ts with a cumulative value column — mirrors SQL
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts)``."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["running_value"] = g["value"].cumsum().round(2)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
