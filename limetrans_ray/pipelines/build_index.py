@@ -341,6 +341,9 @@ def _finish_from_fwd(
             "max_doc": max_doc,
             "total_terms": total_terms,
             "avgdl": total_terms / n_docs,
+            "base_avgdl": total_terms / n_docs,  # encode-time avgdl of base
+                                                 # segments (never touched by
+                                                 # incremental updates)
             "bucket_width": cfg.resolved_bucket_width(max_doc),
             "analyzer_version": ANALYZER_VERSION,
             "format_version": FORMAT_VERSION,

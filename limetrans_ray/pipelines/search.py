@@ -52,7 +52,7 @@ class _Chunk:
     ids_enc: bytes
     tfs_enc: bytes
     block_last: np.ndarray
-    block_max: np.ndarray
+    block_max: np.ndarray  # effective: encode-time maxima × stale-avgdl scale
     ids_boff: np.ndarray
     tfs_boff: np.ndarray
 
@@ -80,6 +80,17 @@ class SearchEngine:
             zip(ts.column("term").to_pylist(), ts.column("df").to_numpy().tolist())
         )
 
+        # deletion tombstones (update mode): filtered out of every result
+        self._deleted = np.zeros(self.max_doc + 1, dtype=bool)
+        tomb_path = os.path.join(self.bdir, "tombstones.json")
+        if os.path.exists(tomb_path):
+            import json as _json
+
+            with open(tomb_path) as fh:
+                ids = _json.load(fh)["doc_ids"]
+            if ids:
+                self._deleted[np.asarray(ids, dtype=np.int64)] = True
+
         self._seg_dir = os.path.join(self.bdir, "segments")
         self._segments: pa.Table | None = None
         self._term_rows: dict[str, list[int]] | None = None
@@ -95,8 +106,34 @@ class SearchEngine:
 
     # ------------------------------------------------------------------ io
 
+    def _segment_files(self) -> list[str]:
+        out = []
+        for root, _dirs, fs in os.walk(self._seg_dir):
+            out.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
+        return sorted(out)
+
+    def _with_enc_avgdl(self, tbl: pa.Table) -> pa.Table:
+        """Base-build segment rows predate incremental updates and carry
+        no ``enc_avgdl`` column — they were encoded under the build's
+        original avgdl (stats ``base_avgdl``)."""
+        if "enc_avgdl" not in tbl.schema.names:
+            base = float(self.stats.get("base_avgdl", self.avgdl))
+            tbl = tbl.append_column(
+                "enc_avgdl", pa.array(np.full(tbl.num_rows, base))
+            )
+        return tbl
+
+    _SEG_COLS = [
+        "term", "first_doc", "last_doc", "ids_enc", "tfs_enc",
+        "block_last", "block_max", "ids_boff", "tfs_boff", "enc_avgdl",
+    ]
+
     def _preload_segments(self) -> None:
-        tbl = pq.read_table(self._seg_dir)
+        tables = [
+            self._with_enc_avgdl(pq.read_table(f)).select(self._SEG_COLS)
+            for f in self._segment_files()
+        ]
+        tbl = pa.concat_tables(tables)
         self._segments = tbl
         rows: dict[str, list[int]] = {}
         for i, t in enumerate(tbl.column("term").to_pylist()):
@@ -111,23 +148,33 @@ class SearchEngine:
             idxs = self._term_rows.get(term, [])
             rows = [self._segments.slice(i, 1) for i in idxs]
         else:
-            tbl = pq.read_table(
-                self._seg_dir, filters=[("term", "==", term)]
+            rows = []
+            for f in self._segment_files():
+                tbl = self._with_enc_avgdl(
+                    pq.read_table(f, filters=[("term", "==", term)])
+                )
+                rows.extend(tbl.slice(i, 1) for i in range(len(tbl)))
+        chunks = []
+        for r in rows:
+            # stale-stats safety: impact is increasing in avgdl and
+            # impact(a_now)/impact(a_enc) ≤ a_now/a_enc for tf ≥ 1, so
+            # scaling encode-time block maxima keeps pruning score-safe
+            # after incremental updates changed avgdl.
+            enc_avgdl = r.column("enc_avgdl")[0].as_py()
+            scale = max(1.0, self.avgdl / float(enc_avgdl))
+            chunks.append(
+                _Chunk(
+                    first_doc=r.column("first_doc")[0].as_py(),
+                    last_doc=r.column("last_doc")[0].as_py(),
+                    ids_enc=r.column("ids_enc")[0].as_py(),
+                    tfs_enc=r.column("tfs_enc")[0].as_py(),
+                    block_last=np.asarray(r.column("block_last")[0].as_py(), dtype=np.int64),
+                    block_max=np.asarray(r.column("block_max")[0].as_py(), dtype=np.float64)
+                    * scale,
+                    ids_boff=np.asarray(r.column("ids_boff")[0].as_py(), dtype=np.int64),
+                    tfs_boff=np.asarray(r.column("tfs_boff")[0].as_py(), dtype=np.int64),
+                )
             )
-            rows = [tbl.slice(i, 1) for i in range(len(tbl))]
-        chunks = [
-            _Chunk(
-                first_doc=r.column("first_doc")[0].as_py(),
-                last_doc=r.column("last_doc")[0].as_py(),
-                ids_enc=r.column("ids_enc")[0].as_py(),
-                tfs_enc=r.column("tfs_enc")[0].as_py(),
-                block_last=np.asarray(r.column("block_last")[0].as_py(), dtype=np.int64),
-                block_max=np.asarray(r.column("block_max")[0].as_py(), dtype=np.float64),
-                ids_boff=np.asarray(r.column("ids_boff")[0].as_py(), dtype=np.int64),
-                tfs_boff=np.asarray(r.column("tfs_boff")[0].as_py(), dtype=np.int64),
-            )
-            for r in rows
-        ]
         chunks.sort(key=lambda c: c.first_doc)
         self._chunk_cache[term] = chunks
         return chunks
@@ -201,7 +248,9 @@ class SearchEngine:
                 mask &= gmask
             else:
                 mask |= gmask
-        docs = np.flatnonzero(mask if mask is not None else seen)
+        final = mask if mask is not None else seen
+        final &= ~self._deleted  # tombstoned docs never surface
+        docs = np.flatnonzero(final)
         return bm25.top_k_from_scores(docs, acc[docs], k)
 
     def search_pruned(self, query: str, k: int = 10, mode: str = "and"):
@@ -286,6 +335,8 @@ class SearchEngine:
                 mask = np.zeros(w, dtype=bool)
                 for gm in gmasks:
                     mask |= gm
+            dslice = self._deleted[lo : lo + w]
+            mask[: len(dslice)] &= ~dslice
             local_docs = np.flatnonzero(mask)
             if len(local_docs) == 0:
                 continue

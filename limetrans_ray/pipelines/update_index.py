@@ -1,0 +1,258 @@
+"""Incremental index updates: add documents and delete (tombstone)
+documents on a published build — the analogue of the reference's
+update mode (``deletionLiteral`` flips a record to a delete op,
+reference main/src/main/java/hbz/limetrans/ElasticsearchIndexer.java:
+80-86; update configs Limetrans.java:394-422).
+
+Semantics (last-write-wins, like ES bulk):
+
+- :func:`add_documents` ingests a new webtext batch INTO an existing
+  build: new pages get doc ids starting at the next empty bucket
+  boundary (so new posting chunks never overlap existing chunk
+  doc-ranges — the pruned scorer's bucket map stays valid); pages whose
+  canonical url already exists win over the old copy (the old doc id is
+  tombstoned). Corpus stats (n_docs, avgdl) and term_stats merge
+  additively.
+- :func:`delete_documents` appends doc ids (or urls) to the build's
+  tombstone set; the engine filters tombstoned docs out of every
+  result.
+
+BM25 safety under stale statistics: existing segments' block-max
+impacts were computed with the OLD avgdl. ``impact`` is increasing in
+avgdl, and ``impact(a_new)/impact(a_old) ≤ a_new/a_old`` for tf ≥ 1,
+so the engine scales stale chunk bounds by ``max(1, avgdl_now /
+chunk_avgdl)`` (each segment row records the avgdl it was encoded
+with) — pruning stays provably score-safe. Scores themselves always
+use the CURRENT stats, matching the single-process oracle over the
+merged corpus exactly.
+
+Deleted docs still count in df/avgdl until a full rebuild compacts
+them — the same staleness window Lucene has between delete and merge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.textstats import stable_hash64
+from ..stages.indexing import ExtractTokenizeStage, InvertStage, KeyStage, MergeShardGroup
+from ..state import manifest as mf
+
+TOMBSTONE_FILE = "tombstones.json"
+
+
+def _load_tombstones(bdir: str) -> set[int]:
+    path = os.path.join(bdir, TOMBSTONE_FILE)
+    if not os.path.exists(path):
+        return set()
+    with open(path) as fh:
+        return set(json.load(fh)["doc_ids"])
+
+
+def _write_tombstones(bdir: str, doc_ids: set[int]) -> None:
+    path = os.path.join(bdir, TOMBSTONE_FILE)
+    with open(path + ".tmp", "w") as fh:
+        json.dump({"doc_ids": sorted(doc_ids), "updated_at": time.time()}, fh)
+    os.replace(path + ".tmp", path)
+
+
+def delete_documents(
+    index_root: str,
+    *,
+    doc_ids: list[int] | None = None,
+    urls: list[str] | None = None,
+    build_id: str | None = None,
+) -> int:
+    """Tombstone documents by doc id or by url. Returns the number of
+    newly tombstoned ids."""
+    build_id = build_id or mf.current_build(index_root)
+    bdir = mf.build_dir(index_root, build_id)
+    ids = set(int(i) for i in (doc_ids or []))
+    if urls:
+        docs = pq.read_table(os.path.join(bdir, "docs"), columns=["doc_id", "url", "canon"])
+        want = set(urls)
+        for did, url, canon in zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("url").to_pylist(),
+            docs.column("canon").to_pylist(),
+        ):
+            if url in want or canon in want:
+                ids.add(int(did))
+    existing = _load_tombstones(bdir)
+    new = ids - existing
+    if new:
+        _write_tombstones(bdir, existing | new)
+    return len(new)
+
+
+def add_documents(
+    input_paths: list[str] | str,
+    index_root: str,
+    *,
+    build_id: str | None = None,
+    batch_size: int = 2048,
+    invert_batch_size: int = 16384,
+) -> dict:
+    """Incrementally ingest a webtext parquet batch into an existing
+    build. Returns the updated stats dict."""
+    build_id = build_id or mf.current_build(index_root)
+    bdir = mf.build_dir(index_root, build_id)
+    with open(os.path.join(bdir, "stats.json")) as fh:
+        stats = json.load(fh)
+    w = int(stats["bucket_width"])
+    block_size = int(stats.get("config", {}).get("block_size", 128))
+    n_shards = int(stats.get("config", {}).get("n_term_shards", 256))
+
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    files: list[str] = []
+    for p in input_paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+
+    # ---- dedup of the delta batch itself + against the existing corpus
+    keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
+        KeyStage(), batch_format="pyarrow", batch_size=65536
+    )
+    keys_tbl = pa.concat_tables([ray.get(r) for r in keys_ds.to_arrow_refs()])
+    if keys_tbl.num_rows == 0 or "doc_key" not in keys_tbl.schema.names:
+        return stats
+    from ..stages.indexing import compute_winners
+
+    winners = compute_winners(keys_tbl)
+
+    old_docs = pq.read_table(
+        os.path.join(bdir, "docs"), columns=["doc_id", "canon"]
+    )
+    old_keys = np.fromiter(
+        (stable_hash64(c) for c in old_docs.column("canon").to_pylist()),
+        dtype=np.uint64,
+        count=old_docs.num_rows,
+    )
+    old_ids = old_docs.column("doc_id").to_numpy()
+    order = np.argsort(old_keys)
+    old_keys_sorted, old_ids_sorted = old_keys[order], old_ids[order]
+
+    # last-write-wins: a delta page whose canonical already exists
+    # replaces the old copy → tombstone the old doc id
+    pos = np.searchsorted(old_keys_sorted, winners["doc_key"])
+    pos_c = np.clip(pos, 0, max(0, len(old_keys_sorted) - 1))
+    clash = (
+        (old_keys_sorted[pos_c] == winners["doc_key"])
+        if len(old_keys_sorted)
+        else np.zeros(len(winners["doc_key"]), dtype=bool)
+    )
+    replaced_old_ids = old_ids_sorted[pos_c[clash]] if clash.any() else np.array([], dtype=np.int64)
+
+    # new ids start at the next empty bucket boundary → chunk ranges of
+    # the delta never overlap existing chunks
+    base = ((int(stats["max_doc"]) // w) + 1) * w
+    winners = dict(winners)
+    winners["doc_id"] = winners["doc_id"] + base
+    winners_ref = ray.put(winners)
+    n_new = len(winners["doc_id"])
+
+    # ---- extract+tokenize the delta → append a new fwd partition
+    delta_dir = os.path.join(bdir, "fwd", f"delta-{int(stats.get('deltas', 0)):04d}")
+    ds = rd.read_parquet(files, columns=["url", "warc_ts", "html", "text", "lang"])
+    fwd = ds.map_batches(
+        ExtractTokenizeStage(winners_ref), batch_format="pyarrow", batch_size=batch_size
+    )
+    if os.path.isdir(delta_dir):
+        import shutil
+
+        shutil.rmtree(delta_dir)
+    fwd.write_parquet(delta_dir)
+
+    # ---- merged doc metadata + stats
+    delta_meta = pq.read_table(delta_dir, columns=["doc_id", "url", "canon", "lang", "doclen"])
+    docs_dir = os.path.join(bdir, "docs")
+    pq.write_table(delta_meta, os.path.join(docs_dir, f"docs-delta-{stats.get('deltas', 0):04d}.parquet"))
+    delta_terms = int(np.sum(delta_meta.column("doclen").to_numpy()))
+    stats["n_docs"] = int(stats["n_docs"]) + n_new
+    stats["max_doc"] = int(delta_meta.column("doc_id").to_numpy().max()) if n_new else stats["max_doc"]
+    stats["total_terms"] = int(stats["total_terms"]) + delta_terms
+    stats["avgdl"] = stats["total_terms"] / stats["n_docs"]
+    stats["deltas"] = int(stats.get("deltas", 0)) + 1
+
+    # ---- invert+merge the delta → append segment rows (tagged with the
+    # avgdl they were encoded under, for safe pruning bounds)
+    doclens = np.zeros(stats["max_doc"] + 1, dtype=np.int64)
+    all_docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
+    doclens[all_docs.column("doc_id").to_numpy()] = all_docs.column("doclen").to_numpy()
+    doclens_ref = ray.put(doclens)
+    partials = rd.read_parquet(delta_dir, columns=["doc_id", "terms", "tfs"]).map_batches(
+        InvertStage(w, n_shards), batch_format="pyarrow", batch_size=invert_batch_size
+    )
+    merger = MergeShardGroup(doclens_ref, stats["avgdl"], block_size)
+
+    def merge_shard_group(group: pa.Table) -> pa.Table:
+        return merger(group)
+
+    segs = partials.groupby("shard").map_groups(merge_shard_group, batch_format="pyarrow")
+    seg_dir = os.path.join(bdir, "segments")
+    delta_seg_dir = os.path.join(seg_dir, f"delta-{stats['deltas'] - 1:04d}")
+    segs.write_parquet(delta_seg_dir)
+    # tag every segment row with its encode-time avgdl (base rows without
+    # the column default to the build avgdl at engine load)
+    for f in os.listdir(delta_seg_dir):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(delta_seg_dir, f))
+            if "enc_avgdl" not in t.schema.names:
+                t = t.append_column(
+                    "enc_avgdl", pa.array(np.full(t.num_rows, stats["avgdl"]))
+                )
+                pq.write_table(t, os.path.join(delta_seg_dir, f))
+
+    # ---- merged term stats (additive df/cf)
+    ts_dir = os.path.join(bdir, "term_stats")
+    base_ts = pq.read_table(ts_dir).to_pandas()
+    delta_ts = (
+        pq.read_table(delta_seg_dir, columns=["term", "df", "cf"])
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .agg(df=("df", "sum"), cf=("cf", "sum"))
+    )
+    merged = (
+        pd.concat([base_ts, delta_ts])
+        .groupby("term", as_index=False)
+        .agg(df=("df", "sum"), cf=("cf", "sum"))
+    )
+    pq.write_table(
+        pa.Table.from_pandas(merged, preserve_index=False),
+        os.path.join(ts_dir, "term_stats.parquet"),
+    )
+    for f in os.listdir(ts_dir):
+        if f.endswith(".parquet") and f != "term_stats.parquet":
+            os.remove(os.path.join(ts_dir, f))
+
+    # ---- stats + tombstones for replaced docs, manifest
+    stats_path = os.path.join(bdir, "stats.json")
+    with open(stats_path + ".tmp", "w") as fh:
+        json.dump(stats, fh, indent=1)
+    os.replace(stats_path + ".tmp", stats_path)
+    if len(replaced_old_ids):
+        existing = _load_tombstones(bdir)
+        _write_tombstones(bdir, existing | set(int(i) for i in replaced_old_ids))
+    mf.write_stage_manifest(
+        bdir,
+        f"delta-{stats['deltas'] - 1:04d}",
+        input_fingerprint=mf.fingerprint_paths(files),
+        rows_out=n_new,
+        partitions=mf.partition_lineage(delta_dir) + mf.partition_lineage(delta_seg_dir),
+        metrics={"n_new": n_new, "replaced": int(len(replaced_old_ids))},
+    )
+    return stats
