@@ -85,6 +85,17 @@ class IndexBuildConfig:
                                     # batch spans most buckets), small enough
                                     # for task balance and cache-sized sorts
                                     # (measured sweet spot; see BASELINE.md)
+    fwd_partition_groups: int = 1   # >1: the extract+tokenize pass runs as G
+                                    # input-file groups, each with its own
+                                    # fwd/group-* dir, manifest and done
+                                    # marker — a killed build resumes at the
+                                    # first incomplete group (per-partition
+                                    # checkpointing; costs one barrier per
+                                    # group, so bench keeps 1 and a 100 TB
+                                    # run would use input-shard-sized groups)
+    actor_pool_size: int | tuple | None = None  # concurrency for the
+                                    # extract+tokenize stage: None → stateless
+                                    # tasks; N or (min,max) → actor pool
     retain: int = 2                 # previous builds kept after publish
 
     def resolved_bucket_width(self, max_doc: int) -> int:
@@ -179,14 +190,51 @@ def build_index(
         n_docs_expected = len(winners["doc_id"])
 
         t0 = time.perf_counter()
-        ds = rd.read_parquet(files, columns=["url", "warc_ts", "html", "text", "lang"])
-        fwd = ds.map_batches(
-            ExtractTokenizeStage(winners_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
-        _clean_dir(fwd_dir)
-        fwd.write_parquet(fwd_dir)
+
+        def _run_fwd(group_files: list[str], out_dir: str) -> None:
+            ds = rd.read_parquet(
+                group_files, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+            if cfg.actor_pool_size is not None:
+                fwd = ds.map_batches(
+                    ExtractTokenizeStage,
+                    fn_constructor_args=(winners_ref,),
+                    concurrency=cfg.actor_pool_size,
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+            else:
+                fwd = ds.map_batches(
+                    ExtractTokenizeStage(winners_ref),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+            _clean_dir(out_dir)
+            fwd.write_parquet(out_dir)
+
+        groups = max(1, min(cfg.fwd_partition_groups, len(files)))
+        if groups == 1:
+            _clean_dir(fwd_dir)
+            _run_fwd(files, fwd_dir)
+        else:
+            # per-partition checkpointing: one file group per sub-dir,
+            # skipped on resume when its marker matches the fingerprint
+            os.makedirs(fwd_dir, exist_ok=True)
+            for g in range(groups):
+                gfiles = files[g::groups]
+                gdir = os.path.join(fwd_dir, f"group-{g:04d}")
+                gstage = f"fwd_group{g:04d}"
+                gfp = mf.fingerprint_paths(gfiles)
+                if mf.stage_done(bdir, gstage, gfp):
+                    continue
+                _run_fwd(gfiles, gdir)
+                mf.write_stage_manifest(
+                    bdir,
+                    gstage,
+                    input_fingerprint=gfp,
+                    partitions=mf.partition_lineage(gdir),
+                    metrics={"files": len(gfiles)},
+                )
         metrics["fwd_s"] = time.perf_counter() - t0
         mf.write_stage_manifest(
             bdir,
@@ -200,6 +248,7 @@ def build_index(
                 "input_files": len(files),
                 "input_rows": n_input,
                 "duplicates_dropped": n_input - n_docs_expected,
+                "partition_groups": groups,
             },
         )
 
@@ -290,9 +339,12 @@ def _finish_from_fwd(
         t0 = time.perf_counter()
         # an empty input writes no fwd files at all — refuse cleanly, like
         # the reference skips the alias switch on zero docs
-        if not os.path.isdir(fwd_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(fwd_dir)
-        ):
+        has_fwd = os.path.isdir(fwd_dir) and any(
+            f.endswith(".parquet")
+            for _root, _dirs, fs in os.walk(fwd_dir)
+            for f in fs
+        )
+        if not has_fwd:
             raise ValueError(
                 "refusing to build an index over zero documents "
                 "(the reference skips the alias switch on zero docs, "
