@@ -51,11 +51,15 @@ def _bm25_topk(sf_dir: str, k: int = 10):
     from limetrans_ray.pipelines.search import SearchEngine
     from limetrans_ray.state.manifest import fingerprint_paths
 
+    from limetrans_ray import FORMAT_VERSION
+
     doc_path = f"{sf_dir}/documents.parquet"
     root = _index_root(sf_dir)
     ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    # format version in the fingerprint: a code upgrade invalidates the
+    # cached /tmp build instead of resuming onto an old layout
     build_index_from_documents(
-        ds, root, fingerprint=fingerprint_paths([doc_path])
+        ds, root, fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}"
     )
     eng = SearchEngine(root)
     rows = []

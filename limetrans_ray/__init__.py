@@ -24,4 +24,4 @@ are owned by the driver, ``bench.py`` and the pytest fixture only.
 __version__ = "0.1.0"
 
 ANALYZER_VERSION = 1
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: positional postings (pos_enc) for phrase queries

@@ -124,6 +124,52 @@ def tokenize_index(text: str, *, stop: bool = True) -> list[str]:
     return out
 
 
+def tokenize_positions(text: str, *, stop: bool = True) -> dict[str, list[int]]:
+    """Per-term raw-token positions: every variant of raw token #p is
+    "at" position p (the word_delimiter_graph convention — original,
+    parts and catenated forms share the source position). ``tf`` =
+    number of positions; Σ tf over terms = the same doclen as
+    :func:`tokenize_index`."""
+    text = unicodedata.normalize("NFC", text)
+    out: dict[str, list[int]] = {}
+    for p, raw in enumerate(_TOKEN_RE.findall(text)):
+        for v in token_variants(raw, stop=stop):
+            out.setdefault(v, []).append(p)
+    return out
+
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_query(text: str, *, stop: bool = True) -> list[dict]:
+    """Full query parse: quoted segments become phrase clauses, the rest
+    term clauses. Returns a list of clauses, each
+    ``{"type": "term", "variants": tuple}`` or
+    ``{"type": "phrase", "slots": [tuple, ...]}`` (one variant group per
+    consecutive phrase position). Clauses AND together in "and" mode.
+
+    Scoring semantics (shared engine/oracle contract): phrases only
+    FILTER — BM25 still sums over the distinct variant terms of all
+    clauses (a deliberate divergence from ES phrase-frequency scoring,
+    identical in both engines).
+    """
+    text = unicodedata.normalize("NFC", text)
+    clauses: list[dict] = []
+    last = 0
+    for m in _PHRASE_RE.finditer(text):
+        for g in analyze_query(text[last : m.start()], stop=stop):
+            clauses.append({"type": "term", "variants": g})
+        slots = analyze_query(m.group(1), stop=stop)
+        if len(slots) == 1:
+            clauses.append({"type": "term", "variants": slots[0]})
+        elif slots:
+            clauses.append({"type": "phrase", "slots": slots})
+        last = m.end()
+    for g in analyze_query(text[last:], stop=stop):
+        clauses.append({"type": "term", "variants": g})
+    return clauses
+
+
 def analyze_query(text: str, *, stop: bool = True) -> list[tuple[str, ...]]:
     """Query analysis → list of synonym groups (one per raw token).
 

@@ -83,6 +83,33 @@ def segmented_delta_encode(ids: np.ndarray, seg_starts: np.ndarray) -> np.ndarra
     return deltas
 
 
+def reorder_segments(
+    values: np.ndarray, seg_lengths: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Permute variable-length segments of a flat array.
+
+    ``values`` holds segments laid out back-to-back (segment i has
+    ``seg_lengths[i]`` values); returns the flat array with segments in
+    ``order`` plus the new value-offset array (len(order)+1). One
+    vectorized gather — used to carry per-posting position runs through
+    the posting sort."""
+    seg_lengths = np.ascontiguousarray(seg_lengths, dtype=np.int64)
+    old_starts = np.zeros(len(seg_lengths) + 1, dtype=np.int64)
+    np.cumsum(seg_lengths, out=old_starts[1:])
+    lens_o = seg_lengths[order]
+    new_offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens_o, out=new_offsets[1:])
+    total = int(new_offsets[-1])
+    if total == 0:
+        return np.zeros(0, dtype=values.dtype), new_offsets
+    idx = (
+        np.repeat(old_starts[:-1][order], lens_o)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(new_offsets[:-1], lens_o)
+    )
+    return values[idx], new_offsets
+
+
 def segmented_delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Inverse of :func:`segmented_delta_encode` (vectorized segmented
     cumsum: global cumsum minus the running total before each segment)."""

@@ -48,7 +48,6 @@ import json
 import os
 import shutil
 import time
-from collections import Counter
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -61,7 +60,7 @@ from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
-from ..functions.analyzer import tokenize_index
+from ..functions.analyzer import tokenize_positions
 from ..stages.indexing import (
     ExtractTokenizeStage,
     InvertStage,
@@ -285,14 +284,14 @@ def build_index_from_documents(
         def tokenize_batch(batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_numpy().astype(np.int64)
-            terms_col, tfs_col = [], []
+            terms_col, tfs_col, pos_col = [], [], []
             doclens = np.empty(len(texts), dtype=np.int64)
             for i, t in enumerate(texts):
-                cnt = Counter(tokenize_index(t))
-                items = sorted(cnt.items())
+                items = sorted(tokenize_positions(t).items())
                 terms_col.append([k for k, _ in items])
-                tfs_col.append([v for _, v in items])
-                doclens[i] = sum(cnt.values())
+                tfs_col.append([len(p) for _, p in items])
+                pos_col.append([p for _, p in items])
+                doclens[i] = sum(len(p) for _, p in items)
             sid = [str(i) for i in ids]
             return pa.table(
                 {
@@ -303,6 +302,7 @@ def build_index_from_documents(
                     "doclen": pa.array(doclens),
                     "terms": pa.array(terms_col, pa.list_(pa.string())),
                     "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+                    "pos": pa.array(pos_col, pa.list_(pa.list_(pa.int32()))),
                 }
             )
 
@@ -432,7 +432,7 @@ def _finish_from_fwd(
         doclens[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column("doclen").to_numpy()
         doclens_ref = ray.put(doclens)
         partials = rd.read_parquet(
-            fwd_dir, columns=["doc_id", "terms", "tfs"]
+            fwd_dir, columns=["doc_id", "terms", "tfs", "pos"]
         ).map_batches(
             InvertStage(stats["bucket_width"], cfg.n_term_shards),
             batch_format="pyarrow",

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
-from ..functions.analyzer import analyze_query
+from ..functions.analyzer import analyze_query, parse_query
 from ..state import bm25
 from ..state.manifest import build_dir, current_build
 
@@ -55,6 +55,7 @@ class _Chunk:
     block_max: np.ndarray  # effective: encode-time maxima × stale-avgdl scale
     ids_boff: np.ndarray
     tfs_boff: np.ndarray
+    pos_enc: bytes | None = None  # per-posting position runs (phrase support)
 
 
 class SearchEngine:
@@ -98,6 +99,7 @@ class SearchEngine:
         # parsed chunk metadata per term, and decoded postings per term
         # bounded by a postings budget (LRU).
         self._chunk_cache: dict[str, list[_Chunk]] = {}
+        self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._decoded_cache: "dict[str, list[tuple[np.ndarray, np.ndarray]]]" = {}
         self._decoded_postings = 0
         self._decoded_budget = 20_000_000  # ≈320 MB of id+tf arrays
@@ -115,16 +117,21 @@ class SearchEngine:
     def _with_enc_avgdl(self, tbl: pa.Table) -> pa.Table:
         """Base-build segment rows predate incremental updates and carry
         no ``enc_avgdl`` column — they were encoded under the build's
-        original avgdl (stats ``base_avgdl``)."""
+        original avgdl (stats ``base_avgdl``). Pre-positions builds lack
+        ``pos_enc`` (phrase queries then raise)."""
         if "enc_avgdl" not in tbl.schema.names:
             base = float(self.stats.get("base_avgdl", self.avgdl))
             tbl = tbl.append_column(
                 "enc_avgdl", pa.array(np.full(tbl.num_rows, base))
             )
+        if "pos_enc" not in tbl.schema.names:
+            tbl = tbl.append_column(
+                "pos_enc", pa.array([None] * tbl.num_rows, pa.binary())
+            )
         return tbl
 
     _SEG_COLS = [
-        "term", "first_doc", "last_doc", "ids_enc", "tfs_enc",
+        "term", "first_doc", "last_doc", "ids_enc", "tfs_enc", "pos_enc",
         "block_last", "block_max", "ids_boff", "tfs_boff", "enc_avgdl",
     ]
 
@@ -173,6 +180,7 @@ class SearchEngine:
                     * scale,
                     ids_boff=np.asarray(r.column("ids_boff")[0].as_py(), dtype=np.int64),
                     tfs_boff=np.asarray(r.column("tfs_boff")[0].as_py(), dtype=np.int64),
+                    pos_enc=r.column("pos_enc")[0].as_py(),
                 )
             )
         chunks.sort(key=lambda c: c.first_doc)
@@ -214,9 +222,116 @@ class SearchEngine:
         return groups, terms, idfs
 
     def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
+        if '"' in query:
+            clauses = parse_query(query)
+            if any(c["type"] == "phrase" for c in clauses):
+                return self.search_phrases(clauses, k, mode)
         if pruned:
             return self.search_pruned(query, k, mode)
         return self.search_exhaustive(query, k, mode)
+
+    # -------------------------------------------------------------- phrases
+
+    def _doc_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Flat (doc_id repeated per occurrence, raw position) arrays for
+        ``term`` across its chunks (decoded + cached)."""
+        cached = self._pos_cache.get(term)
+        if cached is not None:
+            return cached
+        ids_all, pos_all = [], []
+        for ci, c in enumerate(self._chunks(term)):
+            if c.pos_enc is None:
+                raise ValueError(
+                    "this index was built without positions (pre-phrase "
+                    "format); rebuild to run phrase queries"
+                )
+            ids, tfs = self._decoded(term)[ci]
+            vstarts = np.zeros(len(tfs), dtype=np.int64)
+            np.cumsum(tfs[:-1], out=vstarts[1:])
+            deltas = codec.varint_decode(c.pos_enc).astype(np.int64)
+            pos = codec.segmented_delta_decode(deltas, vstarts)
+            ids_all.append(np.repeat(ids, tfs))
+            pos_all.append(pos)
+        out = (
+            np.concatenate(ids_all) if ids_all else np.zeros(0, dtype=np.int64),
+            np.concatenate(pos_all) if pos_all else np.zeros(0, dtype=np.int64),
+        )
+        self._pos_cache[term] = out
+        return out
+
+    _POS_K = np.int64(1) << np.int64(32)  # (doc, pos) packing base
+
+    def search_phrases(self, clauses: list[dict], k: int = 10, mode: str = "and"):
+        """Scoring with phrase clauses (parse_query contract: phrases
+        FILTER — consecutive raw positions, any variant per slot — and
+        BM25 still sums over every clause's variant terms). Exhaustive
+        scorer only; block-max pruning for phrase queries is future
+        work."""
+        groups: list[tuple[str, ...]] = []
+        for c in clauses:
+            groups.extend(c["slots"] if c["type"] == "phrase" else [c["variants"]])
+        terms = sorted({t for g in groups for t in g if t in self.df})
+        idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
+        if not clauses:
+            return []
+        acc = np.zeros(self.max_doc + 1, dtype=np.float64)
+        postings: dict[str, np.ndarray] = {}
+        for t in terms:  # ascending term order — canonical summation
+            ids, tfs = self._postings(t)
+            postings[t] = ids
+            acc[ids] += idfs[t] * bm25.impact(tfs, self.doclens[ids], self.avgdl)
+
+        def term_mask(variants) -> np.ndarray:
+            m = np.zeros(self.max_doc + 1, dtype=bool)
+            for t in variants:
+                if t in postings:
+                    m[postings[t]] = True
+            return m
+
+        def phrase_mask(slots) -> np.ndarray:
+            # cheap candidate pre-filter: docs containing every slot
+            cand = None
+            for slot in slots:
+                sm = term_mask(slot)
+                cand = sm if cand is None else cand & sm
+            if cand is None or not cand.any():
+                return np.zeros(self.max_doc + 1, dtype=bool)
+            # (doc, pos - slot_index) keys over candidate docs only; the
+            # phrase exists iff some shifted key survives intersection
+            anchor = None
+            L = len(slots)  # +L keeps the shifted position positive, so
+            # packed (doc, pos) keys never borrow into the doc part
+            for i, slot in enumerate(slots):
+                keys_i = []
+                for t in slot:
+                    if t not in self.df:
+                        continue
+                    d, p = self._doc_positions(t)
+                    keep = cand[d]
+                    d, p = d[keep], p[keep]
+                    keys_i.append(d * self._POS_K + (p - i + L))
+                if not keys_i:
+                    return np.zeros(self.max_doc + 1, dtype=bool)
+                ks = np.unique(np.concatenate(keys_i))
+                anchor = ks if anchor is None else np.intersect1d(anchor, ks, assume_unique=True)
+                if len(anchor) == 0:
+                    return np.zeros(self.max_doc + 1, dtype=bool)
+            m = np.zeros(self.max_doc + 1, dtype=bool)
+            m[np.unique(anchor // self._POS_K)] = True
+            return m
+
+        mask = None
+        for c in clauses:
+            cm = phrase_mask(c["slots"]) if c["type"] == "phrase" else term_mask(c["variants"])
+            if mask is None:
+                mask = cm
+            elif mode == "and":
+                mask &= cm
+            else:
+                mask |= cm
+        mask &= ~self._deleted
+        docs = np.flatnonzero(mask)
+        return bm25.top_k_from_scores(docs, acc[docs], k)
 
     def search_exhaustive(self, query: str, k: int = 10, mode: str = "and"):
         groups, terms, idfs = self._prepare(query)

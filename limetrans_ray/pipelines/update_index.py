@@ -194,7 +194,7 @@ def add_documents(
     all_docs = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
     doclens[all_docs.column("doc_id").to_numpy()] = all_docs.column("doclen").to_numpy()
     doclens_ref = ray.put(doclens)
-    partials = rd.read_parquet(delta_dir, columns=["doc_id", "terms", "tfs"]).map_batches(
+    partials = rd.read_parquet(delta_dir, columns=["doc_id", "terms", "tfs", "pos"]).map_batches(
         InvertStage(w, n_shards), batch_format="pyarrow", batch_size=invert_batch_size
     )
     merger = MergeShardGroup(doclens_ref, stats["avgdl"], block_size)

@@ -18,13 +18,12 @@ salted-key treatment for stop-word-scale skew).
 from __future__ import annotations
 
 import unicodedata
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.analyzer import tokenize_index
+from ..functions.analyzer import tokenize_positions
 from ..functions.extract import extract_text
 from ..functions.textstats import detect_language, stable_hash64
 from ..functions.urlnorm import canonical_url
@@ -139,7 +138,7 @@ class ExtractTokenizeStage:
         doc_ids = w["doc_id"][pos]
 
         out_doc, out_url, out_canon, out_lang = [], [], [], []
-        terms_col, tfs_col, doclens = [], [], []
+        terms_col, tfs_col, pos_col, doclens = [], [], [], []
         for i in np.flatnonzero(is_winner):
             t = texts[i]
             if not t:
@@ -147,15 +146,15 @@ class ExtractTokenizeStage:
             else:
                 t = unicodedata.normalize("NFC", t)
             lang = langs[i] if langs[i] else detect_language(t)
-            cnt = Counter(tokenize_index(t))
-            items = sorted(cnt.items())
+            items = sorted(tokenize_positions(t).items())
             out_doc.append(int(doc_ids[i]))
             out_url.append(urls[i])
             out_canon.append(canons[i])
             out_lang.append(lang)
             terms_col.append([k for k, _ in items])
-            tfs_col.append([v for _, v in items])
-            doclens.append(sum(cnt.values()))
+            tfs_col.append([len(p) for _, p in items])
+            pos_col.append([p for _, p in items])
+            doclens.append(sum(len(p) for _, p in items))
 
         return pa.table(
             {
@@ -166,6 +165,7 @@ class ExtractTokenizeStage:
                 "doclen": pa.array(doclens, pa.int64()),
                 "terms": pa.array(terms_col, pa.list_(pa.string())),
                 "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+                "pos": pa.array(pos_col, pa.list_(pa.list_(pa.int32()))),
             }
         )
 
@@ -220,6 +220,7 @@ class InvertStage:
                 "pdf": pa.array([], pa.int64()),
                 "ids_enc": pa.array([], pa.binary()),
                 "tfs_enc": pa.array([], pa.binary()),
+                "pos_enc": pa.array([], pa.binary()),
             }
         )
         if batch.num_rows == 0:
@@ -229,6 +230,8 @@ class InvertStage:
         lens = pc.list_value_length(terms_arr).to_numpy()
         flat_terms = pc.list_flatten(terms_arr)
         flat_tfs = pc.list_flatten(batch.column("tfs").combine_chunks()).to_numpy()
+        pos_outer = pc.list_flatten(batch.column("pos").combine_chunks())
+        pos_flat = pc.list_flatten(pos_outer).to_numpy().astype(np.int64)
         doc_rep = np.repeat(doc_ids, lens)
         if len(doc_rep) == 0:
             return empty
@@ -251,6 +254,14 @@ class InvertStage:
         tbuf, toffs = codec.varint_encode_all(t_s.astype(np.uint64))
         ids_enc = [ibuf[ioffs[s]:ioffs[e]] for s, e in zip(starts, ends)]
         tfs_enc = [tbuf[toffs[s]:toffs[e]] for s, e in zip(starts, ends)]
+        # positions: gather the per-posting position runs into posting-
+        # sorted order, delta-encode within each posting, slice per cell
+        pos_sorted, vstarts = codec.reorder_segments(pos_flat, flat_tfs, order)
+        pdeltas = codec.segmented_delta_encode(pos_sorted, vstarts[:-1])
+        pbuf, poffs = codec.varint_encode_all(pdeltas)
+        pos_enc = [
+            pbuf[poffs[vstarts[s]] : poffs[vstarts[e]]] for s, e in zip(starts, ends)
+        ]
         shards = self._shards_for(vocab)[cell_codes]
         return pa.table(
             {
@@ -260,6 +271,7 @@ class InvertStage:
                 "pdf": pa.array((ends - starts).astype(np.int64)),
                 "ids_enc": pa.array(ids_enc, pa.binary()),
                 "tfs_enc": pa.array(tfs_enc, pa.binary()),
+                "pos_enc": pa.array(pos_enc, pa.binary()),
             }
         )
 
@@ -298,12 +310,17 @@ class MergeShardGroup:
         pdf = group.column("pdf").to_numpy()
         seg_starts = np.zeros(len(pdf), dtype=np.int64)
         np.cumsum(pdf[:-1], out=seg_starts[1:])
-        # decode ALL partials in two segmented passes
+        # decode ALL partials in segmented passes
         ibuf = b"".join(group.column("ids_enc").to_pylist())
         tbuf = b"".join(group.column("tfs_enc").to_pylist())
         deltas = codec.varint_decode(ibuf)
         ids = codec.segmented_delta_decode(deltas, seg_starts)
         tfs = codec.varint_decode(tbuf).astype(np.int64)
+        pbuf = b"".join(group.column("pos_enc").to_pylist())
+        pdeltas = codec.varint_decode(pbuf).astype(np.int64)
+        pvstarts = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=pvstarts[1:])
+        pos_flat = codec.segmented_delta_decode(pdeltas, pvstarts[:-1])
 
         # (term, bucket) cell key per posting
         dict_arr = pc.dictionary_encode(group.column("term").combine_chunks())
@@ -337,12 +354,15 @@ class MergeShardGroup:
         enc_deltas = codec.segmented_delta_encode(id_s, cstarts)
         ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
         tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint64))
+        pos_sorted, pvoffs = codec.reorder_segments(pos_flat, tfs, order)
+        penc = codec.segmented_delta_encode(pos_sorted, pvoffs[:-1])
+        pbuf2, poffs2 = codec.varint_encode_all(penc)
 
         cf = np.add.reduceat(tf_s, cstarts) if len(cstarts) else np.zeros(0, dtype=np.int64)
         first_doc = id_s[cstarts]
         last_doc = id_s[cends - 1]
 
-        ids_enc, tfs_enc = [], []
+        ids_enc, tfs_enc, pos_enc = [], [], []
         bl_col, bm_col, ibo_col, tbo_col = [], [], [], []
         bcum = np.zeros(len(cstarts) + 1, dtype=np.int64)
         np.cumsum(nblocks, out=bcum[1:])
@@ -350,6 +370,7 @@ class MergeShardGroup:
             s, e = cstarts[c], cends[c]
             ids_enc.append(ibuf2[ioffs[s]:ioffs[e]])
             tfs_enc.append(tbuf2[toffs[s]:toffs[e]])
+            pos_enc.append(pbuf2[poffs2[pvoffs[s]] : poffs2[pvoffs[e]]])
             blo, bhi = bcum[c], bcum[c + 1]
             bl_col.append(block_last[blo:bhi].tolist())
             bm_col.append(block_max[blo:bhi].tolist())
@@ -368,6 +389,7 @@ class MergeShardGroup:
                 "last_doc": pa.array(last_doc.astype(np.int64)),
                 "ids_enc": pa.array(ids_enc, pa.binary()),
                 "tfs_enc": pa.array(tfs_enc, pa.binary()),
+                "pos_enc": pa.array(pos_enc, pa.binary()),
                 "block_last": pa.array(bl_col, pa.list_(pa.int64())),
                 "block_max": pa.array(bm_col, pa.list_(pa.float64())),
                 "ids_boff": pa.array(ibo_col, pa.list_(pa.int64())),

@@ -4,38 +4,41 @@ The reference runs every transformation test against two engines
 (METAFIX and METAMORPH) and requires them to agree
 (reference main/src/test/java/hbz/limetrans/AbstractTransformationTest.java:17-28);
 its query semantics are pinned by index-then-query assertions
-(ElasticsearchQueryTest.java:315-354). Our analogue: this oracle builds
-the inverted index with plain dicts in one process, scores BM25 with
-scalar float64 math, and the distributed Ray engine must be
-**rank-identical and score-equal** to it (tests/test_index_query.py).
+(ElasticsearchQueryTest.java:315-354), including phrase cases. Our
+analogue: this oracle builds the inverted index (with positions) in
+plain dicts in one process, scores BM25 with scalar float64 math, and
+the distributed Ray engine must be **rank-identical and score-equal**
+to it (tests/test_index_query.py, tests/test_phrase.py).
 
 Shared contract with the distributed engine (imported, not duplicated):
-``tokenize_index`` / ``analyze_query`` from functions/analyzer.py and
+``tokenize_positions`` / ``parse_query`` from functions/analyzer.py and
 ``idf`` / ``impact_scalar`` from state/bm25.py. Accumulation iterates
-distinct query terms in ascending order — the canonical summation order.
+distinct query terms in ascending order — the canonical summation
+order. Phrase clauses filter candidates (consecutive raw positions);
+scoring is the plain BM25 sum over all clauses' variant terms.
 """
 
 from __future__ import annotations
 
-from collections import Counter
-
-from ..functions.analyzer import analyze_query, tokenize_index
+from ..functions.analyzer import parse_query, tokenize_positions
 from .bm25 import idf, impact_scalar
 
 
 class OracleEngine:
-    """In-memory single-process index + exhaustive BM25 scorer."""
+    """In-memory single-process positional index + exhaustive BM25."""
 
     def __init__(self) -> None:
         self.postings: dict[str, dict[int, int]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.doclen: dict[int, int] = {}
         self.avgdl: float = 0.0
 
     def add(self, doc_id: int, text: str) -> None:
-        terms = tokenize_index(text)
-        self.doclen[doc_id] = len(terms)
-        for term, tf in Counter(terms).items():
-            self.postings.setdefault(term, {})[doc_id] = tf
+        pos = tokenize_positions(text)
+        self.doclen[doc_id] = sum(len(p) for p in pos.values())
+        for term, plist in pos.items():
+            self.postings.setdefault(term, {})[doc_id] = len(plist)
+            self.positions.setdefault(term, {})[doc_id] = plist
 
     def add_corpus(self, docs) -> "OracleEngine":
         """docs: iterable of (doc_id, text)."""
@@ -55,31 +58,68 @@ class OracleEngine:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, ()))
 
+    # ------------------------------------------------------------- match
+
+    def _term_clause_docs(self, variants) -> set[int]:
+        docs: set[int] = set()
+        for t in variants:
+            docs.update(self.postings.get(t, ()))
+        return docs
+
+    def _phrase_clause_docs(self, slots) -> set[int]:
+        """Docs containing the slot sequence at consecutive raw
+        positions (any variant per slot)."""
+        candidates = self._slot_docs(slots[0])
+        for s in slots[1:]:
+            candidates &= self._slot_docs(s)
+        out = set()
+        for d in candidates:
+            anchors = self._slot_positions(slots[0], d)
+            for i, s in enumerate(slots[1:], 1):
+                pos_i = self._slot_positions(s, d)
+                anchors = {p for p in anchors if p + i in pos_i}
+                if not anchors:
+                    break
+            if anchors:
+                out.add(d)
+        return out
+
+    def _slot_docs(self, variants) -> set[int]:
+        return self._term_clause_docs(variants)
+
+    def _slot_positions(self, variants, doc: int) -> set[int]:
+        out: set[int] = set()
+        for t in variants:
+            out.update(self.positions.get(t, {}).get(doc, ()))
+        return out
+
     def search(self, query: str, k: int = 10, mode: str = "and") -> list[tuple[int, float]]:
         """Top-k (doc_id, score), tie-break (score desc, doc_id asc).
 
-        ``mode="and"``: every synonym group must match; ``"or"``: any.
-        Scoring sums idf*impact over the distinct union of variant terms
-        present in the doc, ascending term order.
+        ``mode="and"``: every clause must match; ``"or"``: any clause.
         """
-        groups = analyze_query(query)
-        if not groups:
+        clauses = parse_query(query)
+        if not clauses:
             return []
-        group_docs = []
-        for g in groups:
-            docs: set[int] = set()
-            for t in g:
-                docs.update(self.postings.get(t, ()))
-            group_docs.append(docs)
+        clause_docs = [
+            self._phrase_clause_docs(c["slots"])
+            if c["type"] == "phrase"
+            else self._term_clause_docs(c["variants"])
+            for c in clauses
+        ]
         if mode == "and":
-            candidates = set.intersection(*group_docs) if group_docs else set()
+            candidates = set.intersection(*clause_docs)
         else:
-            candidates = set.union(*group_docs)
+            candidates = set.union(*clause_docs)
         if not candidates:
             return []
         scores: dict[int, float] = {d: 0.0 for d in candidates}
-        terms = sorted({t for g in groups for t in g})
-        for t in terms:
+        all_terms = set()
+        for c in clauses:
+            groups = c["slots"] if c["type"] == "phrase" else [c["variants"]]
+            for g in groups:
+                all_terms.update(g)
+        for t in sorted(all_terms):
             plist = self.postings.get(t)
             if not plist:
                 continue
