@@ -61,9 +61,22 @@ class _Chunk:
 class SearchEngine:
     """Loads a published build (CURRENT pointer) and serves top-k BM25."""
 
-    def __init__(self, index_root: str, build_id: str | None = None, *, preload: bool = True):
+    def __init__(
+        self,
+        index_root: str,
+        build_id: str | None = None,
+        *,
+        preload: bool = True,
+        bucket_range: tuple[int, int] | None = None,
+    ):
+        """``bucket_range=(lo, hi)``: load only posting chunks whose doc
+        range falls in buckets [lo, hi) — the doc-partitioned serving
+        shard used by :class:`ServingPool`. Global stats (N, avgdl, df,
+        doclens) stay corpus-wide, so shard-local scores equal the
+        whole-index scores and scatter-gather merge is exact."""
         import json
 
+        self._bucket_range = bucket_range
         build_id = build_id or current_build(index_root)
         self.bdir = build_dir(index_root, build_id)
         with open(os.path.join(self.bdir, "stats.json")) as fh:
@@ -141,6 +154,13 @@ class SearchEngine:
             for f in self._segment_files()
         ]
         tbl = pa.concat_tables(tables)
+        if self._bucket_range is not None:
+            w = int(self.stats["bucket_width"])
+            buckets = pc.divide(tbl.column("first_doc"), w)
+            lo, hi = self._bucket_range
+            tbl = tbl.filter(
+                pc.and_(pc.greater_equal(buckets, lo), pc.less(buckets, hi))
+            )
         self._segments = tbl
         rows: dict[str, list[int]] = {}
         for i, t in enumerate(tbl.column("term").to_pylist()):
@@ -465,3 +485,76 @@ class SearchEngine:
 def _merge_topk(a: list[tuple[int, float]], b: list[tuple[int, float]], k: int):
     merged = sorted(a + b, key=lambda x: (-x[1], x[0]))
     return merged[:k]
+
+
+class ServingPool:
+    """Doc-range-sharded distributed serving (the multi-node query path).
+
+    N Ray actors each load only the posting chunks of their bucket range
+    (the bucket layout partitions doc ids, so a doc lives wholly in one
+    shard); every query scatters to all shards and the per-shard top-k
+    merge under (score desc, doc_id asc) is exactly the single-engine
+    top-k, because BM25 stats stay corpus-global per shard. This is the
+    ES shard scatter-gather analogue (reference ElasticsearchClient
+    search path) — at 10^12 docs each actor would also hold only its
+    range's doclen slice.
+
+    Determinism: shard results are merged in shard order with the same
+    tie-break as every other scorer; tests assert pool == single engine.
+    """
+
+    def __init__(self, index_root: str, n_shards: int = 4, *, build_id: str | None = None):
+        import json as _json
+
+        import ray as _ray
+
+        build_id = build_id or current_build(index_root)
+        bdir = build_dir(index_root, build_id)
+        with open(os.path.join(bdir, "stats.json")) as fh:
+            stats = _json.load(fh)
+        w = int(stats["bucket_width"])
+        n_buckets = int(stats["max_doc"]) // w + 1
+        n_shards = max(1, min(n_shards, n_buckets))
+        bounds = np.linspace(0, n_buckets, n_shards + 1).astype(int)
+
+        @_ray.remote
+        class _ShardServer:
+            def __init__(self, root, bid, lo, hi):
+                self.engine = SearchEngine(
+                    root, bid, preload=True, bucket_range=(int(lo), int(hi))
+                )
+
+            def search(self, query: str, k: int, mode: str):
+                return self.engine.search(query, k, mode=mode)
+
+        self._shards = [
+            _ShardServer.remote(index_root, build_id, bounds[i], bounds[i + 1])
+            for i in range(n_shards)
+        ]
+        self._ray = _ray
+        self.n_shards = n_shards
+
+    def search(self, query: str, k: int = 10, mode: str = "and"):
+        futures = [s.search.remote(query, k, mode) for s in self._shards]
+        out: list[tuple[int, float]] = []
+        for part in self._ray.get(futures):
+            out = _merge_topk(out, [tuple(r) for r in part], k)
+        return out
+
+    def search_many(self, queries: list[str], k: int = 10, mode: str = "and"):
+        """Pipelined scatter-gather over a query batch."""
+        futures = {
+            q: [s.search.remote(q, k, mode) for s in self._shards] for q in queries
+        }
+        results = {}
+        for q, fs in futures.items():
+            out: list[tuple[int, float]] = []
+            for part in self._ray.get(fs):
+                out = _merge_topk(out, [tuple(r) for r in part], k)
+            results[q] = out
+        return results
+
+    def shutdown(self) -> None:
+        for s in self._shards:
+            self._ray.kill(s)
+        self._shards = []

@@ -1,0 +1,47 @@
+"""Doc-range-sharded serving pool: scatter-gather top-k must equal the
+single-engine results exactly (the ES shard fan-out analogue)."""
+
+import pytest
+
+from limetrans_ray.pipelines.build_index import IndexBuildConfig, build_index
+from limetrans_ray.pipelines.search import SearchEngine, ServingPool
+
+from .conftest import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def pool_and_engine(ray_session, webtext_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_pool"))
+    # small buckets → enough buckets to split across 4 shards
+    build_index(webtext_dir, root, config=IndexBuildConfig(bucket_width=128))
+    pool = ServingPool(root, n_shards=4)
+    engine = SearchEngine(root)
+    yield pool, engine
+    pool.shutdown()
+
+
+def test_pool_spans_shards(pool_and_engine):
+    pool, _ = pool_and_engine
+    assert pool.n_shards == 4
+
+
+def test_pool_equals_single_engine(pool_and_engine):
+    pool, engine = pool_and_engine
+    for q in REFERENCE_QUERIES:
+        assert pool.search(q, 10) == engine.search(q, 10), q
+
+
+def test_pool_or_mode_and_phrases(pool_and_engine):
+    pool, engine = pool_and_engine
+    for q in ["payment market", "web search engine"]:
+        assert pool.search(q, 10, mode="or") == engine.search(q, 10, mode="or"), q
+    for q in ['"drei zinnen"', '"payment market"']:
+        assert pool.search(q, 10) == engine.search(q, 10), q
+
+
+def test_search_many(pool_and_engine):
+    pool, engine = pool_and_engine
+    qs = REFERENCE_QUERIES[:6]
+    out = pool.search_many(qs, k=5)
+    for q in qs:
+        assert out[q] == engine.search(q, 5), q
