@@ -69,6 +69,41 @@ def _bm25_topk(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
+BM25_PHRASE_SET = [
+    '"table part"',
+    '"query join"',
+    '"slow fast" table',
+    '"customer order line"',
+    '"key value" scan',
+]
+
+
+def _bm25_phrase_topk(sf_dir: str, k: int = 10):
+    """Phrase-query flagship variant: positional index, quoted clauses
+    filter to consecutive-position matches (rows-only check; correctness
+    is pinned by tests/test_phrase.py oracle parity)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+    from limetrans_ray import FORMAT_VERSION
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir)
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    build_index_from_documents(
+        ds, root, fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}"
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in BM25_PHRASE_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return _bm25_topk("/root/testdata/sf0.001")
@@ -193,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         # fulltext flagship + non-SQL-expressible extensions (rows-only)
         "bm25_topk": _bm25_topk,
+        "bm25_phrase_topk": _bm25_phrase_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "neardup_minhash": _neardup_minhash,
         "simhash_pairs": _simhash_pairs,

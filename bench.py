@@ -194,10 +194,20 @@ def _hardware_ceiling() -> dict:
             p.communicate()
         return time.time() - t0
 
-    w8 = min(run_n(8) for _ in range(2))
-    w32 = min(run_n(32) for _ in range(2))
-    ratio = (32 / w32) / (8 / w8)  # throughput ratio, ideal = 4
-    return {"tput_ratio_8_to_32": round(ratio, 3), "ceiling_efficiency": round(ratio / 4, 3)}
+    # the ceiling itself is noisy on shared vCPUs (observed 0.66-0.89
+    # across back-to-back reps) — take the median of several interleaved
+    # samples and report the distribution
+    samples = []
+    for _ in range(4):
+        w8, w32 = run_n(8), run_n(32)
+        samples.append(((32 / w32) / (8 / w8)) / 4)
+    samples.sort()
+    med = (samples[1] + samples[2]) / 2
+    return {
+        "ceiling_efficiency": round(med, 3),
+        "ceiling_samples": [round(s, 3) for s in samples],
+        "tput_ratio_8_to_32": round(med * 4, 3),
+    }
 
 
 def run_scaling() -> dict:

@@ -377,16 +377,17 @@ def _finish_from_fwd(
             raise ValueError("refusing to build an index over zero documents")
         # docs/ = metadata projection of fwd. Small corpora: one direct
         # columnar copy on the driver (a distributed pass costs more in
-        # fixed overhead than it moves in bytes); large: Ray projection.
+        # fixed overhead than it moves in bytes); large: Ray projection
+        # (the copy is O(n) and must not serialize on the driver).
         doc_cols = ["doc_id", "url", "canon", "lang", "doclen"]
         _clean_dir(docs_dir)
-        if _dir_bytes(fwd_dir) <= SMALL_AGG_BYTES:
+        if n_docs <= 1_000_000:
             os.makedirs(docs_dir, exist_ok=True)
             pq.write_table(
                 pq.read_table(fwd_dir, columns=doc_cols),
                 os.path.join(docs_dir, "docs.parquet"),
             )
-        else:  # pragma: no cover — >SMALL_AGG_BYTES path
+        else:
             rd.read_parquet(fwd_dir, columns=doc_cols).write_parquet(docs_dir)
         stats = {
             "n_docs": n_docs,
