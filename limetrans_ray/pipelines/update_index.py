@@ -50,6 +50,192 @@ from ..state import manifest as mf
 TOMBSTONE_FILE = "tombstones.json"
 
 
+def compact_index(index_root: str, *, build_id: str | None = None, retain: int = 2) -> dict:
+    """Physically drop tombstoned documents into a NEW build (the
+    Lucene-merge / reference full-rebuild analogue): docs and posting
+    chunks are rewritten without deleted ids, corpus and term statistics
+    are recomputed exactly (fresh n_docs/avgdl/df — the staleness window
+    closes), block maxima are re-derived under the fresh avgdl, the
+    tombstone set empties, and CURRENT flips atomically.
+
+    Segment rewriting is one independent task per segment file (a pure
+    filter — no shuffle), submitted as raw Ray tasks: per-file in/out
+    with mixed on-disk schemas is the one shape the Dataset API doesn't
+    express cleanly. Doc ids are preserved (no remap), so external
+    references stay valid.
+    """
+    import shutil
+
+    src_id = build_id or mf.current_build(index_root)
+    src = mf.build_dir(index_root, src_id)
+    with open(os.path.join(src, "stats.json")) as fh:
+        stats = json.load(fh)
+    deleted = _load_tombstones(src)
+    dst_id = f"{src_id}-compact{int(stats.get('compactions', 0)) + 1}"
+    dst = mf.build_dir(index_root, dst_id)
+    _ = shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(os.path.join(dst, "segments"), exist_ok=True)
+    os.makedirs(os.path.join(dst, "docs"), exist_ok=True)
+
+    # ---- docs minus deleted; fresh corpus stats
+    docs = pq.read_table(os.path.join(src, "docs"))
+    if deleted:
+        keep = ~np.isin(docs.column("doc_id").to_numpy(), np.fromiter(deleted, dtype=np.int64))
+        docs = docs.filter(pa.array(keep))
+    pq.write_table(docs, os.path.join(dst, "docs", "docs.parquet"))
+    n_docs = docs.num_rows
+    if n_docs == 0:
+        raise ValueError("refusing to compact to an empty index")
+    doclen_col = docs.column("doclen").to_numpy()
+    max_doc = int(docs.column("doc_id").to_numpy().max())
+    total_terms = int(doclen_col.sum())
+    avgdl = total_terms / n_docs
+    doclens = np.zeros(max_doc + 1, dtype=np.int64)
+    doclens[docs.column("doc_id").to_numpy()] = doclen_col
+    doclens_ref = ray.put(doclens)
+    deleted_arr = np.fromiter(deleted, dtype=np.int64) if deleted else np.zeros(0, np.int64)
+    deleted_ref = ray.put(np.sort(deleted_arr))
+    block_size = int(stats.get("config", {}).get("block_size", 128))
+    base_avgdl = float(stats.get("base_avgdl", stats["avgdl"]))
+
+    seg_files = []
+    for root_, _d, fs in os.walk(os.path.join(src, "segments")):
+        seg_files.extend(os.path.join(root_, f) for f in fs if f.endswith(".parquet"))
+
+    @ray.remote
+    def compact_file(path: str, out_path: str) -> tuple[int, int]:
+        from limetrans_ray.functions import codec as _codec
+        from limetrans_ray.state import bm25 as _bm25
+
+        dele = ray.get(deleted_ref)
+        dls = ray.get(doclens_ref)
+        tbl = pq.read_table(path)
+        has_pos = "pos_enc" in tbl.schema.names
+        rows = {c: [] for c in tbl.schema.names}
+        rows.setdefault("enc_avgdl", [])
+        kept_rows = 0
+        for i in range(tbl.num_rows):
+            ids, tfs = _codec.decode_chunk(
+                tbl.column("ids_enc")[i].as_py(), tbl.column("tfs_enc")[i].as_py()
+            )
+            pos = None
+            if has_pos and tbl.column("pos_enc")[i].as_py() is not None:
+                pdeltas = _codec.varint_decode(tbl.column("pos_enc")[i].as_py()).astype(np.int64)
+                vst = np.zeros(len(tfs), dtype=np.int64)
+                np.cumsum(tfs[:-1], out=vst[1:])
+                pos = _codec.segmented_delta_decode(pdeltas, vst)
+            keep = ~np.isin(ids, dele) if len(dele) else np.ones(len(ids), bool)
+            if not keep.any():
+                continue
+            ids2, tfs2 = ids[keep], tfs[keep]
+            impacts = _bm25.impact(tfs2, dls[ids2], avgdl)
+            chunk = _codec.encode_chunk(ids2, tfs2, impacts, block_size)
+            if pos is not None:
+                starts = np.zeros(len(tfs), dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                pos_parts = [
+                    pos[starts[j] : starts[j] + tfs[j]] for j in np.flatnonzero(keep)
+                ]
+                pos2 = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+                pst = np.zeros(len(tfs2), dtype=np.int64)
+                np.cumsum(tfs2[:-1], out=pst[1:])
+                rows_pos = _codec.varint_encode(
+                    _codec.segmented_delta_encode(pos2, pst)
+                )
+            else:
+                rows_pos = None
+            kept_rows += 1
+            for c in tbl.schema.names:
+                if c == "ids_enc":
+                    rows[c].append(chunk["ids_enc"])
+                elif c == "tfs_enc":
+                    rows[c].append(chunk["tfs_enc"])
+                elif c == "pos_enc":
+                    rows[c].append(rows_pos)
+                elif c == "df":
+                    rows[c].append(chunk["df"])
+                elif c == "cf":
+                    rows[c].append(chunk["cf"])
+                elif c == "first_doc":
+                    rows[c].append(chunk["first_doc"])
+                elif c == "last_doc":
+                    rows[c].append(chunk["last_doc"])
+                elif c == "block_last":
+                    rows[c].append(chunk["block_last"].tolist())
+                elif c == "block_max":
+                    rows[c].append(chunk["block_max"].tolist())
+                elif c == "ids_boff":
+                    rows[c].append(chunk["ids_boff"].tolist())
+                elif c == "tfs_boff":
+                    rows[c].append(chunk["tfs_boff"].tolist())
+                elif c == "enc_avgdl":
+                    rows[c].append(avgdl)
+                else:
+                    rows[c].append(tbl.column(c)[i].as_py())
+        if "enc_avgdl" not in tbl.schema.names:
+            rows["enc_avgdl"] = [avgdl] * kept_rows
+        if kept_rows:
+            out_cols = dict(rows)
+            out = pa.table(out_cols)
+            pq.write_table(out, out_path)
+        return kept_rows, tbl.num_rows
+
+    futures = [
+        compact_file.remote(f, os.path.join(dst, "segments", f"seg-{i:05d}.parquet"))
+        for i, f in enumerate(sorted(seg_files))
+    ]
+    results = ray.get(futures)
+
+    # ---- fresh term stats from the rewritten chunks
+    ts_rows = []
+    for root_, _d, fs in os.walk(os.path.join(dst, "segments")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                ts_rows.append(
+                    pq.read_table(os.path.join(root_, f), columns=["term", "df", "cf"]).to_pandas()
+                )
+    ts = (
+        pd.concat(ts_rows).groupby("term", as_index=False).agg(df=("df", "sum"), cf=("cf", "sum"))
+        if ts_rows
+        else pd.DataFrame({"term": [], "df": [], "cf": []})
+    )
+    os.makedirs(os.path.join(dst, "term_stats"), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(ts, preserve_index=False),
+        os.path.join(dst, "term_stats", "term_stats.parquet"),
+    )
+
+    new_stats = dict(stats)
+    new_stats.update(
+        {
+            "n_docs": n_docs,
+            "max_doc": max_doc,
+            "total_terms": total_terms,
+            "avgdl": avgdl,
+            "base_avgdl": avgdl,
+            "build_id": dst_id,
+            "compactions": int(stats.get("compactions", 0)) + 1,
+            "deltas": 0,
+        }
+    )
+    with open(os.path.join(dst, "stats.json"), "w") as fh:
+        json.dump(new_stats, fh, indent=1)
+    mf.write_stage_manifest(
+        dst,
+        "compact",
+        input_fingerprint=f"compact-of-{src_id}",
+        rows_out=n_docs,
+        partitions=mf.partition_lineage(os.path.join(dst, "segments")),
+        metrics={
+            "dropped_docs": int(len(deleted)),
+            "chunks_before": int(sum(r[1] for r in results)),
+            "chunks_after": int(sum(r[0] for r in results)),
+        },
+    )
+    mf.publish_current(index_root, dst_id, retain=retain)
+    return new_stats
+
+
 def _load_tombstones(bdir: str) -> set[int]:
     path = os.path.join(bdir, TOMBSTONE_FILE)
     if not os.path.exists(path):
