@@ -99,6 +99,52 @@ class ImageFeatureStage:
         return batch.append_column("features", arr)
 
 
+class AudioDecodeStage:
+    """binary audio column → fixed-rate int16 waveform + typed metadata.
+
+    Same contract as :class:`ImageDecodeStage`: the decode kernel is a
+    deterministic stub (seeded from the payload digest — swap for
+    ffmpeg/soundfile), the Arrow plumbing is real. Output columns:
+    ``waveform`` (FixedSizeList<int16>), ``sample_rate``, ``n_samples``.
+    """
+
+    def __init__(
+        self,
+        audio_col: str = "payload",
+        n_samples: int = 4096,
+        sample_rate: int = 16_000,
+        *,
+        real_decoder: bool = False,
+    ):
+        if real_decoder:
+            raise DecoderNotAvailable(
+                "no audio codec library in this environment; "
+                "run with real_decoder=False for the deterministic stub"
+            )
+        self.audio_col = audio_col
+        self.n_samples = n_samples
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.audio_col).to_pylist()
+        n = len(payloads)
+        waves = np.empty((n, self.n_samples), dtype=np.int16)
+        for i, p in enumerate(payloads):
+            seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "little")
+            rng = np.random.default_rng(seed)
+            waves[i] = rng.integers(-(2**15), 2**15, size=self.n_samples, dtype=np.int16)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(waves.reshape(-1)), self.n_samples)
+        out = batch.drop_columns([self.audio_col])
+        out = out.append_column("waveform", arr)
+        out = out.append_column(
+            "sample_rate", pa.array(np.full(n, self.sample_rate, dtype=np.int32))
+        )
+        out = out.append_column(
+            "n_samples", pa.array(np.full(n, self.n_samples, dtype=np.int32))
+        )
+        return out
+
+
 class FrameSampleStage:
     """binary "video" column → every k-th frame's payload slice (stub:
     fixed-stride byte windows standing in for frame extraction; the
