@@ -247,7 +247,8 @@ _TOKENS = f"list_filter({_SIMPLE_SPLIT}, x -> x <> '')"
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats": """
-            SELECT lang, source, count(*) AS n, sum(n_chars) AS sum_chars
+            SELECT lang, source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang, source
         """,
         "filter_docs": """

@@ -149,8 +149,9 @@ def word_shingles(text: str, k: int = 1) -> np.ndarray:
 
 
 def minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded (a, b) parameters for ``num_perm`` universal-hash
-    permutations h_i(x) = (a_i * x + b_i) mod 2^61-1."""
+    """Seeded (a, b) parameters for ``num_perm`` MinHash mixes
+    h_i(x) ≈ (a_i * x + b_i) mod 2^61-1 (see
+    :func:`minhash_signature` for the exact, slightly ad-hoc map)."""
     rng = np.random.default_rng(seed)
     mersenne = (1 << 61) - 1
     a = rng.integers(1, mersenne, size=num_perm, dtype=np.uint64)
@@ -162,7 +163,14 @@ _MERSENNE = _U64((1 << 61) - 1)
 
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (uint64, len(a)) of a set of shingle hashes."""
+    """MinHash signature (uint64, len(a)) of a set of shingle hashes.
+
+    NOTE: ``a*x`` wraps mod 2^64 *before* the mod 2^61-1 reduction, so
+    this is a deterministic ad-hoc mix, not the textbook universal hash
+    family — the analytic LSH false-negative bound does not strictly
+    apply (empirical recall is pinned by tests/test_dedup_ann.py's
+    planted-duplicate test instead). The wraparound keeps the kernel a
+    single vectorized uint64 numpy op."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     x = shingle_hashes.astype(np.uint64) & _MERSENNE

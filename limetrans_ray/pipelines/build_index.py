@@ -124,6 +124,84 @@ def _dir_bytes(directory: str) -> int:
     return size
 
 
+def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
+    """Collapse fwd/ rows that share a doc_id.
+
+    Genuine crawl duplicates — the same url AND warc_ts as distinct
+    input rows — all satisfy the winner key (doc_key, win_ts, url_hash),
+    so each copy reaches fwd/ with the SAME doc_id, which would inflate
+    n_docs/avgdl/df and duplicate postings (the ES reference collapses
+    such rows via ``_id``). Repeated ids are rare by construction, so
+    this repair streams: find the few repeated ids from the pruned
+    doc_id column, pull only those rows to the driver, keep one per id
+    under a deterministic content digest, and rewrite fwd/ filtering the
+    rest. Returns the number of rows dropped.
+    """
+    import hashlib
+
+    def _dup_ids_pandas(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["doc_id"].value_counts()
+        return pd.DataFrame({"doc_id": vc[vc > 1].index.to_numpy()})
+
+    def _dup_ids_ray(ds: rd.Dataset):  # pragma: no cover — >SMALL_AGG_BYTES path
+        from ray.data.aggregate import Count
+
+        cnt = ds.groupby("doc_id").aggregate(Count(alias_name="n"))
+        return cnt.filter(lambda r: r["n"] > 1).to_pandas()[["doc_id"]]
+
+    dups = _small_groupby(fwd_dir, ["doc_id"], _dup_ids_pandas, _dup_ids_ray)
+    if not isinstance(dups, pd.DataFrame):  # pragma: no cover
+        dups = dups.to_pandas()
+    dup_ids = np.sort(dups["doc_id"].to_numpy().astype(np.int64))
+    if len(dup_ids) == 0:
+        return 0
+    dup_ref = ray.put(dup_ids)
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        return batch.filter(pa.array(np.isin(batch.column("doc_id").to_numpy(), d)))
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        return batch.filter(pa.array(~np.isin(batch.column("doc_id").to_numpy(), d)))
+
+    cand_tbl = pa.concat_tables(
+        ray.get(
+            rd.read_parquet(fwd_dir)
+            .map_batches(only_dups, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+    )
+
+    def row_digest(row: dict) -> bytes:
+        h = hashlib.blake2b(digest_size=16)
+        h.update(
+            repr((row["doclen"], row["url"], row["canon"], row["lang"],
+                  row["terms"], row["tfs"], row["pos"])).encode()
+        )
+        return h.digest()
+
+    best: dict[int, tuple[bytes, dict]] = {}
+    for row in cand_tbl.to_pylist():
+        key = (row_digest(row), )
+        cur = best.get(row["doc_id"])
+        if cur is None or key < cur[0:1]:
+            best[row["doc_id"]] = (key[0], row)
+    chosen = pa.Table.from_pylist(
+        [r for _d, r in (best[i] for i in sorted(best))], schema=cand_tbl.schema
+    )
+
+    tmp = fwd_dir + ".dedup"
+    _clean_dir(tmp)
+    rd.read_parquet(fwd_dir).map_batches(
+        drop_dups, batch_format="pyarrow"
+    ).write_parquet(tmp)
+    pq.write_table(chosen, os.path.join(tmp, "dedup-chosen.parquet"))
+    _clean_dir(fwd_dir)
+    os.replace(tmp, fwd_dir)
+    return int(cand_tbl.num_rows - len(best))
+
+
 def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):
     """Run a metadata aggregation on the driver (pandas) when the pruned
     input columns are small, else distributed (Ray groupby). Returns a
@@ -158,6 +236,10 @@ def build_index(
             )
         else:
             files.append(p)
+    # the same file listed twice would make every one of its rows a
+    # "duplicate input row" (identical url AND warc_ts) that the winner
+    # key cannot discriminate — collapse the listing up front
+    files = list(dict.fromkeys(os.path.abspath(f) for f in files))
     fp = mf.fingerprint_paths(files)
     if build_id is None:
         build_id = f"b{fp[:12]}"
@@ -358,19 +440,39 @@ def _finish_from_fwd(
                 {"n": [meta.count()], "terms": [agg["terms"]], "max_doc": [agg["max_doc"]]}
             )
 
-        pdf = _small_groupby(
-            fwd_dir,
-            ["doc_id", "doclen"],
-            lambda df: pd.DataFrame(
-                {
-                    "n": [len(df)],
-                    "terms": [df["doclen"].sum()],
-                    "max_doc": [df["doc_id"].max()],
-                }
-            ),
-            _ray_corpus_stats,
-        )
+        def _corpus_stats():
+            return _small_groupby(
+                fwd_dir,
+                ["doc_id", "doclen"],
+                lambda df: pd.DataFrame(
+                    {
+                        "n": [len(df)],
+                        "terms": [df["doclen"].sum()],
+                        "max_doc": [df["doc_id"].max()],
+                    }
+                ),
+                _ray_corpus_stats,
+            )
+
+        pdf = _corpus_stats()
         n_docs = int(pdf["n"].iloc[0])
+        # duplicate-input guard: identical input rows (same url AND
+        # warc_ts — e.g. genuine crawl duplicates) all satisfy the
+        # winner key and reach fwd/ under one doc_id; detect via the
+        # expected winner count recorded in the fwd manifest and repair
+        # (zero cost on the clean path — just this count compare)
+        fwd_m = mf.stage_manifest(bdir, "fwd")
+        expected = fwd_m.get("rows_out") if fwd_m else None
+        if expected is not None and n_docs != expected:
+            dropped = _dedupe_fwd_doc_ids(fwd_dir)
+            metrics["fwd_dup_rows_dropped"] = dropped
+            pdf = _corpus_stats()
+            n_docs = int(pdf["n"].iloc[0])
+            if n_docs != expected:
+                raise ValueError(
+                    f"fwd row count {n_docs} != expected winners {expected} "
+                    "after doc_id dedup — input/winner accounting bug"
+                )
         total_terms = int(pdf["terms"].iloc[0])
         max_doc = int(pdf["max_doc"].iloc[0])
         if n_docs == 0:

@@ -88,8 +88,10 @@ def minhash_lsh_candidates(
        buckets with ≥2 docs  [the only shuffle; bucket sizes are small
        for any sane banding]
     3. verify candidates with exact shingle Jaccard (false-positive
-       removal; LSH false-negative rate for j≥0.8 at 128/32 banding is
-       ≈(1-(1-0.8^4)^32) ⇒ miss ≈ 5e-8).
+       removal; the textbook miss bound for j≥0.8 at 128/32 banding is
+       ≈5e-8 — indicative only, since minhash_signature is an ad-hoc
+       deterministic mix rather than a true universal hash family;
+       empirical recall is pinned by the planted-duplicate test).
 
     Returns a pandas DataFrame (a_id, b_id, jaccard) sorted by ids —
     candidate volume is tiny relative to the corpus.

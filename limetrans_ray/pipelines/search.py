@@ -212,12 +212,15 @@ class SearchEngine:
         budget — repeat queries on hot terms skip the varint decode."""
         cached = self._decoded_cache.get(term)
         if cached is not None:
+            # true LRU: refresh recency so hot terms survive eviction
+            self._decoded_cache[term] = self._decoded_cache.pop(term)
             return cached
         parts = [codec.decode_chunk(c.ids_enc, c.tfs_enc) for c in self._chunks(term)]
         n = sum(len(p[0]) for p in parts)
         if n and self._decoded_postings + n > self._decoded_budget:
             while self._decoded_cache and self._decoded_postings + n > self._decoded_budget:
-                _k, v = self._decoded_cache.popitem()
+                oldest = next(iter(self._decoded_cache))
+                v = self._decoded_cache.pop(oldest)
                 self._decoded_postings -= sum(len(x[0]) for x in v)
         self._decoded_cache[term] = parts
         self._decoded_postings += n
@@ -424,7 +427,6 @@ class SearchEngine:
             lo = b * w
             acc = np.zeros(w, dtype=np.float64)
             gmasks = [np.zeros(w, dtype=bool) for _ in groups]
-            hit_any = [False] * len(groups)
             for t in terms:  # ascending term order
                 entry = term_chunks[t].get(b)
                 if entry is None:
@@ -461,7 +463,6 @@ class SearchEngine:
                 for gi, g in enumerate(groups):
                     if t in g:
                         gmasks[gi][local] = True
-                        hit_any[gi] = True
             if mode == "and":
                 mask = np.ones(w, dtype=bool)
                 for gi, gm in enumerate(gmasks):

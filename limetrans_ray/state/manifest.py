@@ -79,6 +79,15 @@ def write_stage_manifest(
     return manifest
 
 
+def stage_manifest(bdir: str, stage: str) -> dict | None:
+    """The stage's manifest dict, or None if it was never written."""
+    mpath = os.path.join(bdir, "manifests", f"{stage}.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
 def partition_lineage(directory: str) -> list[dict]:
     """Per-file lineage entries (path, bytes) for a stage output dir."""
     out = []

@@ -67,7 +67,10 @@ def oracle_engine(webtext_dir):
         for r in pq.read_table(p).to_pylist():
             txt = r["text"] if r["text"] else extract_text(r["html"])
             canon = canonical_url(r["url"])
-            key = (r["warc_ts"], r["url"])
+            # same winner key as the engine: (warc_ts, stable url hash) —
+            # NOT the raw url string, so a warc_ts tie between two URL
+            # variants picks the same winner as compute_winners' lexsort
+            key = (r["warc_ts"], stable_hash64(r["url"]))
             if canon not in best or key < best[canon][0]:
                 best[canon] = (key, unicodedata.normalize("NFC", txt))
     ordered = sorted(best.items(), key=lambda kv: (stable_hash64(kv[0]), kv[0]))
