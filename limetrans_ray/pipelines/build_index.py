@@ -67,6 +67,7 @@ from ..stages.indexing import (
     KeyStage,
     MergeShardGroup,
     compute_winners,
+    compute_winners_distributed,
 )
 from ..state import manifest as mf
 
@@ -96,6 +97,27 @@ class IndexBuildConfig:
                                     # extract+tokenize stage: None → stateless
                                     # tasks; N or (min,max) → actor pool
     retain: int = 2                 # previous builds kept after publish
+    winners_mode: str = "auto"      # "driver" | "distributed" | "auto":
+                                    # dedup/rank on the driver (one lexsort —
+                                    # cheapest while the ~24 B/row key table
+                                    # fits one machine) vs the key-range
+                                    # groupby form; auto switches on estimated
+                                    # key bytes (see _winner_keys_too_big)
+    winner_partitions: int = 64     # key-range partitions for the
+                                    # distributed winner computation
+                                    # (data-dependent split of the doc_key
+                                    # space — never parallelism-dependent)
+    merge_bucket_groups: int | None = None  # doc-range groups for the posting
+                                    # merge: each merge task holds ONLY its
+                                    # range's doclen slice (never the dense
+                                    # max_doc+1 array). None → from corpus
+                                    # size at ~1 GiB of doclens per slice
+                                    # (1 at sandbox scale, ~8000 at 10^12)
+
+    def resolved_merge_bucket_groups(self, max_doc: int) -> int:
+        if self.merge_bucket_groups:
+            return int(self.merge_bucket_groups)
+        return max(1, -(-(max_doc + 1) * 8 // DOCLEN_SLICE_BYTES))
 
     def resolved_bucket_width(self, max_doc: int) -> int:
         if self.bucket_width:
@@ -115,6 +137,9 @@ def _clean_dir(path: str) -> None:
 # overhead and buys nothing for kilobytes of input. Above it, the same
 # aggregation runs as a Ray groupby (the 100 TB path).
 SMALL_AGG_BYTES = 512 << 20
+
+# Target bytes of doclen state per merge-task / serving-shard slice.
+DOCLEN_SLICE_BYTES = 1 << 30
 
 
 def _dir_bytes(directory: str) -> int:
@@ -251,21 +276,32 @@ def build_index(
     fwd_dir = os.path.join(bdir, "fwd")
     if not mf.stage_done(bdir, "fwd", fp):
         t0 = time.perf_counter()
-        keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
-            KeyStage(), batch_format="pyarrow", batch_size=65536
-        )
-        keys_tbl = pa.concat_tables(
-            [ray.get(ref) for ref in keys_ds.to_arrow_refs()]
-        )
-        n_input = keys_tbl.num_rows
-        if n_input == 0 or "doc_key" not in keys_tbl.schema.names:
+        # parquet footers give the input row count for free (no scan)
+        n_input = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if n_input == 0:
             raise ValueError(
                 "refusing to build an index over zero documents "
                 "(the reference skips the alias switch on zero docs, "
                 "ElasticsearchClient.java:284-295)"
             )
-        winners = compute_winners(keys_tbl)
-        del keys_tbl
+        keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
+            KeyStage(), batch_format="pyarrow", batch_size=65536
+        )
+        # ~24 B of key per input row: one driver lexsort is cheapest
+        # until the key table itself outgrows a machine, then the same
+        # computation runs as a key-range groupby (identical output —
+        # tests/test_determinism.py pins the parity)
+        distributed = cfg.winners_mode == "distributed" or (
+            cfg.winners_mode == "auto" and n_input * 24 > SMALL_AGG_BYTES
+        )
+        if distributed:
+            winners = compute_winners_distributed(keys_ds, cfg.winner_partitions)
+        else:
+            keys_tbl = pa.concat_tables(
+                [ray.get(ref) for ref in keys_ds.to_arrow_refs()]
+            )
+            winners = compute_winners(keys_tbl)
+            del keys_tbl
         metrics["dedup_keys_s"] = time.perf_counter() - t0
         winners_ref = ray.put(winners)
         n_docs_expected = len(winners["doc_id"])
@@ -527,26 +563,45 @@ def _finish_from_fwd(
     seg_dir = os.path.join(bdir, "segments")
     if not mf.stage_done(bdir, "segments", fp):
         t0 = time.perf_counter()
-        # doclen array for block-max impacts: a direct columnar read (8B/doc;
-        # at 10^12 docs this broadcast becomes per-doc-range shards colocated
-        # with the merge tasks — the bucket layout already partitions it)
+        # doclen state for block-max impacts, RANGE-SHARDED: one slice
+        # per merge bucket-group, each its own broadcast object — a
+        # merge task fetches only its doc range's slice (~1 GiB cap),
+        # never a dense max_doc+1 array. Slice construction is a
+        # columnar driver read here (doclens ≪ SMALL_AGG_BYTES in the
+        # sandbox); past that it becomes a Ray groupby(bgroup) pass
+        # over docs/ emitting the same per-range objects.
+        max_doc = int(stats["max_doc"])
+        w = int(stats["bucket_width"])
+        n_buckets = max_doc // w + 1
+        n_bg = min(cfg.resolved_merge_bucket_groups(max_doc), n_buckets)
+        bg_bucket_bounds = np.linspace(0, n_buckets, n_bg + 1).astype(np.int64)
+        bg_doc_base = bg_bucket_bounds * w  # doc-id base per bucket-group
         dl_tbl = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
-        doclens = np.zeros(stats["max_doc"] + 1, dtype=np.int64)
+        doclens = np.zeros(max_doc + 1, dtype=np.int64)
         doclens[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column("doclen").to_numpy()
-        doclens_ref = ray.put(doclens)
+        dl_refs = {
+            bg: ray.put(doclens[bg_doc_base[bg] : min(bg_doc_base[bg + 1], max_doc + 1)])
+            for bg in range(n_bg)
+        }
+        del doclens, dl_tbl
         partials = rd.read_parquet(
             fwd_dir, columns=["doc_id", "terms", "tfs", "pos"]
         ).map_batches(
-            InvertStage(stats["bucket_width"], cfg.n_term_shards),
+            InvertStage(
+                stats["bucket_width"], cfg.n_term_shards,
+                bucket_group_bounds=bg_bucket_bounds,
+            ),
             batch_format="pyarrow",
             batch_size=cfg.invert_batch_size,
         )
-        merger = MergeShardGroup(doclens_ref, stats["avgdl"], cfg.block_size)
+        merger = MergeShardGroup(
+            dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base
+        )
 
         def merge_shard_group(group: pa.Table) -> pa.Table:
             return merger(group)
 
-        segs = partials.groupby("shard").map_groups(
+        segs = partials.groupby(["shard", "bgroup"]).map_groups(
             merge_shard_group, batch_format="pyarrow"
         )
         _clean_dir(seg_dir)

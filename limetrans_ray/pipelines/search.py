@@ -22,11 +22,13 @@ Determinism: θ only prunes provably-losing docs, and final selection is
 accumulated in ascending term order — identical across scorers, runs and
 build parallelism levels.
 
-Scale notes: doclens and term_stats load fully here (fine up to ~10^8
-docs per serving shard); at 10^12 docs both would be range-sharded with
-the segments and the scatter-gather handled by one serving actor per
-shard — the layout (term-hash shard column, bucket-aligned chunks)
-already supports that split.
+Scale notes: a ``bucket_range`` engine (the ServingPool shard) loads
+only its doc range's posting chunks, doclen slice and tombstone slice,
+and scores in range-local coordinates — per-shard memory is O(range),
+never O(max_doc). The full-range engine (bucket_range=None) keeps the
+dense layout, appropriate for single-node serving up to ~10^8 docs;
+term_stats stay corpus-global everywhere so shard-local scores equal
+whole-index scores exactly.
 """
 
 from __future__ import annotations
@@ -85,9 +87,34 @@ class SearchEngine:
         self.max_doc = int(self.stats.get("max_doc", self.n_docs - 1))
         self.avgdl = float(self.stats["avgdl"])
 
-        docs = pq.read_table(os.path.join(self.bdir, "docs"), columns=["doc_id", "doclen"])
-        self.doclens = np.zeros(self.max_doc + 1, dtype=np.int64)
-        self.doclens[docs.column("doc_id").to_numpy()] = docs.column("doclen").to_numpy()
+        # doc-range-local state: a bucket_range shard holds ONLY its
+        # range's doclen/tombstone slices and scores in range-local
+        # coordinates (global id - _base) — no dense max_doc+1 arrays
+        # per serving shard (the 10^12-doc memory contract)
+        w_cfg = int(self.stats["bucket_width"])
+        if bucket_range is not None:
+            lo, hi = bucket_range
+            self._base = int(lo) * w_cfg
+            self._span = max(0, min(int(hi) * w_cfg, self.max_doc + 1) - self._base)
+        else:
+            self._base = 0
+            self._span = self.max_doc + 1
+
+        doc_filters = None
+        if bucket_range is not None:
+            doc_filters = [
+                ("doc_id", ">=", self._base),
+                ("doc_id", "<", self._base + self._span),
+            ]
+        docs = pq.read_table(
+            os.path.join(self.bdir, "docs"),
+            columns=["doc_id", "doclen"],
+            filters=doc_filters,
+        )
+        self.doclens = np.zeros(self._span, dtype=np.int64)
+        self.doclens[docs.column("doc_id").to_numpy() - self._base] = docs.column(
+            "doclen"
+        ).to_numpy()
 
         ts = pq.read_table(os.path.join(self.bdir, "term_stats"))
         self.df = dict(
@@ -95,7 +122,7 @@ class SearchEngine:
         )
 
         # deletion tombstones (update mode): filtered out of every result
-        self._deleted = np.zeros(self.max_doc + 1, dtype=bool)
+        self._deleted = np.zeros(self._span, dtype=bool)
         tomb_path = os.path.join(self.bdir, "tombstones.json")
         if os.path.exists(tomb_path):
             import json as _json
@@ -103,7 +130,9 @@ class SearchEngine:
             with open(tomb_path) as fh:
                 ids = _json.load(fh)["doc_ids"]
             if ids:
-                self._deleted[np.asarray(ids, dtype=np.int64)] = True
+                ids = np.asarray(ids, dtype=np.int64)
+                ids = ids[(ids >= self._base) & (ids < self._base + self._span)]
+                self._deleted[ids - self._base] = True
 
         self._seg_dir = os.path.join(self.bdir, "segments")
         self._segments: pa.Table | None = None
@@ -297,15 +326,17 @@ class SearchEngine:
         idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
         if not clauses:
             return []
-        acc = np.zeros(self.max_doc + 1, dtype=np.float64)
+        # range-local accumulators/masks; position keys pack GLOBAL ids
+        acc = np.zeros(self._span, dtype=np.float64)
         postings: dict[str, np.ndarray] = {}
         for t in terms:  # ascending term order — canonical summation
             ids, tfs = self._postings(t)
-            postings[t] = ids
-            acc[ids] += idfs[t] * bm25.impact(tfs, self.doclens[ids], self.avgdl)
+            local = ids - self._base
+            postings[t] = local
+            acc[local] += idfs[t] * bm25.impact(tfs, self.doclens[local], self.avgdl)
 
         def term_mask(variants) -> np.ndarray:
-            m = np.zeros(self.max_doc + 1, dtype=bool)
+            m = np.zeros(self._span, dtype=bool)
             for t in variants:
                 if t in postings:
                     m[postings[t]] = True
@@ -318,7 +349,7 @@ class SearchEngine:
                 sm = term_mask(slot)
                 cand = sm if cand is None else cand & sm
             if cand is None or not cand.any():
-                return np.zeros(self.max_doc + 1, dtype=bool)
+                return np.zeros(self._span, dtype=bool)
             # (doc, pos - slot_index) keys over candidate docs only; the
             # phrase exists iff some shifted key survives intersection
             anchor = None
@@ -330,17 +361,17 @@ class SearchEngine:
                     if t not in self.df:
                         continue
                     d, p = self._doc_positions(t)
-                    keep = cand[d]
+                    keep = cand[d - self._base]
                     d, p = d[keep], p[keep]
                     keys_i.append(d * self._POS_K + (p - i + L))
                 if not keys_i:
-                    return np.zeros(self.max_doc + 1, dtype=bool)
+                    return np.zeros(self._span, dtype=bool)
                 ks = np.unique(np.concatenate(keys_i))
                 anchor = ks if anchor is None else np.intersect1d(anchor, ks, assume_unique=True)
                 if len(anchor) == 0:
-                    return np.zeros(self.max_doc + 1, dtype=bool)
-            m = np.zeros(self.max_doc + 1, dtype=bool)
-            m[np.unique(anchor // self._POS_K)] = True
+                    return np.zeros(self._span, dtype=bool)
+            m = np.zeros(self._span, dtype=bool)
+            m[np.unique(anchor // self._POS_K) - self._base] = True
             return m
 
         mask = None
@@ -354,25 +385,27 @@ class SearchEngine:
                 mask |= cm
         mask &= ~self._deleted
         docs = np.flatnonzero(mask)
-        return bm25.top_k_from_scores(docs, acc[docs], k)
+        return bm25.top_k_from_scores(docs + self._base, acc[docs], k)
 
     def search_exhaustive(self, query: str, k: int = 10, mode: str = "and"):
         groups, terms, idfs = self._prepare(query)
         if not groups:
             return []
-        acc = np.zeros(self.max_doc + 1, dtype=np.float64)
-        seen = np.zeros(self.max_doc + 1, dtype=bool)
+        # range-local accumulators (span == max_doc+1 for a full engine)
+        acc = np.zeros(self._span, dtype=np.float64)
+        seen = np.zeros(self._span, dtype=bool)
         postings = {}
         for t in terms:  # ascending term order — canonical float summation
             ids, tfs = self._postings(t)
-            postings[t] = ids
-            imp = bm25.impact(tfs, self.doclens[ids], self.avgdl)
-            acc[ids] += idfs[t] * imp
-            seen[ids] = True
+            local = ids - self._base
+            postings[t] = local
+            imp = bm25.impact(tfs, self.doclens[local], self.avgdl)
+            acc[local] += idfs[t] * imp
+            seen[local] = True
         # group coverage for AND/OR
         mask = None
         for g in groups:
-            gmask = np.zeros(self.max_doc + 1, dtype=bool)
+            gmask = np.zeros(self._span, dtype=bool)
             any_term = False
             for t in g:
                 if t in postings:
@@ -389,7 +422,7 @@ class SearchEngine:
         final = mask if mask is not None else seen
         final &= ~self._deleted  # tombstoned docs never surface
         docs = np.flatnonzero(final)
-        return bm25.top_k_from_scores(docs, acc[docs], k)
+        return bm25.top_k_from_scores(docs + self._base, acc[docs], k)
 
     def search_pruned(self, query: str, k: int = 10, mode: str = "and"):
         groups, terms, idfs = self._prepare(query)
@@ -457,7 +490,7 @@ class SearchEngine:
                     tfs_all.append(tfs_r)
                 ids = np.concatenate(ids_all)
                 tfs = np.concatenate(tfs_all)
-                imp = bm25.impact(tfs, self.doclens[ids], self.avgdl)
+                imp = bm25.impact(tfs, self.doclens[ids - self._base], self.avgdl)
                 local = ids - lo
                 acc[local] += idfs[t] * imp
                 for gi, g in enumerate(groups):
@@ -471,7 +504,7 @@ class SearchEngine:
                 mask = np.zeros(w, dtype=bool)
                 for gm in gmasks:
                     mask |= gm
-            dslice = self._deleted[lo : lo + w]
+            dslice = self._deleted[lo - self._base : lo - self._base + w]
             mask[: len(dslice)] &= ~dslice
             local_docs = np.flatnonzero(mask)
             if len(local_docs) == 0:
@@ -497,8 +530,8 @@ class ServingPool:
     merge under (score desc, doc_id asc) is exactly the single-engine
     top-k, because BM25 stats stay corpus-global per shard. This is the
     ES shard scatter-gather analogue (reference ElasticsearchClient
-    search path) — at 10^12 docs each actor would also hold only its
-    range's doclen slice.
+    search path); each actor holds only its range's doclen/tombstone
+    slices and scores in range-local coordinates (O(range) memory).
 
     Determinism: shard results are merged in shard order with the same
     tie-break as every other scorer; tests assert pool == single engine.

@@ -383,7 +383,11 @@ def add_documents(
     partials = rd.read_parquet(delta_dir, columns=["doc_id", "terms", "tfs", "pos"]).map_batches(
         InvertStage(w, n_shards), batch_format="pyarrow", batch_size=invert_batch_size
     )
-    merger = MergeShardGroup(doclens_ref, stats["avgdl"], block_size)
+    # delta batches are incremental-update-sized: one doclen group
+    # (a 100 TB base build range-shards this — see build_index stage 3)
+    merger = MergeShardGroup(
+        {0: doclens_ref}, stats["avgdl"], block_size, bg_doc_base=np.array([0])
+    )
 
     def merge_shard_group(group: pa.Table) -> pa.Table:
         return merger(group)

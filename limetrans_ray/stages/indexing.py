@@ -67,12 +67,9 @@ def compute_winners(keys: pa.Table) -> dict[str, np.ndarray]:
     parallelism-invariant because the ordering depends only on data
     (SURVEY.md §7.4). Returns parallel arrays sorted by doc_key.
 
-    Scale note: at 10^12 docs this table no longer fits one machine; the
-    same computation distributes as a key-only ``groupby(doc_key >>
-    shift).map_groups`` with per-partition offsets (partition counts →
-    driver cumsum), and the winner lookup becomes a doc_key-bucketed
-    hash join instead of a broadcast. The sandbox path keeps the
-    single-array layout because the whole table is ~32 B/doc.
+    :func:`compute_winners_distributed` is the same computation as a
+    key-range ``groupby`` for key tables too big for one machine; the
+    byte-threshold gate lives in pipelines/build_index.py.
     """
     doc_key = keys.column("doc_key").to_numpy().astype(np.uint64)
     ts = keys.column("warc_ts").cast(pa.int64()).to_numpy()
@@ -90,6 +87,84 @@ def compute_winners(keys: pa.Table) -> dict[str, np.ndarray]:
         "win_ts": ts[widx],
         "win_url_hash": url_hash[widx],
         "doc_id": np.arange(n, dtype=np.int64),
+    }
+
+
+def compute_winners_distributed(
+    keys_ds, n_partitions: int = 64
+) -> dict[str, np.ndarray]:
+    """Distributed dedup + rank: the 100 TB form of
+    :func:`compute_winners`, identical output (tests pin this).
+
+    Partitions on the TOP bits of ``doc_key`` (``n_partitions`` ordered
+    key ranges — data-dependent, never parallelism-dependent), computes
+    each partition's winners + dense local ranks in a vectorized
+    ``map_groups`` (coarse groups: ~n/64 rows each, no tiny-group
+    overhead), then assembles global doc ids with a driver-side cumsum
+    over the tiny per-partition count vector. Because partitions are
+    ordered key ranges, ``offset[part] + local_rank`` IS the global
+    ascending-doc_key rank.
+
+    Returns the same parallel-array layout as the driver path (the
+    winner broadcast itself stays small: ~32 B per distinct doc). At
+    10^12 docs the arrays would stay sharded as a Dataset and the
+    winner lookup in ExtractTokenizeStage would become a doc_key-range
+    hash join; the rank assembly below (a bincount + cumsum over
+    ``n_partitions`` ints) is unchanged at any scale.
+    """
+    import math
+
+    import ray as _ray
+
+    n_partitions = 1 << max(1, int(math.log2(max(2, n_partitions))))
+    shift = np.uint64(64 - (n_partitions.bit_length() - 1))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch.column("doc_key").to_numpy().astype(np.uint64) >> shift).astype(
+            np.int64
+        )
+        return batch.append_column("part", pa.array(part))
+
+    def part_winners(group: pa.Table) -> pa.Table:
+        doc_key = group.column("doc_key").to_numpy().astype(np.uint64)
+        ts = group.column("warc_ts").cast(pa.int64()).to_numpy()
+        url_hash = group.column("url_hash").to_numpy().astype(np.uint64)
+        order = np.lexsort((url_hash, ts, doc_key))
+        key_s = doc_key[order]
+        first = np.ones(len(key_s), dtype=bool)
+        first[1:] = key_s[1:] != key_s[:-1]
+        widx = order[first]
+        n = len(widx)
+        return pa.table(
+            {
+                "part": group.column("part").take(pa.array(widx)),
+                "doc_key": pa.array(doc_key[widx], pa.uint64()),
+                "win_ts": pa.array(ts[widx], pa.int64()),
+                "win_url_hash": pa.array(url_hash[widx], pa.uint64()),
+                "local_rank": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+
+    parts_ds = (
+        keys_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_winners, batch_format="pyarrow")
+    )
+    tbl = pa.concat_tables(
+        [_ray.get(r) for r in parts_ds.to_arrow_refs()]
+    ).combine_chunks()
+    part = tbl.column("part").to_numpy()
+    local_rank = tbl.column("local_rank").to_numpy()
+    counts = np.bincount(part, minlength=n_partitions)
+    offsets = np.zeros(n_partitions, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    doc_id = offsets[part] + local_rank
+    order = np.argsort(doc_id)  # == ascending doc_key across partitions
+    return {
+        "doc_key": tbl.column("doc_key").to_numpy().astype(np.uint64)[order],
+        "win_ts": tbl.column("win_ts").to_numpy()[order],
+        "win_url_hash": tbl.column("win_url_hash").to_numpy().astype(np.uint64)[order],
+        "doc_id": doc_id[order],
     }
 
 
@@ -191,9 +266,22 @@ class InvertStage:
     per-(term,bucket) row overhead.
     """
 
-    def __init__(self, bucket_width: int, n_merge_shards: int):
+    def __init__(
+        self,
+        bucket_width: int,
+        n_merge_shards: int,
+        bucket_group_bounds: np.ndarray | None = None,
+    ):
         self.w = int(bucket_width)
         self.n_merge_shards = int(n_merge_shards)
+        # bucket → coarse doc-range group (``bgroup``): the merge
+        # grouping key includes it so each merge task touches one doc
+        # range and needs only that range's doclen slice
+        self.bg_bounds = (
+            np.asarray(bucket_group_bounds, dtype=np.int64)
+            if bucket_group_bounds is not None
+            else None
+        )
         self._shard_cache: dict[str, int] = {}
 
     def _shards_for(self, vocab) -> np.ndarray:
@@ -215,6 +303,7 @@ class InvertStage:
         empty = pa.table(
             {
                 "shard": pa.array([], pa.int32()),
+                "bgroup": pa.array([], pa.int32()),
                 "term": pa.array([], pa.string()),
                 "bucket": pa.array([], pa.int64()),
                 "pdf": pa.array([], pa.int64()),
@@ -263,9 +352,16 @@ class InvertStage:
             pbuf[poffs[vstarts[s]] : poffs[vstarts[e]]] for s, e in zip(starts, ends)
         ]
         shards = self._shards_for(vocab)[cell_codes]
+        if self.bg_bounds is not None:
+            bgroups = (
+                np.searchsorted(self.bg_bounds, cell_buckets, side="right") - 1
+            ).astype(np.int32)
+        else:
+            bgroups = np.zeros(len(cell_buckets), dtype=np.int32)
         return pa.table(
             {
                 "shard": pa.array(shards, pa.int32()),
+                "bgroup": pa.array(bgroups, pa.int32()),
                 "term": cell_terms,
                 "bucket": pa.array(cell_buckets),
                 "pdf": pa.array((ends - starts).astype(np.int64)),
@@ -277,36 +373,43 @@ class InvertStage:
 
 
 class MergeShardGroup:
-    """Per term-hash SHARD group: merge every (term, bucket) cell's
-    partials → sorted postings → delta+varint encoded chunks with
-    block-max metadata (SURVEY.md §7.1 M5/M6), fully vectorized.
+    """Per (term-hash shard × doc-range bgroup) group: merge every
+    (term, bucket) cell's partials → sorted postings → delta+varint
+    encoded chunks with block-max metadata (SURVEY.md §7.1 M5/M6),
+    fully vectorized.
 
-    Grouping by shard (not by (term, bucket)) turns ~vocab×buckets tiny
-    per-group calls into a few hundred large ones; inside, ALL partials
-    of the shard are decoded in one segmented varint pass, re-grouped by
-    (term, bucket, doc_id) with one lexsort, and re-encoded in one pass
-    — per-cell work is numpy slicing, never per-cell numpy calls.
-    Needs the doclen array + avgdl (broadcast) for the idf-independent
-    per-block max impacts.
+    Grouping by (shard, bgroup) (not by (term, bucket)) turns
+    ~vocab×buckets tiny per-group calls into a few hundred large ones;
+    inside, ALL partials of the group are decoded in one segmented
+    varint pass, re-grouped by (term, bucket, doc_id) with one lexsort,
+    and re-encoded in one pass — per-cell work is numpy slicing, never
+    per-cell numpy calls. The doclen state for the idf-independent
+    per-block max impacts is RANGE-SHARDED: the task fetches only its
+    bgroup's slice (zero-copy from the local object store), so no task
+    ever holds a dense max_doc+1 array.
     """
 
-    def __init__(self, doclens_ref, avgdl: float, block_size: int):
-        self._ref = doclens_ref
-        self._doclens: np.ndarray | None = None
+    def __init__(self, dl_refs: dict, avgdl: float, block_size: int, *, bg_doc_base):
+        self._refs = dl_refs
+        self._slices: dict[int, np.ndarray] = {}
+        self.bg_doc_base = np.asarray(bg_doc_base, dtype=np.int64)
         self.avgdl = float(avgdl)
         self.block_size = int(block_size)
 
-    @property
-    def doclens(self) -> np.ndarray:
-        if self._doclens is None:
+    def doclens_slice(self, bg: int) -> np.ndarray:
+        got = self._slices.get(bg)
+        if got is None:
             # zero-copy read from the local object store (broadcast side)
-            self._doclens = ray.get(self._ref)
-        return self._doclens
+            got = self._slices[bg] = ray.get(self._refs[bg])
+        return got
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         shard = int(group.column("shard")[0].as_py())
+        bg = int(group.column("bgroup")[0].as_py())
+        dl_slice = self.doclens_slice(bg)
+        dl_base = int(self.bg_doc_base[bg])
         pdf = group.column("pdf").to_numpy()
         seg_starts = np.zeros(len(pdf), dtype=np.int64)
         np.cumsum(pdf[:-1], out=seg_starts[1:])
@@ -342,7 +445,7 @@ class MergeShardGroup:
         cell_buckets = (k_s[cstarts] % limit).astype(np.int64)
 
         # per-posting impact; block grid aligned to cell starts
-        impacts = bm25.impact(tf_s, self.doclens[id_s], self.avgdl)
+        impacts = bm25.impact(tf_s, dl_slice[id_s - dl_base], self.avgdl)
         pos_in_cell = np.arange(len(k_s)) - np.repeat(cstarts, ccounts)
         bs = np.flatnonzero(pos_in_cell % self.block_size == 0)  # block starts
         nblocks = (ccounts + self.block_size - 1) // self.block_size

@@ -60,3 +60,35 @@ def test_query_results_identical(built_index, second_build):
     e1, e2 = SearchEngine(built_index[0]), SearchEngine(second_build[0])
     for q in REFERENCE_QUERIES:
         assert e1.search(q, 10) == e2.search(q, 10), q
+
+
+@pytest.fixture(scope="module")
+def scale_path_build(ray_session, webtext_dir, tmp_path_factory):
+    """The 100 TB code paths forced on: distributed winner computation
+    (key-range groupby + offset cumsum) and multi-slice doclen sharding
+    in the posting merge."""
+    root = str(tmp_path_factory.mktemp("index_scale"))
+    cfg = IndexBuildConfig(
+        winners_mode="distributed",
+        winner_partitions=8,
+        bucket_width=128,        # many buckets → several bucket groups
+        merge_bucket_groups=4,
+    )
+    stats = build_index(webtext_dir, root, config=cfg)
+    return root, stats
+
+
+def test_distributed_winners_identical_docs(built_index, scale_path_build):
+    (r1, s1), (r2, s2) = built_index, scale_path_build
+    t1 = _read_sorted(r1, s1, "docs", ["doc_id", "url", "canon", "doclen"], ["doc_id"])
+    t2 = _read_sorted(r2, s2, "docs", ["doc_id", "url", "canon", "doclen"], ["doc_id"])
+    assert t1.equals(t2)  # same dedup winners AND same dense ids
+
+
+def test_scale_paths_identical_results(built_index, scale_path_build):
+    e1, e2 = SearchEngine(built_index[0]), SearchEngine(scale_path_build[0])
+    for q in REFERENCE_QUERIES:
+        r1, r2 = e1.search(q, 10), e2.search(q, 10)
+        assert [d for d, _ in r1] == [d for d, _ in r2], q
+        for (_, a), (_, b) in zip(r1, r2):
+            assert a == pytest.approx(b, rel=1e-12), q
