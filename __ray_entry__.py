@@ -200,8 +200,10 @@ def _fingerprint_docs(sf_dir: str):
     from limetrans_ray.stages.textstats import FingerprintStage
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # md5 token-stream fingerprint: exactly recomputable by the DuckDB
+    # oracle (the rolling-hash variant keeps pytest-only coverage)
     return ds.map_batches(
-        FingerprintStage(), batch_format="pyarrow", batch_size=512
+        FingerprintStage(algo="md5"), batch_format="pyarrow", batch_size=512
     ).select_columns(["doc_id", "fingerprint"])
 
 
@@ -244,7 +246,19 @@ _SIMPLE_SPLIT = "string_split_regex(lower(text), '[^0-9a-z]+')"
 _TOKENS = f"list_filter({_SIMPLE_SPLIT}, x -> x <> '')"
 
 
+def _sql_words(words) -> str:
+    """SQL list literal from a Python word set (single source of truth:
+    the engine's own marker/stop lists)."""
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
 def oracle_sql() -> dict[str, str]:
+    from limetrans_ray.functions.textstats import _LANG_MARKERS, _QUALITY_STOPWORDS
+
+    de = _sql_words(_LANG_MARKERS["de"])
+    en = _sql_words(_LANG_MARKERS["en"])
+    fr = _sql_words(_LANG_MARKERS["fr"])
+    stop = _sql_words(_QUALITY_STOPWORDS)
     return {
         "doc_stats": """
             SELECT lang, source, count(*) AS n,
@@ -346,6 +360,112 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        # exact brute-force mirrors of the near-dup / textstat pipelines
+        # (the LSH banding's analytic miss rate ≈5e-8 at j≥0.8 is the
+        # only divergence channel for neardup_minhash)
+        "neardup_minhash": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKENS} AS tk FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(tk) >= 3
+                       THEN list_transform(generate_series(1, len(tk) - 2),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS shingles
+              FROM toks),
+            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            cnt AS (SELECT doc_id, len(shingles) AS n FROM sh),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT a_id, b_id,
+                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = a_id
+            JOIN cnt cb ON cb.doc_id = b_id
+            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+        """,
+        "simhash_pairs": f"""
+            WITH th AS (
+              SELECT doc_id, md5_number_lower(t) AS h
+              FROM (SELECT doc_id, unnest({_TOKENS}) AS t FROM documents)),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+            fp AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN acc > 0 AND b < 32
+                     THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+                CAST(sum(CASE WHEN acc > 0 AND b >= 32
+                     THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+            FROM fp a, fp b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        """,
+        "langid_docs": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                       '[a-zàâäéèêëîïôöùûüçß]+') AS words
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                len(list_filter(words, x -> list_contains({de}, x))) AS de_h,
+                len(list_filter(words, x -> list_contains({en}, x))) AS en_h,
+                len(list_filter(words, x -> list_contains({fr}, x))) AS fr_h
+              FROM w)
+            SELECT doc_id,
+              CASE WHEN greatest(de_h, en_h, fr_h) <= 1 THEN 'und'
+                   WHEN de_h = greatest(de_h, en_h, fr_h) THEN 'de'
+                   WHEN en_h = greatest(de_h, en_h, fr_h) THEN 'en'
+                   ELSE 'fr' END AS lang_pred
+            FROM h
+        """,
+        "quality_docs": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+            f AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                len(tk) AS nt,
+                len(regexp_extract_all(text,
+                    '[^0-9A-Za-z_\\s\\x{{00C0}}-\\x{{024F}}]')) AS n_punct,
+                len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                len(list_filter(tk, x -> list_contains({stop}, x))) AS stop_hits,
+                CASE WHEN len(tk) = 0 THEN 0.0
+                     ELSE CAST(list_sum(list_transform(tk, x -> length(x)))
+                               AS DOUBLE) / len(tk) END AS mean_tok
+              FROM t),
+            g AS (
+              SELECT doc_id, n_chars, nt, mean_tok,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE CAST(n_punct AS DOUBLE) / n_chars END AS pr,
+                CASE WHEN n_chars = 0 THEN 0.0
+                     ELSE CAST(n_digits AS DOUBLE) / n_chars END AS dr,
+                CASE WHEN nt = 0 THEN 0.0
+                     ELSE CAST(stop_hits AS DOUBLE) / nt END AS sr
+              FROM f)
+            SELECT doc_id, n_chars AS q_n_chars, nt AS q_n_tokens,
+                   sr AS q_stop_ratio,
+                   ((CASE WHEN nt < 10 THEN nt / 10.0 ELSE 1.0 END)
+                    * (CASE WHEN mean_tok < 2.0 OR mean_tok > 12.0
+                            THEN 0.5 ELSE 1.0 END))
+                   * (greatest(0.0, 1.0 - 2.0 * pr)
+                      * greatest(0.0, 1.0 - 2.0 * dr)) AS q_quality
+            FROM g
+        """,
+        "fingerprint_docs": f"""
+            SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
+            FROM documents
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -25,3 +25,27 @@ __version__ = "0.1.0"
 
 ANALYZER_VERSION = 1
 FORMAT_VERSION = 2  # v2: positional postings (pos_enc) for phrase queries
+
+
+def _silence_schema_hash_noise() -> None:
+    """Drop Ray Data's per-block "Failed to hash the schemas" warning.
+
+    pyarrow Schemas carrying key-value metadata (e.g. the ``b'pandas'``
+    blob every pandas-written parquet embeds) are unhashable, so Ray's
+    ``unify_schemas`` fast path logs this once per operator on any read
+    of such files — pure noise that buries real warnings. Our own batch
+    stages strip the metadata (restoring the fast path); this filter
+    covers blocks coming straight from ``read_parquet``. Scoped to the
+    one logger and the one message."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_F())
+
+
+_silence_schema_hash_noise()

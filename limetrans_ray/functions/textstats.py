@@ -36,6 +36,14 @@ def hash64_column(values) -> np.ndarray:
     )
 
 
+def md5_low64(s: str | bytes) -> int:
+    """64-bit hash equal to DuckDB's ``md5_number_lower`` (bytes 8..16
+    of the MD5 digest, little-endian) — used where an oracle SQL query
+    must recompute the exact same per-token hash."""
+    b = s.encode("utf-8") if isinstance(s, str) else s
+    return int.from_bytes(hashlib.md5(b).digest()[8:16], "little")
+
+
 # --------------------------------------------------------------------------
 # language identification (stop-word-hit heuristic)
 
@@ -76,7 +84,10 @@ def detect_language(text: str, default: str = "und") -> str:
 # --------------------------------------------------------------------------
 # quality scoring
 
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# Explicit character classes (NOT \w) so the DuckDB oracle's RE2 regex
+# — where \w is ASCII-only — can mirror them exactly: word chars are
+# ASCII alnum/underscore plus Latin-1 Supplement/Extended-A/B letters.
+_PUNCT_RE = re.compile(r"[^0-9A-Za-z_\sÀ-ɏ]")
 _DIGIT_RE = re.compile(r"\d")
 _BPEISH_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 
@@ -131,6 +142,15 @@ def fingerprint64(text: str) -> int:
     for t in simple_terms(text):
         acc = (acc * _FP_BASE + _U64(stable_hash64(t))) & _U64(0xFFFFFFFFFFFFFFFF)
     return int(acc)
+
+
+def fingerprint_md5(text: str) -> str:
+    """Order-sensitive document fingerprint as the MD5 hex of the
+    space-joined ``simple_terms`` stream — chosen because the DuckDB
+    oracle can recompute it exactly
+    (``md5(array_to_string(tokens, ' '))``), unlike the rolling-hash
+    variant whose mod-2^64 arithmetic SQL cannot express."""
+    return hashlib.md5(" ".join(simple_terms(text)).encode("utf-8")).hexdigest()
 
 
 # --------------------------------------------------------------------------
@@ -190,11 +210,14 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over the ``simple_terms`` token stream (tf-weighted)."""
+    """64-bit SimHash over the ``simple_terms`` token stream
+    (tf-weighted). Per-token hash is :func:`md5_low64` so the DuckDB
+    oracle (``md5_number_lower`` + per-bit vote) reproduces fingerprints
+    bit-for-bit."""
     toks = simple_terms(text)
     if not toks:
         return 0
-    hashes = np.fromiter((stable_hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    hashes = np.fromiter((md5_low64(t) for t in toks), dtype=np.uint64, count=len(toks))
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & _U64(1)).astype(np.int64)
     acc = (2 * bits - 1).sum(axis=0)
     return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())

@@ -8,10 +8,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions import strip_schema_metadata
 from ..functions.textstats import (
     count_tokens_bpeish,
     detect_language,
     fingerprint64,
+    fingerprint_md5,
     quality_features,
 )
 
@@ -23,6 +25,7 @@ class LangIdStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
         preds = [detect_language(t) for t in batch.column(self.text_col).to_pylist()]
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
@@ -39,6 +42,7 @@ class QualityStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
         feats = [quality_features(t) for t in batch.column(self.text_col).to_pylist()]
         for key in self.KEYS:
             typ = pa.int64() if key in ("n_chars", "n_tokens") else pa.float64()
@@ -55,6 +59,7 @@ class TokenCountStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
         counts = np.fromiter(
             (count_tokens_bpeish(t) for t in batch.column(self.text_col).to_pylist()),
             dtype=np.int64,
@@ -64,14 +69,22 @@ class TokenCountStage:
 
 
 class FingerprintStage:
-    """Adds ``fingerprint`` (order-sensitive rolling hash, hex string —
-    stays portable through SQL/pandas without int64 overflow)."""
+    """Adds ``fingerprint`` (order-sensitive, hex string — stays
+    portable through SQL/pandas without int64 overflow). Two algorithms:
+    ``rolling`` (64-bit polynomial rolling hash) and ``md5`` (MD5 of the
+    token stream — exactly recomputable by the DuckDB oracle)."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", algo: str = "rolling"):
         self.text_col = text_col
+        if algo not in ("rolling", "md5"):
+            raise ValueError(f"unknown fingerprint algo {algo!r}")
+        self.algo = algo
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            f"{fingerprint64(t):016x}" for t in batch.column(self.text_col).to_pylist()
-        ]
+        batch = strip_schema_metadata(batch)
+        texts = batch.column(self.text_col).to_pylist()
+        if self.algo == "md5":
+            fps = [fingerprint_md5(t) for t in texts]
+        else:
+            fps = [f"{fingerprint64(t):016x}" for t in texts]
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
