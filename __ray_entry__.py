@@ -51,15 +51,17 @@ def _bm25_topk(sf_dir: str, k: int = 10):
     from limetrans_ray.pipelines.search import SearchEngine
     from limetrans_ray.state.manifest import fingerprint_paths
 
-    from limetrans_ray import FORMAT_VERSION
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
 
     doc_path = f"{sf_dir}/documents.parquet"
     root = _index_root(sf_dir)
     ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
-    # format version in the fingerprint: a code upgrade invalidates the
-    # cached /tmp build instead of resuming onto an old layout
+    # format+analyzer versions in the fingerprint: a code upgrade
+    # invalidates the cached /tmp build instead of resuming onto an old
+    # layout
     build_index_from_documents(
-        ds, root, fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}"
+        ds, root,
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}",
     )
     eng = SearchEngine(root)
     rows = []
@@ -88,13 +90,14 @@ def _bm25_phrase_topk(sf_dir: str, k: int = 10):
     from limetrans_ray.pipelines.build_index import build_index_from_documents
     from limetrans_ray.pipelines.search import SearchEngine
     from limetrans_ray.state.manifest import fingerprint_paths
-    from limetrans_ray import FORMAT_VERSION
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
 
     doc_path = f"{sf_dir}/documents.parquet"
     root = _index_root(sf_dir)
     ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
     build_index_from_documents(
-        ds, root, fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}"
+        ds, root,
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}",
     )
     eng = SearchEngine(root)
     rows = []

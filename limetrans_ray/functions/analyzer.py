@@ -17,10 +17,12 @@ pins the observable behavior we keep:
 - unicode/ASCII folding (``über`` → ``uber``, ``ß`` → ``ss``);
 - German + English stop words removed.
 
-Divergences (ours, by design; the chain is self-consistent between index
-and query so rank-identity vs. the oracle is exact): no snowball
-stemming, no positional phrase terms (phrase queries are out of scope
-for v1).
+The chain ends in German2-style snowball stemming (functions/stemmer.py)
+before the final unique filter, mirroring the reference's order
+(keyword_repeat means the unstemmed folded variants are indexed too —
+ours keeps them as earlier members of the variant tuple). Stemming is on
+by default (``stem=None`` → :data:`STEM_DEFAULT`); pass ``stem=False``
+for the unstemmed profile.
 
 Semantics contract (used by index build, query parsing, BM25 and the
 oracle engine — all import *these* functions):
@@ -40,6 +42,12 @@ from __future__ import annotations
 
 import re
 import unicodedata
+
+from .stemmer import german2_stem
+
+# Default analyzer profile: stem (the reference stems by default —
+# hbztitle-settings-v8.json German2). ANALYZER_VERSION 2.
+STEM_DEFAULT = True
 
 TOKEN_PATTERN = r"[^\W_]+(?:['’‐-][^\W_]+)*"
 _TOKEN_RE = re.compile(TOKEN_PATTERN, re.UNICODE)
@@ -93,38 +101,54 @@ _VARIANT_CACHE: dict[str, tuple[str, ...]] = {}
 _VARIANT_CACHE_MAX = 1_000_000
 
 
-def token_variants(raw: str, *, stop: bool = True) -> tuple[str, ...]:
+def token_variants(
+    raw: str, *, stop: bool = True, stem: bool | None = None
+) -> tuple[str, ...]:
     """Index/query terms emitted for one raw token (word_delimiter_graph
     with catenate_all analogue): split parts + catenated form, folded,
-    ordered-unique, stop-word filtered."""
-    cached = _VARIANT_CACHE.get(raw) if stop else None
+    stop-word filtered, then each surviving variant's German2 stem
+    appended (the keyword_repeat → stemmer → unique chain: unstemmed
+    AND stemmed forms index together), ordered-unique.
+
+    Stop filtering happens BEFORE stemming (the reference's filter
+    order); a stem that happens to equal a stop word is kept."""
+    if stem is None:
+        stem = STEM_DEFAULT
+    cached = _VARIANT_CACHE.get(raw) if (stop and stem == STEM_DEFAULT) else None
     if cached is not None:
         return cached
     base = fold(raw)
     parts = [p for p in _DELIM_RE.split(base) if p]
     if len(parts) <= 1:
-        variants = tuple(parts)
-    else:
         seen: dict[str, None] = dict.fromkeys(parts)
+    else:
+        seen = dict.fromkeys(parts)
         seen["".join(parts)] = None
-        variants = tuple(seen)
     if stop:
-        variants = tuple(v for v in variants if v not in STOPWORDS)
-        if len(_VARIANT_CACHE) < _VARIANT_CACHE_MAX:
-            _VARIANT_CACHE[raw] = variants
+        seen = {v: None for v in seen if v not in STOPWORDS}
+    if stem:
+        for v in list(seen):
+            seen[german2_stem(v)] = None
+    variants = tuple(seen)
+    if stop and stem == STEM_DEFAULT and len(_VARIANT_CACHE) < _VARIANT_CACHE_MAX:
+        _VARIANT_CACHE[raw] = variants
     return variants
 
 
-def tokenize_index(text: str, *, stop: bool = True) -> list[str]:
+def tokenize_index(
+    text: str, *, stop: bool = True, stem: bool | None = None
+) -> list[str]:
     """Flat term stream for indexing (terms repeat with occurrences)."""
     text = unicodedata.normalize("NFC", text)
     out: list[str] = []
     for raw in _TOKEN_RE.findall(text):
-        out.extend(token_variants(raw, stop=stop))
+        out.extend(token_variants(raw, stop=stop, stem=stem))
     return out
 
 
-def tokenize_positions(text: str, *, stop: bool = True) -> dict[str, list[int]]:
+def tokenize_positions(
+    text: str, *, stop: bool = True, stem: bool | None = None
+) -> dict[str, list[int]]:
     """Per-term raw-token positions: every variant of raw token #p is
     "at" position p (the word_delimiter_graph convention — original,
     parts and catenated forms share the source position). ``tf`` =
@@ -133,7 +157,7 @@ def tokenize_positions(text: str, *, stop: bool = True) -> dict[str, list[int]]:
     text = unicodedata.normalize("NFC", text)
     out: dict[str, list[int]] = {}
     for p, raw in enumerate(_TOKEN_RE.findall(text)):
-        for v in token_variants(raw, stop=stop):
+        for v in token_variants(raw, stop=stop, stem=stem):
             out.setdefault(v, []).append(p)
     return out
 
@@ -141,7 +165,9 @@ def tokenize_positions(text: str, *, stop: bool = True) -> dict[str, list[int]]:
 _PHRASE_RE = re.compile(r'"([^"]*)"')
 
 
-def parse_query(text: str, *, stop: bool = True) -> list[dict]:
+def parse_query(
+    text: str, *, stop: bool = True, stem: bool | None = None
+) -> list[dict]:
     """Full query parse: quoted segments become phrase clauses, the rest
     term clauses. Returns a list of clauses, each
     ``{"type": "term", "variants": tuple}`` or
@@ -157,20 +183,22 @@ def parse_query(text: str, *, stop: bool = True) -> list[dict]:
     clauses: list[dict] = []
     last = 0
     for m in _PHRASE_RE.finditer(text):
-        for g in analyze_query(text[last : m.start()], stop=stop):
+        for g in analyze_query(text[last : m.start()], stop=stop, stem=stem):
             clauses.append({"type": "term", "variants": g})
-        slots = analyze_query(m.group(1), stop=stop)
+        slots = analyze_query(m.group(1), stop=stop, stem=stem)
         if len(slots) == 1:
             clauses.append({"type": "term", "variants": slots[0]})
         elif slots:
             clauses.append({"type": "phrase", "slots": slots})
         last = m.end()
-    for g in analyze_query(text[last:], stop=stop):
+    for g in analyze_query(text[last:], stop=stop, stem=stem):
         clauses.append({"type": "term", "variants": g})
     return clauses
 
 
-def analyze_query(text: str, *, stop: bool = True) -> list[tuple[str, ...]]:
+def analyze_query(
+    text: str, *, stop: bool = True, stem: bool | None = None
+) -> list[tuple[str, ...]]:
     """Query analysis → list of synonym groups (one per raw token).
 
     Tokens that fold entirely to stop words produce no group (they do
@@ -179,7 +207,7 @@ def analyze_query(text: str, *, stop: bool = True) -> list[tuple[str, ...]]:
     text = unicodedata.normalize("NFC", text)
     groups: list[tuple[str, ...]] = []
     for raw in _TOKEN_RE.findall(text):
-        variants = token_variants(raw, stop=stop)
+        variants = token_variants(raw, stop=stop, stem=stem)
         if variants:
             groups.append(variants)
     return groups

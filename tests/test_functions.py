@@ -68,7 +68,12 @@ class TestExtract:
 class TestAnalyzer:
     def test_hyphen_variant_expansion(self):
         assert tokenize_index("e-payment") == ["e", "payment", "epayment"]
+        # stemmed forms append after the unstemmed variants (the
+        # keyword_repeat → German2 → unique chain order)
         assert tokenize_index("Drei-Zinnen-Gebiet") == [
+            "drei", "zinnen", "gebiet", "dreizinnengebiet", "zinn"
+        ]
+        assert tokenize_index("Drei-Zinnen-Gebiet", stem=False) == [
             "drei", "zinnen", "gebiet", "dreizinnengebiet"
         ]
 

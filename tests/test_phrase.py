@@ -22,7 +22,12 @@ class TestParseQuery:
     def test_phrase_and_terms(self):
         out = parse_query('web "drei zinnen" atlas')
         assert [c["type"] for c in out] == ["term", "phrase", "term"]
-        assert out[1]["slots"] == [("drei",), ("zinnen",)]
+        # each phrase slot is a variant group — with stemming, inflected
+        # slot words also admit the stem at that position
+        assert out[1]["slots"] == [("drei",), ("zinnen", "zinn")]
+        assert parse_query('web "drei zinnen" atlas', stem=False)[1]["slots"] == [
+            ("drei",), ("zinnen",)
+        ]
 
     def test_single_word_phrase_degrades_to_term(self):
         assert parse_query('"holzbau"') == [{"type": "term", "variants": ("holzbau",)}]
