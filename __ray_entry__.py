@@ -210,6 +210,46 @@ def _fingerprint_docs(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+FIELDED_QUERY_SET = [
+    "body:spark",
+    "spark lang:en",
+    "source:src3",
+    "body:query lang:de",
+    "body:join source:src12",
+]
+
+
+def _fielded_search(sf_dir: str, k: int = 10):
+    """Field-scoped BM25 (the multi-field mapping analogue): documents
+    indexed with a text body field plus keyword lang/source fields;
+    queries mix scoped and catch-all clauses. Rows-only driver check —
+    correctness is pinned by tests/test_fields.py oracle parity."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir) + "-fielded"
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text", "lang", "source"])
+    build_index_from_documents(
+        ds,
+        root,
+        fields=[("body", "text", "text"), ("lang", "lang", "keyword"),
+                ("source", "source", "keyword")],
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}-f",
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in FIELDED_QUERY_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from limetrans_ray.pipelines import relational as rel
 
@@ -234,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fulltext flagship + non-SQL-expressible extensions (rows-only)
         "bm25_topk": _bm25_topk,
         "bm25_phrase_topk": _bm25_phrase_topk,
+        "fielded_search": _fielded_search,
         "ann_lsh_topk": _ann_lsh_topk,
         "neardup_minhash": _neardup_minhash,
         "simhash_pairs": _simhash_pairs,

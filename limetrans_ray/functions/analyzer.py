@@ -164,13 +164,86 @@ def tokenize_positions(
 
 _PHRASE_RE = re.compile(r'"([^"]*)"')
 
+# ---------------------------------------------------------------- fields
+#
+# Field-scoped search (the reference's multi-field mapping: source
+# fields project into typed search fields with per-field analyzers and
+# queries may target one — hbztitle-mapping-v8.json:27-88, e.g.
+# ``dc.title``, keyword fields ``collection``/``bib.identifierAuthority``
+# with the ``keyword_normalized`` normalizer, settings-v8.json:180-189).
+# A field-scoped term is the plain term prefixed with "<field>\x1f" —
+# the whole posting/merge/scoring machinery then works unchanged, and
+# text fields additionally index UNqualified terms (the catch-all
+# ``cql.allIndexes`` analogue), so unscoped queries search everything.
+
+FIELD_SEP = "\x1f"
+FIELD_GAP = 100  # position gap between fields (no cross-field phrases)
+
+_KEYWORD_STRIP_RE = re.compile(r"[^0-9a-z]+")
+
+
+def qualify(field: str | None, term: str) -> str:
+    return term if not field else f"{field}{FIELD_SEP}{term}"
+
+
+def keyword_normalize(value: str) -> str:
+    """The ``keyword_normalized`` analyzer analogue: fold + strip
+    non-alphanumerics to spaces + squeeze whitespace; the whole value is
+    ONE index term (unanalyzed keyword field)."""
+    return " ".join(_KEYWORD_STRIP_RE.sub(" ", fold(value)).split())
+
+
+def tokenize_fields(
+    specs, *, stop: bool = True, stem: bool | None = None
+) -> tuple[dict[str, list[int]], int]:
+    """Positions for a multi-field document.
+
+    ``specs``: iterable of ``(field_name, analyzer, text)`` with
+    analyzer ``"text"`` (full chain; emits qualified + catch-all terms)
+    or ``"keyword"`` (one normalized term, qualified only — keyword
+    fields stay out of the catch-all, like un-copy_to'd ES keywords).
+    Returns ``(term → ascending positions, doclen)`` where doclen counts
+    only the catch-all text tokens (the document-length semantic BM25
+    normalizes by)."""
+    out: dict[str, list[int]] = {}
+    base = 0
+    doclen = 0
+    for field, analyzer, text in specs:
+        if analyzer == "keyword":
+            kw = keyword_normalize(text or "")
+            if kw:
+                out.setdefault(qualify(field, kw), []).append(base)
+                base += 1 + FIELD_GAP
+            continue
+        pos = tokenize_positions(text or "", stop=stop, stem=stem)
+        width = 0
+        for term, plist in pos.items():
+            shifted = [p + base for p in plist]
+            out.setdefault(term, []).extend(shifted)  # catch-all
+            if field:
+                out.setdefault(qualify(field, term), []).extend(shifted)
+            doclen += len(plist)
+            if plist:
+                width = max(width, plist[-1] + 1)
+        base += width + FIELD_GAP
+    for plist in out.values():
+        plist.sort()
+    return out, doclen
+
+
+_CLAUSE_RE = re.compile(
+    r'(?:(?P<field>[A-Za-z][A-Za-z0-9_]*):)?(?P<body>"[^"]*"|\S+)'
+)
+
 
 def parse_query(
     text: str, *, stop: bool = True, stem: bool | None = None
 ) -> list[dict]:
     """Full query parse: quoted segments become phrase clauses, the rest
-    term clauses. Returns a list of clauses, each
-    ``{"type": "term", "variants": tuple}`` or
+    term clauses; a ``field:`` prefix (``title:holzbau``,
+    ``source:"a b"``) scopes the clause to that field (its variants are
+    field-qualified — unscoped clauses hit the catch-all terms). Returns
+    a list of clauses, each ``{"type": "term", "variants": tuple}`` or
     ``{"type": "phrase", "slots": [tuple, ...]}`` (one variant group per
     consecutive phrase position). Clauses AND together in "and" mode.
 
@@ -181,18 +254,21 @@ def parse_query(
     """
     text = unicodedata.normalize("NFC", text)
     clauses: list[dict] = []
-    last = 0
-    for m in _PHRASE_RE.finditer(text):
-        for g in analyze_query(text[last : m.start()], stop=stop, stem=stem):
-            clauses.append({"type": "term", "variants": g})
-        slots = analyze_query(m.group(1), stop=stop, stem=stem)
+    for m in _CLAUSE_RE.finditer(text):
+        field = m.group("field")
+        body = m.group("body")
+        if body.startswith('"'):
+            body = body.strip('"')
+        slots = analyze_query(body, stop=stop, stem=stem)
+        if field:
+            slots = [tuple(qualify(field, v) for v in g) for g in slots]
         if len(slots) == 1:
             clauses.append({"type": "term", "variants": slots[0]})
         elif slots:
-            clauses.append({"type": "phrase", "slots": slots})
-        last = m.end()
-    for g in analyze_query(text[last:], stop=stop, stem=stem):
-        clauses.append({"type": "term", "variants": g})
+            if m.group("body").startswith('"'):
+                clauses.append({"type": "phrase", "slots": slots})
+            else:
+                clauses.extend({"type": "term", "variants": g} for g in slots)
     return clauses
 
 

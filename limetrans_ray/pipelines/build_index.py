@@ -60,7 +60,7 @@ from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
-from ..functions.analyzer import tokenize_positions
+from ..functions.analyzer import tokenize_fields
 from ..stages.indexing import (
     ExtractTokenizeStage,
     InvertStage,
@@ -380,6 +380,7 @@ def build_index_from_documents(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fields: list[tuple[str, str, str]] | None = None,
     config: IndexBuildConfig | None = None,
     build_id: str = "docs-build",
     publish: bool = True,
@@ -389,7 +390,16 @@ def build_index_from_documents(
     driver's ``documents.parquet``): ids come from ``id_col`` verbatim
     (unique non-negative ints — the ES ``_id``/idKey analogue, reference
     Limetrans.java:572-584), no extraction/dedup. Shares stages 2-4 with
-    :func:`build_index` via the fwd/ checkpoint layout."""
+    :func:`build_index` via the fwd/ checkpoint layout.
+
+    ``fields``: optional multi-field mapping — a list of
+    ``(field_name, column, analyzer)`` with analyzer ``"text"`` or
+    ``"keyword"`` (the reference's typed search-field projection,
+    hbztitle-mapping-v8.json:27-88). Text fields index BOTH
+    field-qualified terms (``field\\x1fterm`` — query as
+    ``field:term``) and unqualified catch-all terms; keyword fields one
+    normalized qualified term. Default (None) = the single unqualified
+    ``text_col``."""
     cfg = config or IndexBuildConfig()
     bdir = mf.build_dir(index_root, build_id)
     os.makedirs(bdir, exist_ok=True)
@@ -400,23 +410,33 @@ def build_index_from_documents(
         t0 = time.perf_counter()
 
         def tokenize_batch(batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_numpy().astype(np.int64)
+            n = len(ids)
+            if fields is None:
+                specs_per_row = (
+                    [(None, "text", t)] for t in batch.column(text_col).to_pylist()
+                )
+            else:
+                cols = {col: batch.column(col).to_pylist() for _f, col, _a in fields}
+                specs_per_row = (
+                    [(f, a, cols[col][i]) for f, col, a in fields] for i in range(n)
+                )
             terms_col, tfs_col, pos_col = [], [], []
-            doclens = np.empty(len(texts), dtype=np.int64)
-            for i, t in enumerate(texts):
-                items = sorted(tokenize_positions(t).items())
+            doclens = np.empty(n, dtype=np.int64)
+            for i, specs in enumerate(specs_per_row):
+                posmap, dl = tokenize_fields(specs)
+                items = sorted(posmap.items())
                 terms_col.append([k for k, _ in items])
                 tfs_col.append([len(p) for _, p in items])
                 pos_col.append([p for _, p in items])
-                doclens[i] = sum(len(p) for _, p in items)
+                doclens[i] = dl
             sid = [str(i) for i in ids]
             return pa.table(
                 {
                     "doc_id": pa.array(ids),
                     "url": pa.array(sid, pa.string()),
                     "canon": pa.array(sid, pa.string()),
-                    "lang": pa.array([""] * len(texts), pa.string()),
+                    "lang": pa.array([""] * n, pa.string()),
                     "doclen": pa.array(doclens),
                     "terms": pa.array(terms_col, pa.list_(pa.string())),
                     "tfs": pa.array(tfs_col, pa.list_(pa.int32())),

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
-from ..functions.analyzer import analyze_query, parse_query
+from ..functions.analyzer import parse_query
 from ..state import bm25
 from ..state.manifest import build_dir, current_build
 
@@ -268,7 +268,11 @@ class SearchEngine:
     # -------------------------------------------------------------- scoring
 
     def _prepare(self, query: str):
-        groups = analyze_query(query)
+        # parse_query handles field-scoped clauses (field:term) too —
+        # qualified variants are ordinary terms to the scorers
+        groups = [
+            c["variants"] for c in parse_query(query) if c["type"] == "term"
+        ]
         terms = sorted({t for g in groups for t in g if t in self.df})
         idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
         return groups, terms, idfs

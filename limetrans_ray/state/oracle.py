@@ -20,7 +20,7 @@ scoring is the plain BM25 sum over all clauses' variant terms.
 
 from __future__ import annotations
 
-from ..functions.analyzer import parse_query, tokenize_positions
+from ..functions.analyzer import parse_query, tokenize_fields, tokenize_positions
 from .bm25 import idf, impact_scalar
 
 
@@ -37,6 +37,16 @@ class OracleEngine:
         pos = tokenize_positions(text)
         self.doclen[doc_id] = sum(len(p) for p in pos.values())
         for term, plist in pos.items():
+            self.postings.setdefault(term, {})[doc_id] = len(plist)
+            self.positions.setdefault(term, {})[doc_id] = plist
+
+    def add_fields(self, doc_id: int, specs) -> None:
+        """Multi-field add — same (field, analyzer, text) specs and the
+        same shared :func:`tokenize_fields` as the distributed engine's
+        ``build_index_from_documents(fields=...)`` path."""
+        posmap, dl = tokenize_fields(specs)
+        self.doclen[doc_id] = dl
+        for term, plist in posmap.items():
             self.postings.setdefault(term, {})[doc_id] = len(plist)
             self.positions.setdefault(term, {})[doc_id] = plist
 
