@@ -23,12 +23,32 @@ already supports.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
+
+logger = logging.getLogger(__name__)
+
+# A band bucket larger than this (e.g. thousands of empty/boilerplate
+# documents sharing a band hash) would emit O(B²) candidate pairs in one
+# group; capped buckets fall back to STAR expansion — every member pairs
+# with the bucket's smallest doc id only, keeping duplicate CLUSTERS
+# connected (transitively) at O(B) pairs. Overflows are logged, never
+# silent (no-silent-caps rule).
+BUCKET_PAIR_CAP = 64
+
+
+def _bucket_pairs_capped(ids: np.ndarray, cap: int) -> tuple[list, bool]:
+    ids = np.sort(ids)
+    if len(ids) <= cap:
+        return [(int(a), int(b)) for i, a in enumerate(ids) for b in ids[i + 1 :]], False
+    anchor = int(ids[0])
+    return [(anchor, int(b)) for b in ids[1:]], True
 
 from ..functions.textstats import (
     hash64_column,
@@ -123,11 +143,15 @@ def minhash_lsh_candidates(
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
+        ids = group[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["a_id", "b_id"])
+            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
+            )
+        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
+        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
+        out["capped"] = capped
+        return out
 
     cand = (
         band_rows.groupby(["band_id", "band_hash"])
@@ -138,7 +162,17 @@ def minhash_lsh_candidates(
         return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}).astype(
             {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
         )
-    cand = cand.drop_duplicates().astype(np.int64)
+    n_capped = int(cand["capped"].sum())
+    if n_capped:
+        logger.warning(
+            "minhash LSH: %d candidate pairs came from over-cap buckets "
+            "(> %d docs share a band hash) and used star expansion — "
+            "clusters stay connected but some within-bucket pairs were "
+            "not emitted",
+            n_capped,
+            BUCKET_PAIR_CAP,
+        )
+    cand = cand[["a_id", "b_id"]].drop_duplicates().astype(np.int64)
 
     # verification: fetch texts of candidate docs only (broadcast filter)
     needed = set(cand["a_id"]).union(cand["b_id"])
@@ -201,13 +235,38 @@ def simhash_near_dups(
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         fps = g["fp"].to_numpy().astype(np.uint64)
+        if len(ids) > BUCKET_PAIR_CAP:
+            # star expansion against the smallest id (vectorized XOR +
+            # popcount); logged downstream via the capped flag
+            x = fps[0] ^ fps[1:]
+            d = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            for _ in range(64):
+                d += (v & np.uint64(1)).astype(np.int64)
+                v >>= np.uint64(1)
+                if not v.any():
+                    break
+            keep = d <= max_hamming
+            out = pd.DataFrame(
+                {
+                    "a_id": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                    "b_id": ids[1:][keep].astype(np.int64),
+                    "hamming": d[keep],
+                }
+            )
+            out["capped"] = True
+            return out
         rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 d = bin(int(fps[i]) ^ int(fps[j])).count("1")
                 if d <= max_hamming:
                     rows.append((int(ids[i]), int(ids[j]), d))
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"])
+        out = pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"]).astype(
+            {"a_id": np.int64, "b_id": np.int64, "hamming": np.int64}
+        )
+        out["capped"] = False
+        return out
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
@@ -215,6 +274,15 @@ def simhash_near_dups(
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if len(pairs) and pairs["capped"].any():
+        logger.warning(
+            "simhash blocking: %d pairs from over-cap buckets (> %d docs "
+            "share a 16-bit band) used star expansion",
+            int(pairs["capped"].sum()),
+            BUCKET_PAIR_CAP,
+        )
+    if len(pairs):
+        pairs = pairs[["a_id", "b_id", "hamming"]]
     if len(pairs) == 0:
         return pd.DataFrame({"a_id": [], "b_id": [], "hamming": []}).astype(
             {"a_id": np.int64, "b_id": np.int64, "hamming": np.int64}

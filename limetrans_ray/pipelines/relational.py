@@ -31,7 +31,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.analyzer import simple_terms
 from ..functions.filter import filter_dataset
 
 
@@ -186,23 +185,49 @@ def anti_join_customers(sf_dir: str, min_price: float = 400_000.0) -> rd.Dataset
 
 # --------------------------------------------------------------- text / terms
 
+def _doc_token_codes(batch: pa.Table, text_col: str = "text"):
+    """Vectorized ``simple_terms`` over a batch: one Arrow
+    lower+split+flatten pass, then dictionary-encoded token codes with
+    their row index — no Python loop over rows or tokens. Returns
+    (doc_idx, codes, vocab) with empty tokens already dropped."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), pattern="[^0-9a-z]+"
+    )
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lens = pc.list_value_length(toks).to_numpy()
+    flat = pc.list_flatten(toks)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(vocab, "").to_numpy(zero_copy_only=False)
+    keep = nonempty[codes]
+    return doc_idx[keep], codes[keep], vocab
+
+
 def term_df(sf_dir: str) -> rd.Dataset:
     """Document frequency per term, simplified SQL-mirrorable tokenizer.
 
-    Pre-aggregated: each batch emits (term, partial_df) rows — the
-    shuffle moves term partials, never raw tokens (SURVEY.md §4 skew
-    rule)."""
+    Pre-aggregated AND vectorized: each batch lowers/splits/encodes its
+    texts in Arrow kernels, dedups (doc, term) pairs with one np.unique,
+    and emits (term, partial_df) rows — the shuffle moves term partials,
+    never raw tokens (SURVEY.md §4 skew rule)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for term in set(simple_terms(t)):
-                counts[term] = counts.get(term, 0) + 1
+        doc_idx, codes, vocab = _doc_token_codes(batch)
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+            )
+        pair = doc_idx * len(vocab) + codes
+        uniq_codes = (np.unique(pair) % len(vocab)).astype(np.int64)
+        counts = np.bincount(uniq_codes, minlength=len(vocab))
+        present = np.flatnonzero(counts)
         return pa.table(
             {
-                "term": pa.array(list(counts.keys()), pa.string()),
-                "pdf": pa.array(list(counts.values()), pa.int64()),
+                "term": vocab.take(pa.array(present)),
+                "pdf": pa.array(counts[present].astype(np.int64)),
             }
         )
 
@@ -214,15 +239,16 @@ def term_df(sf_dir: str) -> rd.Dataset:
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:
-    """Per-doc token counts with the SQL-mirrorable tokenizer."""
+    """Per-doc token counts with the SQL-mirrorable tokenizer —
+    vectorized (shared Arrow split/encode pass, bincounts per doc)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def count_tokens(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = np.fromiter((len(simple_terms(t)) for t in texts), dtype=np.int64, count=len(texts))
-        u = np.fromiter(
-            (len(set(simple_terms(t))) for t in texts), dtype=np.int64, count=len(texts)
-        )
+        doc_idx, codes, vocab = _doc_token_codes(batch)
+        nrows = batch.num_rows
+        n = np.bincount(doc_idx, minlength=nrows).astype(np.int64)
+        pair = np.unique(doc_idx * len(vocab) + codes)
+        u = np.bincount(pair // len(vocab), minlength=nrows).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

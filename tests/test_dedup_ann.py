@@ -121,3 +121,80 @@ def test_lsh_topk_recall(ray_session, emb_ds):
     # the perturbed twin must be found (cosine ≈ 1)
     top1 = approx[(approx["query_id"] == 0) & (approx["rank"] <= 2)]["vec_id"].tolist()
     assert 80 in top1 or 0 in top1
+
+
+def test_degenerate_bucket_capped_and_connected(ray_session, caplog):
+    """A pathological corpus (200 identical docs → every band bucket
+    holds all of them) must complete in bounded time: over-cap buckets
+    use star expansion (O(B) pairs, logged), and the duplicate CLUSTER
+    stays connected through the anchor doc."""
+    import logging
+
+    import ray.data as rd
+
+    n = 200
+    text = "boilerplate page with the same words everywhere " * 3
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": [text] * n}
+        )
+    )
+    with caplog.at_level(logging.WARNING, logger="limetrans_ray.pipelines.dedup"):
+        out = minhash_lsh_candidates(ds, threshold=0.8, shingle_k=3)
+    # star expansion: every doc pairs with the anchor (min id) — the
+    # cluster is one connected component over all 200 docs
+    assert set(out["a_id"]) == {0}
+    assert set(out["b_id"]) == set(range(1, n))
+    assert (out["jaccard"] == 1.0).all()
+    assert any("star expansion" in r.message for r in caplog.records)
+
+
+def test_degenerate_bucket_simhash(ray_session, caplog):
+    import logging
+
+    import ray.data as rd
+
+    n = 150
+    text = "identical simhash content words " * 4
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": [text] * n}
+        )
+    )
+    with caplog.at_level(logging.WARNING, logger="limetrans_ray.pipelines.dedup"):
+        out = simhash_near_dups(ds, max_hamming=3)
+    assert set(out["a_id"]) == {0}
+    assert set(out["b_id"]) == set(range(1, n))
+    assert (out["hamming"] == 0).all()
+    assert any("star expansion" in r.message for r in caplog.records)
+
+
+def test_lsh_indexed_prunes_reads(ray_session, emb_ds, tmp_path):
+    """The bucket-partitioned LSH index: identical results to the
+    single-pass lsh_topk at the same params, with per-query IO limited
+    to the probed buckets (scanned_rows < total_rows)."""
+    from limetrans_ray.pipelines.ann import build_lsh_index, lsh_topk_indexed
+
+    ds, mat = emb_ds
+    idx_dir = str(tmp_path / "lsh_idx")
+    meta = build_lsh_index(ds, idx_dir, n_planes=10, seed=42)
+    assert meta["n_planes"] == 10
+
+    q = mat[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q, list(range(5)), k=5)
+    out, io = lsh_topk_indexed(
+        idx_dir, q, list(range(5)), k=5, probe_hamming=3
+    )
+    assert io["total_rows"] == 90
+    assert 0 < io["scanned_rows"] < io["total_rows"]  # pruned read
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(out[out["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.8
+    # parity with the scan-everything LSH at identical params
+    approx = lsh_topk(ds, q, list(range(5)), k=5, n_planes=10, probe_hamming=3)
+    a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
