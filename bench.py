@@ -46,6 +46,10 @@ REFERENCE_QUERIES = [
     "page", "payment payment", "modern web systems",
     "data stream filter", "index build merge", "report study analysis",
 ]
+PHRASE_QUERIES = [
+    '"drei zinnen"', '"payment market"', '"modern web"',
+    '"web search engine"', '"query token" index', '"market report" study',
+]
 
 
 def _quiet():
@@ -88,6 +92,15 @@ def _query_bench(index_root: str, reps: int = 5):
             eng.search(q, 10, mode="and")
             lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
+    for q in PHRASE_QUERIES:  # warm + identity-hash the phrase path too
+        results[q] = eng.search(q, 10, mode="and")
+    plat = []
+    for _ in range(reps):
+        for q in PHRASE_QUERIES:
+            t0 = time.perf_counter()
+            eng.search(q, 10, mode="and")
+            plat.append(time.perf_counter() - t0)
+    plat = np.asarray(plat)
     digest = hashlib.blake2b(
         json.dumps({q: r for q, r in sorted(results.items())}).encode(),
         digest_size=12,
@@ -96,6 +109,8 @@ def _query_bench(index_root: str, reps: int = 5):
         "p50_ms": float(np.percentile(lat, 50) * 1e3),
         "p95_ms": float(np.percentile(lat, 95) * 1e3),
         "qps": float(len(lat) / lat.sum()),
+        "phrase_p50_ms": float(np.percentile(plat, 50) * 1e3),
+        "phrase_p95_ms": float(np.percentile(plat, 95) * 1e3),
         "result_hash": digest,
     }
 
@@ -149,7 +164,10 @@ def run_bench(index_only: bool = False) -> dict:
     out["queries"]["bm25_queries"] = round(time.perf_counter() - t0, 2)
     out.update(
         {"p50_query_ms": round(qb["p50_ms"], 3), "p95_query_ms": round(qb["p95_ms"], 3),
-         "qps": round(qb["qps"], 1), "result_hash": qb["result_hash"]}
+         "qps": round(qb["qps"], 1),
+         "phrase_p50_ms": round(qb["phrase_p50_ms"], 3),
+         "phrase_p95_ms": round(qb["phrase_p95_ms"], 3),
+         "result_hash": qb["result_hash"]}
     )
     if not index_only:
         out["queries"].update(_operator_suite(sf_dir))

@@ -288,19 +288,36 @@ class SearchEngine:
 
     # -------------------------------------------------------------- phrases
 
-    def _doc_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Flat (doc_id repeated per occurrence, raw position) arrays for
-        ``term`` across its chunks (decoded + cached)."""
+    def _doc_positions(
+        self, term: str, doc_range: tuple[int, int] | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Flat (doc_id repeated per occurrence, raw position) arrays
+        for ``term``, doc-ascending. Fully decoded results are cached;
+        with ``doc_range=(lo, hi)`` (inclusive) and a cold cache, only
+        chunks overlapping the range are decoded (positional chunk
+        pruning — candidate-driven phrase queries touch a doc range far
+        smaller than the term's full posting list)."""
         cached = self._pos_cache.get(term)
         if cached is not None:
-            return cached
+            if doc_range is None:
+                return cached
+            d, p = cached
+            lo = np.searchsorted(d, doc_range[0], side="left")
+            hi = np.searchsorted(d, doc_range[1], side="right")
+            return d[lo:hi], p[lo:hi]
         ids_all, pos_all = [], []
+        partial = False
         for ci, c in enumerate(self._chunks(term)):
             if c.pos_enc is None:
                 raise ValueError(
                     "this index was built without positions (pre-phrase "
                     "format); rebuild to run phrase queries"
                 )
+            if doc_range is not None and (
+                c.last_doc < doc_range[0] or c.first_doc > doc_range[1]
+            ):
+                partial = True  # pruned a chunk — don't poison the cache
+                continue
             ids, tfs = self._decoded(term)[ci]
             vstarts = np.zeros(len(tfs), dtype=np.int64)
             np.cumsum(tfs[:-1], out=vstarts[1:])
@@ -312,7 +329,8 @@ class SearchEngine:
             np.concatenate(ids_all) if ids_all else np.zeros(0, dtype=np.int64),
             np.concatenate(pos_all) if pos_all else np.zeros(0, dtype=np.int64),
         )
-        self._pos_cache[term] = out
+        if not partial:
+            self._pos_cache[term] = out
         return out
 
     _POS_K = np.int64(1) << np.int64(32)  # (doc, pos) packing base
@@ -320,40 +338,35 @@ class SearchEngine:
     def search_phrases(self, clauses: list[dict], k: int = 10, mode: str = "and"):
         """Scoring with phrase clauses (parse_query contract: phrases
         FILTER — consecutive raw positions, any variant per slot — and
-        BM25 still sums over every clause's variant terms). Exhaustive
-        scorer only; block-max pruning for phrase queries is future
-        work."""
+        BM25 still sums over every clause's variant terms).
+
+        Candidate-driven: clause match sets are SORTED doc-id arrays
+        (set algebra via np.intersect1d/union1d), position keys are
+        built only for candidate docs, and BM25 accumulates into a
+        len(final)-sized vector — memory is O(postings touched), never
+        O(max_doc), so the path serves at shard scale."""
+        if not clauses:
+            return []
         groups: list[tuple[str, ...]] = []
         for c in clauses:
             groups.extend(c["slots"] if c["type"] == "phrase" else [c["variants"]])
         terms = sorted({t for g in groups for t in g if t in self.df})
         idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
-        if not clauses:
-            return []
-        # range-local accumulators/masks; position keys pack GLOBAL ids
-        acc = np.zeros(self._span, dtype=np.float64)
-        postings: dict[str, np.ndarray] = {}
-        for t in terms:  # ascending term order — canonical summation
-            ids, tfs = self._postings(t)
-            local = ids - self._base
-            postings[t] = local
-            acc[local] += idfs[t] * bm25.impact(tfs, self.doclens[local], self.avgdl)
 
-        def term_mask(variants) -> np.ndarray:
-            m = np.zeros(self._span, dtype=bool)
-            for t in variants:
-                if t in postings:
-                    m[postings[t]] = True
-            return m
+        def union_ids(variants) -> np.ndarray:
+            arrs = [self._postings(t)[0] for t in variants if t in self.df]
+            if not arrs:
+                return np.zeros(0, dtype=np.int64)
+            return np.unique(np.concatenate(arrs))
 
-        def phrase_mask(slots) -> np.ndarray:
-            # cheap candidate pre-filter: docs containing every slot
+        def phrase_docs(slots) -> np.ndarray:
+            # candidate pre-filter: docs containing every slot
             cand = None
             for slot in slots:
-                sm = term_mask(slot)
-                cand = sm if cand is None else cand & sm
-            if cand is None or not cand.any():
-                return np.zeros(self._span, dtype=bool)
+                s = union_ids(slot)
+                cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)
+                if cand is None or len(cand) == 0:
+                    return np.zeros(0, dtype=np.int64)
             # (doc, pos - slot_index) keys over candidate docs only; the
             # phrase exists iff some shifted key survives intersection
             anchor = None
@@ -364,32 +377,48 @@ class SearchEngine:
                 for t in slot:
                     if t not in self.df:
                         continue
-                    d, p = self._doc_positions(t)
-                    keep = cand[d - self._base]
+                    d, p = self._doc_positions(t, doc_range=(cand[0], cand[-1]))
+                    idx = np.searchsorted(cand, d)
+                    idx[idx == len(cand)] = 0
+                    keep = cand[idx] == d
                     d, p = d[keep], p[keep]
                     keys_i.append(d * self._POS_K + (p - i + L))
                 if not keys_i:
-                    return np.zeros(self._span, dtype=bool)
+                    return np.zeros(0, dtype=np.int64)
                 ks = np.unique(np.concatenate(keys_i))
                 anchor = ks if anchor is None else np.intersect1d(anchor, ks, assume_unique=True)
                 if len(anchor) == 0:
-                    return np.zeros(self._span, dtype=bool)
-            m = np.zeros(self._span, dtype=bool)
-            m[np.unique(anchor // self._POS_K) - self._base] = True
-            return m
+                    return np.zeros(0, dtype=np.int64)
+            return np.unique(anchor // self._POS_K)
 
-        mask = None
+        final = None
         for c in clauses:
-            cm = phrase_mask(c["slots"]) if c["type"] == "phrase" else term_mask(c["variants"])
-            if mask is None:
-                mask = cm
+            ids = phrase_docs(c["slots"]) if c["type"] == "phrase" else union_ids(c["variants"])
+            if final is None:
+                final = ids
             elif mode == "and":
-                mask &= cm
+                final = np.intersect1d(final, ids, assume_unique=True)
             else:
-                mask |= cm
-        mask &= ~self._deleted
-        docs = np.flatnonzero(mask)
-        return bm25.top_k_from_scores(docs + self._base, acc[docs], k)
+                final = np.union1d(final, ids)
+            if mode == "and" and len(final) == 0:
+                return []
+        final = final[~self._deleted[final - self._base]]
+        if len(final) == 0:
+            return []
+        # BM25 over the final docs only, ascending term order (the
+        # canonical float summation order — identical to the oracle)
+        scores = np.zeros(len(final), dtype=np.float64)
+        for t in terms:
+            ids, tfs = self._postings(t)
+            idx = np.searchsorted(final, ids)
+            idx[idx == len(final)] = 0
+            hit = final[idx] == ids
+            if not hit.any():
+                continue
+            scores[idx[hit]] += idfs[t] * bm25.impact(
+                tfs[hit], self.doclens[ids[hit] - self._base], self.avgdl
+            )
+        return bm25.top_k_from_scores(final, scores, k)
 
     def search_exhaustive(self, query: str, k: int = 10, mode: str = "and"):
         groups, terms, idfs = self._prepare(query)
