@@ -250,6 +250,35 @@ def _fielded_search(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
+def _standard_numbers(sf_dir: str):
+    """standard_number normalization with a DuckDB oracle: each doc_id
+    deterministically becomes a checksum-valid ISBN-10, the pipeline
+    validates + converts it (StandardNumberStage), and the oracle
+    derives the ISBN-13 independently (lpad + EAN checksum in SQL) —
+    two implementations of the public algorithms must agree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from limetrans_ray.stages.textstats import StandardNumberStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_raw(batch: pa.Table) -> pa.Table:
+        raws = []
+        for i in batch.column("doc_id").to_pylist():
+            body = f"{int(i):09d}"
+            s = sum((10 - j) * int(body[j]) for j in range(9))
+            c = (11 - s % 11) % 11
+            raws.append(body + ("X" if c == 10 else str(c)))
+        return batch.append_column("raw", pa.array(raws, pa.string()))
+
+    return (
+        ds.map_batches(make_raw, batch_format="pyarrow")
+        .map_batches(StandardNumberStage("ISBN", "raw"), batch_format="pyarrow")
+        .select_columns(["doc_id", "preferred_isbn"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from limetrans_ray.pipelines import relational as rel
 
@@ -260,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": rel.lineitem_agg,
         "topk_docs": rel.topk_docs,
         "lookup_region": rel.lookup_region,
+        "lookup_delete_miss": rel.lookup_delete_miss,
         "semi_join_orders": rel.semi_join_orders,
         "anti_join_customers": rel.anti_join_customers,
         "term_df": rel.term_df,
@@ -269,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": rel.session_windows,
         "user_rolling": rel.user_rolling,
         # training-data operators
+        "standard_numbers": _standard_numbers,
         "dedup_exact": _dedup_exact,
         "ann_topk": _ann_topk,
         # fulltext flagship + non-SQL-expressible extensions (rows-only)
@@ -333,6 +364,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "lookup_delete_miss": """
+            SELECT n.n_name AS nation_name, count(*) AS n
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey < 13
+            GROUP BY n.n_name
         """,
         "semi_join_orders": """
             SELECT o_orderstatus, count(*) AS n_orders,
@@ -510,6 +547,21 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": f"""
             SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
             FROM documents
+        """,
+        "standard_numbers": """
+            WITH b AS (
+              SELECT doc_id,
+                     '978' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS b12
+              FROM documents),
+            k AS (
+              SELECT doc_id, b12,
+                (10 - (list_sum(list_transform(generate_series(1, 12),
+                    i -> CAST(b12[i] AS INT)
+                         * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10))
+                % 10 AS chk
+              FROM b)
+            SELECT doc_id, b12 || CAST(chk AS VARCHAR) AS preferred_isbn
+            FROM k
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),

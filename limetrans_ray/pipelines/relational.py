@@ -123,6 +123,29 @@ def lookup_region(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(round_bal, batch_format="pandas")
 
 
+def lookup_delete_miss(sf_dir: str, max_nation: int = 13) -> rd.Dataset:
+    """``lookup(path, map, delete)`` semantics (SURVEY.md §2.3): map
+    customers' nation key through a PARTIAL broadcast map (nations
+    < ``max_nation`` only) and DROP rows whose key misses — the
+    reference's drop-on-miss option, equivalent to an inner join
+    against the map's key set."""
+    from ..functions.lookup import LookupStage
+
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    lut = {
+        int(r.n_nationkey): r.n_name
+        for r in nation.itertuples()
+        if r.n_nationkey < max_nation
+    }
+    ref = ray.put(lut)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"])
+    out = cust.map_batches(
+        LookupStage("c_nationkey", "nation_name", table_ref=ref, on_miss="delete"),
+        batch_format="pyarrow",
+    )
+    return out.groupby("nation_name").aggregate(Count(alias_name="n"))
+
+
 def semi_join_orders(sf_dir: str, nation_name: str = "NATION_7") -> rd.Dataset:
     """Semi-join (verify_links membership analogue): orders whose
     customer belongs to one nation — key set broadcast, isin mask."""

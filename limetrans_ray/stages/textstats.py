@@ -9,6 +9,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import strip_schema_metadata
+from ..functions.standardnum import standard_number
 from ..functions.textstats import (
     count_tokens_bpeish,
     detect_language,
@@ -88,3 +89,35 @@ class FingerprintStage:
         else:
             fps = [f"{fingerprint64(t):016x}" for t in texts]
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+class StandardNumberStage:
+    """Adds ``preferred_<type>`` + ``variant_<type>`` (list) columns by
+    normalizing a source column with :func:`standard_number` — the
+    reference's ``standard_number(TYPE, target, source:)`` fix command
+    as a batch stage (StandardNumber.java:56-309). The ISBN range table
+    is built once per actor (state-loaded-once, SURVEY.md §2.5)."""
+
+    def __init__(self, number_type: str, source_col: str, *, ranges=None):
+        self.number_type = number_type
+        self.source_col = source_col
+        self.ranges = ranges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_schema_metadata(batch)
+        pref, var = [], []
+        for v in batch.column(self.source_col).to_pylist():
+            out = (
+                standard_number(v, self.number_type, ranges=self.ranges)
+                if v is not None
+                else None
+            )
+            pref.append(out["preferred"] if out else None)
+            # empty list (not null) keeps the column a plain list type
+            # through pandas conversion
+            var.append(out["variants"] if out else [])
+        t = self.number_type.lower()
+        batch = batch.append_column(f"preferred_{t}", pa.array(pref, pa.string()))
+        return batch.append_column(
+            f"variant_{t}", pa.array(var, pa.list_(pa.string()))
+        )
