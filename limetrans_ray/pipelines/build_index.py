@@ -79,12 +79,14 @@ class IndexBuildConfig:
     block_size: int = codec.BLOCK_SIZE
     bucket_width: int | None = None  # posting-chunk doc-range; None → from corpus size
     batch_size: int = 2048          # rows per extract/tokenize batch
-    invert_batch_size: int = 16384  # rows per SPIMI invert batch: large enough
+    invert_batch_size: int = 12288  # rows per SPIMI invert batch: large enough
                                     # to amortize per-(term,bucket) cell
                                     # overhead (doc ids are hash-ordered, every
                                     # batch spans most buckets), small enough
-                                    # for task balance and cache-sized sorts
-                                    # (measured sweet spot; see BASELINE.md)
+                                    # for task balance and cache-sized sorts.
+                                    # Re-tuned for analyzer v2 (stemming adds
+                                    # ~34% postings per row, so the sweet spot
+                                    # moved down from 16384; see BASELINE.md)
     fwd_partition_groups: int = 1   # >1: the extract+tokenize pass runs as G
                                     # input-file groups, each with its own
                                     # fwd/group-* dir, manifest and done
@@ -621,7 +623,11 @@ def _finish_from_fwd(
         def merge_shard_group(group: pa.Table) -> pa.Table:
             return merger(group)
 
-        segs = partials.groupby(["shard", "bgroup"]).map_groups(
+        # single-key groupby when every bucket falls in one doclen group
+        # (the sandbox norm) — the extra key only exists to co-locate
+        # doc ranges at 10^12 scale
+        group_keys = ["shard"] if n_bg == 1 else ["shard", "bgroup"]
+        segs = partials.groupby(group_keys).map_groups(
             merge_shard_group, batch_format="pyarrow"
         )
         _clean_dir(seg_dir)

@@ -297,6 +297,98 @@ def simhash_near_dups(
 
 # ----------------------------------------------------------------- embedding
 
+def embedding_near_dups_lsh(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 24,
+    bands: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Cosine ≥ ``threshold`` pairs via banded hyperplane LSH — the
+    scale path :func:`embedding_near_dups` lacks: no corpus matrix on
+    the driver, no O(n²) matmul. Signatures (``n_planes`` sign bits)
+    split into ``bands``; a pair collides in a band with probability
+    ``(1−θ/π)^(n_planes/bands)`` (θ = the threshold angle), so genuine
+    near-dups share ≥1 band w.h.p. while far pairs rarely do. Stages:
+
+    1. per batch: normalize → sign bits → one row per (band, value, id)
+    2. ``groupby(band, value)`` → candidate pairs (star-capped like the
+       MinHash path, overflow logged)
+    3. exact cosine verification over candidate vectors only.
+    """
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    r = n_planes // bands
+    pref = ray.put(planes)
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(pref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        bits = (v @ pl > 0).astype(np.int64)
+        frames = []
+        for b in range(bands):
+            val = (bits[:, b * r : (b + 1) * r] << np.arange(r)).sum(axis=1)
+            frames.append(
+                pd.DataFrame({"band_id": b, "band_val": val, id_col: ids})
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
+            )
+        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
+        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
+        out["capped"] = capped
+        return out
+
+    cand = (
+        ds.map_batches(to_bands, batch_format="pandas")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+        {"a_id": np.int64, "b_id": np.int64, "cosine": np.float64}
+    )
+    if len(cand) == 0:
+        return empty
+    if cand["capped"].any():
+        logger.warning(
+            "embedding LSH: %d pairs from over-cap buckets used star expansion",
+            int(cand["capped"].sum()),
+        )
+    cand = cand[["a_id", "b_id"]].drop_duplicates().astype(np.int64)
+
+    needed = np.unique(np.concatenate([cand["a_id"], cand["b_id"]]))
+    need_ref = ray.put(needed)
+
+    def project_needed(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        m = np.isin(batch[id_col].to_numpy(), want)
+        return batch.loc[m, [id_col, vec_col]]
+
+    vecs = ds.map_batches(project_needed, batch_format="pandas").to_pandas()
+    mat = np.stack(vecs[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    pos = {int(i): j for j, i in enumerate(vecs[id_col].to_numpy())}
+    a = np.array([pos[i] for i in cand["a_id"]])
+    b = np.array([pos[i] for i in cand["b_id"]])
+    cos = np.einsum("ij,ij->i", mat[a], mat[b])
+    out = cand.assign(cosine=cos)
+    out = out[out["cosine"] >= threshold].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True) if len(out) else empty
+
+
 def embedding_near_dups(
     ds: rd.Dataset,
     *,
@@ -308,8 +400,9 @@ def embedding_near_dups(
 
     The corpus embedding matrix is L2-normalized once, broadcast via
     ``ray.put``, and each batch does one float64 matmul against it —
-    brute force O(n²) compute but O(n·d) memory per task; at larger n,
-    swap the broadcast side for LSH buckets (see pipelines/ann.py).
+    brute force O(n²) compute but O(n·d) memory per task. This is the
+    exact small-corpus baseline; :func:`embedding_near_dups_lsh` is the
+    banded-bucket scale path (no driver matrix, no all-pairs matmul).
     """
     full = ds.select_columns([id_col, vec_col]).to_pandas()
     ids_all = full[id_col].to_numpy().astype(np.int64)

@@ -198,3 +198,20 @@ def test_lsh_indexed_prunes_reads(ray_session, emb_ds, tmp_path):
     a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_embedding_near_dups_lsh(ray_session, emb_ds):
+    """The banded-LSH embedding near-dup (scale path): finds the
+    planted near-identical pairs without any O(n^2) driver matmul, and
+    every emitted pair is exact-cosine-verified."""
+    from limetrans_ray.pipelines.dedup import embedding_near_dups_lsh
+
+    ds, _ = emb_ds
+    pairs = embedding_near_dups_lsh(ds, threshold=0.99)
+    found = set(zip(pairs["a_id"], pairs["b_id"]))
+    for i in range(10):
+        assert (i, 80 + i) in found, i
+    assert (pairs["cosine"] >= 0.99).all()
+    # subset of the brute-force result (verification removes all FPs)
+    brute = embedding_near_dups(ds, threshold=0.99)
+    assert found <= set(zip(brute["a_id"], brute["b_id"]))
