@@ -407,7 +407,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, w_start
         """,
         "hash_join_orders": """
-            SELECT c_nationkey, o_orderstatus, count(*) AS n_orders,
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   o_orderstatus, count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey, o_orderstatus
