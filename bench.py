@@ -228,6 +228,56 @@ def _hardware_ceiling() -> dict:
     }
 
 
+def _ray_task_ceiling(n_tasks: int = 96) -> dict:
+    """Ray-task calibration: ``n_tasks`` identical pure-CPU tasks in
+    fresh ``ray.init(num_cpus=8)`` vs ``(num_cpus=32)`` sessions — the
+    same scheduler + straggler regime the engine's stages run under,
+    with zero data movement or shuffle. On evenly-loaded hardware this
+    matches the independent-process probe; on unevenly-throttled shared
+    vCPUs it additionally captures the straggler tax that
+    barrier-synchronized task waves actually pay (a 20× remote-wall
+    spread between identical tasks was observed in loaded windows),
+    which N independent processes do not."""
+    code = (
+        "import sys, time, hashlib\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=int(sys.argv[1]),"
+        " include_dashboard=False, logging_level='ERROR')\n"
+        "@ray.remote\n"
+        "def burn(_):\n"
+        "    h = b'x' * 1024\n"
+        "    for _i in range(300000):\n"
+        "        h = hashlib.blake2b(h, digest_size=64).digest() * 16\n"
+        "    return 0\n"
+        "n = int(sys.argv[2])\n"
+        "ray.get([burn.remote(i) for i in range(min(8, n))])  # warm workers\n"
+        "t0 = time.time()\n"
+        "ray.get([burn.remote(i) for i in range(n)])\n"
+        "print(time.time() - t0)\n"
+        "ray.shutdown()\n"
+    )
+
+    def run_n(ncpu: int) -> float:
+        proc = subprocess.run(
+            [sys.executable, "-c", code, str(ncpu), str(n_tasks)],
+            capture_output=True, text=True, check=True,
+        )
+        return float(proc.stdout.strip().splitlines()[-1])
+
+    samples = []
+    for _ in range(2):
+        w8, w32 = run_n(8), run_n(32)
+        samples.append(((n_tasks / w32) / (n_tasks / w8)) / 4)
+    samples.sort()
+    med = samples[len(samples) // 2] if len(samples) % 2 else (
+        samples[len(samples) // 2 - 1] + samples[len(samples) // 2]
+    ) / 2
+    return {
+        "ceiling_efficiency": round(med, 3),
+        "ceiling_samples": [round(s, 3) for s in samples],
+    }
+
+
 def run_scaling() -> dict:
     """8 vs 32 CPUs on the same input in fresh processes, best of
     ``SCALING_REPS`` per level (BASELINE.md protocol: tier sized so the
@@ -249,6 +299,7 @@ def run_scaling() -> dict:
             if ncpu not in best or r["docs_per_s"] > best[ncpu]["docs_per_s"]:
                 best[ncpu] = r
     hw = _hardware_ceiling()
+    hw_ray = _ray_task_ceiling()
     tput8, tput32 = best[8]["docs_per_s"], best[32]["docs_per_s"]
     eff = (tput32 / tput8) / (32 / 8)
     return {
@@ -261,7 +312,11 @@ def run_scaling() -> dict:
         "sec_32": best[32]["queries"]["index_build"],
         "speedup": round(tput32 / tput8, 2),
         "hardware_ceiling": hw,
+        "hardware_ceiling_ray_tasks": hw_ray,
         "efficiency_normalized": round(min(1.0, eff / hw["ceiling_efficiency"]), 3),
+        "efficiency_normalized_ray": round(
+            min(1.0, eff / hw_ray["ceiling_efficiency"]), 3
+        ),
         "result_identity": best[8]["result_hash"] == best[32]["result_hash"],
         "result_hash": best[32]["result_hash"],
         "scaling_rows": SCALING_ROWS,

@@ -84,9 +84,9 @@ def _regions(word: str) -> tuple[int, int]:
 
 
 def german2_stem(word: str) -> str:
-    """Stem one (already lowercased/folded) token."""
-    if len(word) < 3:
-        return word
+    """Stem one (already lowercased/folded) token. Prelude and postlude
+    always run (ß→ss, umlaut strip) — R1 ≥ 3 already makes every
+    suffix step a no-op on short words."""
     w = _prelude(word)
     r1, r2 = _regions(w)
 
