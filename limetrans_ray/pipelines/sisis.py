@@ -107,3 +107,45 @@ def stitch_parent_child(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def supplement_map(
+    rows: rd.Dataset,
+    *,
+    id_field: str = "0010",
+    value_field: str = "0331",
+    join_with: str = " ; ",
+) -> dict[str, str]:
+    """The SisisSupplement analogue (reference core/src/main/java/hbz/
+    limetrans/util/SisisSupplement.java:36-130): build a lookup map from
+    decoded SISIS rows — record's ``id_field`` value → all its
+    ``value_field`` occurrences joined in occurrence order. The result
+    is a plain dict for ``LookupStage``/``ray.put`` broadcast (or feed
+    it to ``DiskMap.build`` when it outgrows the heap)."""
+    wanted = rows.filter(
+        lambda r: r["field"] in (id_field, value_field)
+    ).select_columns(["record_id", "field", "occurrence", "value"])
+
+    def per_record(group: pa.Table) -> pa.Table:
+        fs = group.column("field").to_pylist()
+        vs = group.column("value").to_pylist()
+        occ = group.column("occurrence").to_pylist()
+        rid = None
+        vals = []
+        for f, v, o in sorted(zip(fs, vs, occ), key=lambda x: (x[0], x[2])):
+            if f == id_field and rid is None:
+                rid = v
+            elif f == value_field:
+                vals.append(v)
+        if rid is None or not vals:
+            return pa.table(
+                {"k": pa.array([], pa.string()), "v": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {"k": pa.array([rid], pa.string()),
+             "v": pa.array([join_with.join(vals)], pa.string())}
+        )
+
+    out = wanted.groupby("record_id").map_groups(per_record, batch_format="pyarrow")
+    tbl = out.to_pandas()
+    return dict(zip(tbl["k"], tbl["v"]))

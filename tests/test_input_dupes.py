@@ -117,3 +117,19 @@ def test_warc_ts_tie_break_on_url_hash(ray_session, tmp_path):
         if c == "https://tie.example/page"
     ]
     assert got == [expected_url]
+
+
+def test_identical_rows_collapsed_distributed_winners(ray_session, tmp_path):
+    """The duplicate-input repair composes with the distributed winner
+    computation (the 100 TB path): same result as the driver path."""
+    from limetrans_ray.pipelines.build_index import IndexBuildConfig
+
+    rows = _rows()
+    dup_rows = rows + [rows[4], rows[11]]
+    f = str(tmp_path / "d.parquet")
+    _write(f, dup_rows)
+    cfg = IndexBuildConfig(winners_mode="distributed", winner_partitions=4)
+    sd = build_index([f], str(tmp_path / "idx_dist"), config=cfg)
+    sc = build_index([f], str(tmp_path / "idx_drv"))
+    assert sd["n_docs"] == sc["n_docs"] == len(rows)
+    assert sd["total_terms"] == sc["total_terms"]

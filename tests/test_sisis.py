@@ -76,3 +76,21 @@ def test_super_stitch(ray_session):
     assert out["parent_title"].tolist() == ["Die Super-Serie"] * 2
     assert out["super_record_id"].tolist() == ["(DE-605)REC-P1"] * 2
     assert out["title"].tolist() == ["Band Eins", "Band Zwei"]
+
+
+def test_supplement_map(ray_session):
+    """SisisSupplement: id field -> joined value occurrences."""
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.sisis import supplement_map
+
+    text = (
+        "0000:R1\n0010:ID-1\n0331:Titel Eins\n0331:Titel Zwei\n9999:e\n"
+        "0000:R2\n0010:ID-2\n0331:Solo\n9999:e\n"
+        "0000:R3\n0010:ID-3\n9999:e\n"
+    )
+    rows = rd.from_arrow(
+        pa.table({"blob": pa.array([text], pa.string())})
+    ).map_batches(decode_batch, batch_format="pyarrow")
+    m = supplement_map(rows)
+    assert m == {"ID-1": "Titel Eins ; Titel Zwei", "ID-2": "Solo"}
