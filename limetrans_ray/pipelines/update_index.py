@@ -294,6 +294,14 @@ def add_documents(
     bdir = mf.build_dir(index_root, build_id)
     with open(os.path.join(bdir, "stats.json")) as fh:
         stats = json.load(fh)
+    from .. import ANALYZER_VERSION
+
+    if int(stats.get("analyzer_version", 0)) != ANALYZER_VERSION:
+        raise ValueError(
+            f"base build used analyzer v{stats.get('analyzer_version')}, "
+            f"code is v{ANALYZER_VERSION}: an incremental delta would mix "
+            "tokenizations — rebuild the index instead"
+        )
     w = int(stats["bucket_width"])
     block_size = int(stats.get("config", {}).get("block_size", 128))
     n_shards = int(stats.get("config", {}).get("n_term_shards", 256))

@@ -120,3 +120,26 @@ def test_delete_by_id(ray_session, webtext_dir, tmp_path_factory):
     eng2 = SearchEngine(root)
     remaining = {d for d, _ in eng2.search("page", 50, mode="or")}
     assert not remaining.intersection({d for d, _ in top})
+
+
+def test_update_refuses_analyzer_mismatch(ray_session, webtext_dir, tmp_path):
+    """A delta tokenized with a newer analyzer must not mix into a
+    build made with an older one — update refuses, rebuild required."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from limetrans_ray.pipelines.build_index import build_index
+    from limetrans_ray.pipelines.update_index import add_documents
+    from limetrans_ray.state.manifest import build_dir, current_build
+
+    root = str(tmp_path / "idx")
+    build_index(webtext_dir, root)
+    bdir = build_dir(root, current_build(root))
+    sp = os.path.join(bdir, "stats.json")
+    stats = json.load(open(sp))
+    stats["analyzer_version"] = 1  # pretend the base is pre-stemming
+    json.dump(stats, open(sp, "w"))
+    with _pytest.raises(ValueError, match="analyzer"):
+        add_documents(webtext_dir, root)
