@@ -12,13 +12,18 @@ dedup; each operator here is a Ray Data pipeline over a document table:
 - :func:`simhash_near_dups`     — 64-bit SimHash, 4-band blocking,
   Hamming-distance verification
 - :func:`embedding_near_dups`   — cosine ≥ τ against an embedding
-  column (brute force per batch vs a normalized broadcast matrix)
+  column (brute force per batch vs a normalized broadcast matrix;
+  exact small-corpus baseline)
+- :func:`embedding_near_dups_lsh` — the embedding scale path: banded
+  hyperplane buckets → capped candidates → exact cosine verification
 
-Scale notes: candidate-pair verification joins texts back by doc id via
-a broadcast lookup — fine while candidates ≪ corpus (the common case
-after banding); at 10^12 docs the verify step becomes a second
-hash-join keyed on doc_id, which the band-bucket `groupby` layout
-already supports.
+Scale notes: within-bucket pair expansion is bounded by
+``BUCKET_PAIR_CAP`` (star expansion + logged overflow — no O(B²)
+blowup on degenerate buckets); candidate-pair verification joins
+texts/vectors back by doc id via a broadcast lookup — fine while
+candidates ≪ corpus (the common case after banding); at 10^12 docs the
+verify step becomes a second hash-join keyed on doc_id, which the
+band-bucket `groupby` layout already supports.
 """
 
 from __future__ import annotations
