@@ -152,3 +152,17 @@ class TestDedup:
         )
         ids = sorted(docs.column("doc_id").to_pylist())
         assert ids == list(range(stats["n_docs"]))
+
+
+def test_or_mode_matches_oracle(built_index, oracle_engine):
+    """OR-mode parity (the AND matrix is covered extensively; OR shares
+    the accumulator but unions clause sets)."""
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    eng = SearchEngine(built_index[0])
+    for q in ["holzbau atlas", "payment xylophone", "drei zinnen gebiet"]:
+        got = eng.search(q, 15, mode="or")
+        want = oracle_engine.search(q, 15, mode="or")
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert abs(a - b) < 1e-9, q
