@@ -1,17 +1,24 @@
 """Multimodal column stages (image/audio/video as opaque binary).
 
-The decode kernels themselves are STUBBED — the image/audio libraries
-are not available in this environment — behind a deterministic fake
-(seeded from the payload bytes), but the Ray-side plumbing is real and
-tested: schema contracts, actor-pool stage signature (decoder "model"
-loaded once per actor in ``__init__``), small-batch handling for large
-binary payloads, and typed metadata columns. Swap ``_decode_stub`` for
-a real decoder (PIL/ffmpeg) without touching the pipeline shape.
+Decode paths per stage:
+
+- ``decoder="auto"`` — REAL pure-numpy decoders for the formats that
+  need no external codec library (functions/media.py): P6 PPM and
+  uncompressed 24/32-bit BMP images, RIFF PCM WAV audio, with real
+  nearest-neighbor resize / linear resampling. Compressed formats
+  (JPEG/PNG/MP3/…) still need external codecs: per-payload they raise
+  :class:`DecoderNotAvailable` (``fallback="error"``) or degrade to the
+  stub (``fallback="stub"``).
+- ``decoder="stub"`` (default) — deterministic fake seeded from the
+  payload digest, for codec-free smoke pipelines.
+
+Video frame extraction stays a byte-window stub (no ffmpeg anywhere in
+scope); its explode contract (one row → n_frames rows) is real.
 
 Usage pattern (binary payloads dominate block size, so batches stay
 small and the batch format stays Arrow end-to-end):
 
-    ds.map_batches(ImageDecodeStage(target=(64, 64)),
+    ds.map_batches(ImageDecodeStage(target=(64, 64), decoder="auto"),
                    batch_format="pyarrow", batch_size=64,
                    concurrency=8, num_cpus=1)
 """
@@ -23,10 +30,18 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.media import (
+    UnsupportedMediaFormat,
+    decode_image,
+    decode_wav,
+    resample_linear,
+    resize_nearest,
+)
+
 
 class DecoderNotAvailable(NotImplementedError):
-    """Raised when a real decoder is requested but no codec library
-    exists in this environment."""
+    """Raised when decoding is requested for a payload format that
+    needs an external codec library this environment lacks."""
 
 
 def _decode_stub(payload: bytes, channels: int, side: int) -> np.ndarray:
@@ -50,23 +65,39 @@ class ImageDecodeStage:
         image_col: str = "payload",
         target: tuple[int, int] = (32, 32),
         *,
-        real_decoder: bool = False,
+        decoder: str = "stub",
+        fallback: str = "error",
+        real_decoder: bool | None = None,
     ):
-        if real_decoder:
-            raise DecoderNotAvailable(
-                "no image codec library in this environment; "
-                "run with real_decoder=False for the deterministic stub"
-            )
+        if real_decoder:  # back-compat spelling of decoder="auto"
+            decoder = "auto"
+        if decoder not in ("stub", "auto"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if fallback not in ("stub", "error"):
+            raise ValueError(f"unknown fallback {fallback!r}")
         self.image_col = image_col
         self.h, self.w = target
+        self.decoder = decoder
+        self.fallback = fallback
+
+    def _decode(self, p: bytes) -> np.ndarray:
+        if self.decoder == "auto":
+            try:
+                return resize_nearest(decode_image(p), self.h, self.w)
+            except UnsupportedMediaFormat as e:
+                if self.fallback == "error":
+                    raise DecoderNotAvailable(
+                        f"payload needs an external codec ({e}); pass "
+                        "fallback='stub' to degrade to the deterministic fake"
+                    ) from e
+        return _decode_stub(p, 3, max(self.h, self.w))[: self.h, : self.w]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.image_col).to_pylist()
         n = len(payloads)
         tensors = np.empty((n, self.h * self.w * 3), dtype=np.uint8)
         for i, p in enumerate(payloads):
-            img = _decode_stub(p, 3, max(self.h, self.w))[: self.h, : self.w]
-            tensors[i] = img.reshape(-1)
+            tensors[i] = self._decode(p).reshape(-1)
         pixels = pa.FixedSizeListArray.from_arrays(
             pa.array(tensors.reshape(-1)), self.h * self.w * 3
         )
@@ -114,31 +145,53 @@ class AudioDecodeStage:
         n_samples: int = 4096,
         sample_rate: int = 16_000,
         *,
-        real_decoder: bool = False,
+        decoder: str = "stub",
+        fallback: str = "error",
+        real_decoder: bool | None = None,
     ):
-        if real_decoder:
-            raise DecoderNotAvailable(
-                "no audio codec library in this environment; "
-                "run with real_decoder=False for the deterministic stub"
-            )
+        if real_decoder:  # back-compat spelling of decoder="auto"
+            decoder = "auto"
+        if decoder not in ("stub", "auto"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if fallback not in ("stub", "error"):
+            raise ValueError(f"unknown fallback {fallback!r}")
         self.audio_col = audio_col
         self.n_samples = n_samples
         self.sample_rate = sample_rate
+        self.decoder = decoder
+        self.fallback = fallback
+
+    def _decode(self, p: bytes) -> tuple[np.ndarray, int]:
+        """(int16 waveform of exactly n_samples, source sample rate)."""
+        if self.decoder == "auto":
+            try:
+                x, sr = decode_wav(p)
+                wav = resample_linear(x, self.n_samples)
+                return (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16), sr
+            except UnsupportedMediaFormat as e:
+                if self.fallback == "error":
+                    raise DecoderNotAvailable(
+                        f"payload needs an external codec ({e}); pass "
+                        "fallback='stub' to degrade to the deterministic fake"
+                    ) from e
+        seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return (
+            rng.integers(-(2**15), 2**15, size=self.n_samples, dtype=np.int16),
+            self.sample_rate,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.audio_col).to_pylist()
         n = len(payloads)
         waves = np.empty((n, self.n_samples), dtype=np.int16)
+        rates = np.empty(n, dtype=np.int32)
         for i, p in enumerate(payloads):
-            seed = int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "little")
-            rng = np.random.default_rng(seed)
-            waves[i] = rng.integers(-(2**15), 2**15, size=self.n_samples, dtype=np.int16)
+            waves[i], rates[i] = self._decode(p)
         arr = pa.FixedSizeListArray.from_arrays(pa.array(waves.reshape(-1)), self.n_samples)
         out = batch.drop_columns([self.audio_col])
         out = out.append_column("waveform", arr)
-        out = out.append_column(
-            "sample_rate", pa.array(np.full(n, self.sample_rate, dtype=np.int32))
-        )
+        out = out.append_column("sample_rate", pa.array(rates))
         out = out.append_column(
             "n_samples", pa.array(np.full(n, self.n_samples, dtype=np.int32))
         )

@@ -91,5 +91,13 @@ def test_audio_stub_stage(ray_session):
     )
     import pytest as _pytest
 
+    # auto mode decodes real WAV payloads now; a non-WAV payload raises
+    # per call (fallback="error" default)
+    stage = AudioDecodeStage(real_decoder=True)
     with _pytest.raises(DecoderNotAvailable):
-        AudioDecodeStage(real_decoder=True)
+        stage(
+            pa.table(
+                {"media_id": pa.array([0], pa.int64()),
+                 "payload": pa.array([b"ID3 not-wav"], pa.binary())}
+            )
+        )
