@@ -45,3 +45,27 @@ def test_search_many(pool_and_engine):
     out = pool.search_many(qs, k=5)
     for q in qs:
         assert out[q] == engine.search(q, 5), q
+
+
+def test_pool_respects_tombstones(ray_session, webtext_dir, tmp_path_factory):
+    """Range-sharded tombstone slices: a deleted doc vanishes from the
+    scatter-gather result exactly as from the single engine."""
+    from limetrans_ray.pipelines.build_index import build_index
+    from limetrans_ray.pipelines.search import SearchEngine, ServingPool
+    from limetrans_ray.pipelines.update_index import delete_documents
+
+    root = str(tmp_path_factory.mktemp("idx_pool_tomb"))
+    build_index(webtext_dir, root)
+    eng = SearchEngine(root)
+    top = eng.search("payment market", 3)
+    victim = top[0][0]
+    assert delete_documents(root, doc_ids=[victim]) == 1
+    eng2 = SearchEngine(root)
+    pool = ServingPool(root, n_shards=3)
+    try:
+        got = pool.search("payment market", 10)
+        want = eng2.search("payment market", 10)
+        assert got == want
+        assert victim not in [d for d, _ in got]
+    finally:
+        pool.shutdown()
