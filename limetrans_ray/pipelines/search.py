@@ -142,6 +142,7 @@ class SearchEngine:
         # bounded by a postings budget (LRU).
         self._chunk_cache: dict[str, list[_Chunk]] = {}
         self._pos_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._decoded_cache: "dict[str, list[tuple[np.ndarray, np.ndarray]]]" = {}
         self._decoded_postings = 0
         self._decoded_budget = 20_000_000  # ≈320 MB of id+tf arrays
@@ -255,15 +256,28 @@ class SearchEngine:
         self._decoded_postings += n
         return parts
 
+    _FULL_CACHE_TERMS = 128
+
     def _postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """Full decoded postings of ``term`` (concatenated chunks)."""
+        """Full decoded postings of ``term`` (concatenated chunks),
+        LRU-cached — hot query terms skip the per-query concat copy
+        (~16 MB for a stop-word-scale term)."""
+        got = self._full_cache.get(term)
+        if got is not None:
+            self._full_cache[term] = self._full_cache.pop(term)
+            return got
         parts = self._decoded(term)
         if not parts:
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-        return (
-            np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-        )
+            out = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+        else:
+            out = (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+        while len(self._full_cache) >= self._FULL_CACHE_TERMS:
+            self._full_cache.pop(next(iter(self._full_cache)))
+        self._full_cache[term] = out
+        return out
 
     # -------------------------------------------------------------- scoring
 
@@ -368,7 +382,12 @@ class SearchEngine:
                 if cand is None or len(cand) == 0:
                     return np.zeros(0, dtype=np.int64)
             # (doc, pos - slot_index) keys over candidate docs only; the
-            # phrase exists iff some shifted key survives intersection
+            # phrase exists iff some shifted key survives intersection.
+            # Membership via a _span-sized bool mask — the same memory
+            # envelope as the doclen slice, O(|postings|) instead of
+            # |postings|·log|candidates|
+            cand_mask = np.zeros(self._span, dtype=bool)
+            cand_mask[cand - self._base] = True
             anchor = None
             L = len(slots)  # +L keeps the shifted position positive, so
             # packed (doc, pos) keys never borrow into the doc part
@@ -378,14 +397,17 @@ class SearchEngine:
                     if t not in self.df:
                         continue
                     d, p = self._doc_positions(t, doc_range=(cand[0], cand[-1]))
-                    idx = np.searchsorted(cand, d)
-                    idx[idx == len(cand)] = 0
-                    keep = cand[idx] == d
+                    keep = cand_mask[d - self._base]
                     d, p = d[keep], p[keep]
                     keys_i.append(d * self._POS_K + (p - i + L))
                 if not keys_i:
                     return np.zeros(0, dtype=np.int64)
-                ks = np.unique(np.concatenate(keys_i))
+                if len(keys_i) == 1:
+                    # per-term keys are already sorted-unique: postings
+                    # are doc-ascending with ascending positions
+                    ks = keys_i[0]
+                else:
+                    ks = np.unique(np.concatenate(keys_i))
                 anchor = ks if anchor is None else np.intersect1d(anchor, ks, assume_unique=True)
                 if len(anchor) == 0:
                     return np.zeros(0, dtype=np.int64)
