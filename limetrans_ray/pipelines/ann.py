@@ -282,3 +282,143 @@ def lsh_topk_indexed(
             "total_rows": int(n_total),
         },
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def _kmeans(vecs: np.ndarray, k: int, *, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means (seeded init, fixed iterations,
+    cosine assignment) — the coarse quantizer for the IVF index. Pure
+    numpy; empty clusters keep their previous centroid."""
+    v = _normalize(vecs)
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(len(v), size=min(k, len(v)), replace=False)]
+    for _ in range(iters):
+        assign = (v @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = v[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[c] = m / n
+    return cent
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 42,
+) -> dict:
+    """IVF index: train a coarse quantizer on a bounded sample (driver-
+    side k-means over ≤``train_sample`` vectors — at 10^12 scale the
+    sample, not the corpus, bounds driver memory), then one assignment
+    pass writes hive ``list_id=`` partitions. Queries probe only their
+    ``nprobe`` nearest lists (:func:`ivf_topk`)."""
+    sample = ds.limit(train_sample).to_pandas()
+    train = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    cent = _kmeans(train, n_lists, seed=seed)
+    cref = ray.put(cent)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        v = _normalize(np.stack(batch[vec_col].to_numpy()))
+        batch = batch[[id_col, vec_col]].copy()
+        batch["list_id"] = (v @ c.T).argmax(axis=1).astype(np.int64)
+        return batch
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        vec_dir, partition_cols=["list_id"]
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    meta = {"n_lists": int(len(cent)), "seed": seed, "dim": int(cent.shape[1])}
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivf_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """Approximate cosine top-k probing only each query's ``nprobe``
+    nearest inverted lists. Returns (result_frame, io_stats) like
+    :func:`lsh_topk_indexed`."""
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries))
+    sims = qn @ cent.T                       # (n_q, n_lists)
+    nprobe = min(nprobe, sims.shape[1])
+    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    allow = np.zeros((len(qn), len(cent)), dtype=bool)
+    allow[np.arange(len(qn))[:, None], probe] = True
+    vec_dir = os.path.join(index_dir, "vectors")
+    have = {
+        int(d.split("=", 1)[1]): os.path.join(vec_dir, d)
+        for d in os.listdir(vec_dir)
+        if d.startswith("list_id=")
+    }
+    import pyarrow.parquet as _pq
+
+    n_total = 0
+    for d in have.values():
+        for root, _dirs, fs in os.walk(d):
+            n_total += sum(
+                _pq.read_metadata(os.path.join(root, f)).num_rows
+                for f in fs if f.endswith(".parquet")
+            )
+    wanted = np.flatnonzero(allow.any(axis=0))
+    paths = [have[b] for b in wanted if b in have]
+    if not paths:
+        return (
+            _finalize_topk(pd.DataFrame(), k, id_col),
+            {"probed_lists": 0, "scanned_rows": 0, "total_rows": n_total},
+        )
+    files = [
+        os.path.join(d, f)
+        for d in paths
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, cent))
+
+    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q, qids, allow_tbl, c = ray.get(qref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        v = _normalize(np.stack(batch[vec_col].to_numpy()))
+        lists = (v @ c.T).argmax(axis=1)
+        mask = allow_tbl[:, lists]
+        rows = []
+        for qi in range(len(qids)):
+            idx = np.flatnonzero(mask[qi])
+            if len(idx) == 0:
+                continue
+            s = v[idx] @ q[qi]
+            top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
+            for j in top:
+                rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
+        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+
+    scanned = rd.read_parquet(files)
+    n_scanned = scanned.count()
+    cand = scanned.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    return (
+        _finalize_topk(cand, k, id_col),
+        {
+            "probed_lists": int(len(paths)),
+            "scanned_rows": int(n_scanned),
+            "total_rows": int(n_total),
+        },
+    )

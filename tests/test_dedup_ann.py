@@ -215,3 +215,27 @@ def test_embedding_near_dups_lsh(ray_session, emb_ds):
     # subset of the brute-force result (verification removes all FPs)
     brute = embedding_near_dups(ds, threshold=0.99)
     assert found <= set(zip(brute["a_id"], brute["b_id"]))
+
+
+def test_ivf_topk_recall_and_pruning(ray_session, emb_ds, tmp_path):
+    """IVF path: k-means coarse quantizer (deterministic), hive
+    list_id partitions, per-query nprobe pruned reads, recall vs the
+    exact baseline."""
+    from limetrans_ray.pipelines.ann import build_ivf_index, ivf_topk
+
+    ds, mat = emb_ds
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_lists=8, seed=7)
+    assert meta["n_lists"] == 8
+
+    q = mat[:5].astype(np.float64)
+    exact = brute_force_topk(ds, q, list(range(5)), k=5)
+    out, io = ivf_topk(idx, q, list(range(5)), k=5, nprobe=3)
+    assert io["total_rows"] == 90
+    assert 0 < io["scanned_rows"] < io["total_rows"]
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(out[out["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.8
