@@ -1,0 +1,133 @@
+"""Hand-written query conformance matrix — the full
+ElasticsearchQueryTest discipline (reference main/src/test/java/hbz/
+limetrans/ElasticsearchQueryTest.java:168-298: families of documents ×
+queries with EXPLICIT expected match sets).
+
+Unlike the engine==oracle parity suites, expectations here are written
+BY HAND from the analyzer contract, so a bug shared by both engines
+(they import the same analyzer) still fails. Families mirror the
+reference's: hyphen/compound (e-payment, holzbau-atlas,
+drei-zinnen-gebiet), folding (über/straße/résumé), stemming
+(häuser/zinnen/zahlungen), stop words, phrases, fields.
+"""
+
+import pyarrow as pa
+import pytest
+
+from limetrans_ray.state.oracle import OracleEngine
+
+DOCS = [
+    # hyphen/compound family (ES QueryTest's e-payment trio)
+    (0, "e-payment systems for the modern web"),
+    (1, "epayment systems for the modern web"),
+    (2, "e payment systems for the modern web"),
+    # holzbau-atlas family
+    (3, "der holzbau-atlas"),
+    (4, "der holzbauatlas"),
+    (5, "der holzbau atlas"),
+    (6, "holzbau"),
+    (7, "atlas der baukunst"),
+    # drei-zinnen family
+    (8, "das drei-zinnen-gebiet in den dolomiten"),
+    (9, "das dreizinnengebiet in den dolomiten"),
+    (10, "das drei zinnen gebiet in den dolomiten"),
+    # folding family
+    (11, "über die straße zur schule"),
+    (12, "uber die strasse zur schule"),
+    (13, "résumé of the année"),
+    # stemming family
+    (14, "die häuser am markt"),
+    (15, "das alte haus"),
+    (16, "haeuser und gaerten"),
+    (17, "wissenschaftliche zahlungen"),
+    # context-word discrimination
+    (18, "payment market report"),
+    (19, "markets and reports yearly"),
+]
+
+# (query, mode, expected doc-id set)
+MATRIX = [
+    # --- hyphen/compound: any written variant matches any queried
+    # variant; a hyphenated QUERY token is ONE clause whose variants
+    # (parts + catenation) OR together, so "e-payment" also matches
+    # docs containing just "payment" (the documented synonym-group
+    # contract, analyzer.py)
+    ("e-payment", "and", {0, 1, 2, 18}),
+    ("epayment", "and", {0, 1}),          # catenated term: hyphen + solid
+    ("payment", "and", {0, 2, 18}),       # split part + plain word
+    ("holzbau-atlas", "and", {3, 4, 5, 6, 7}),  # one OR group
+    ("holzbauatlas", "and", {3, 4}),
+    ("holzbau atlas", "and", {3, 5}),     # two AND groups: both required
+    ("holzbau", "and", {3, 5, 6}),
+    ("atlas", "and", {3, 5, 7}),
+    ("drei-zinnen-gebiet", "and", {8, 9, 10}),
+    ("dreizinnengebiet", "and", {8, 9}),
+    ("zinnen", "and", {8, 10}),
+    # --- folding: umlauts/accents fold both ways
+    ("uber die strasse", "and", {11, 12}),
+    ("über die straße", "and", {11, 12}),
+    ("resume", "and", {13}),
+    ("résumé", "and", {13}),
+    # --- stemming: inflections match base forms and each other
+    ("haus", "and", {14, 15, 16}),
+    ("häuser", "and", {14, 15, 16}),
+    ("haeusern", "and", {14, 15, 16}),
+    ("zahlung", "and", {17}),
+    ("wissenschaft", "and", {17}),
+    # --- stop words never constrain AND
+    ("der holzbau", "and", {3, 5, 6}),
+    ("die haus", "and", {14, 15, 16}),
+    # --- OR mode unions
+    ("holzbau xylophone", "or", {3, 5, 6}),
+    ("zinnen haus", "or", {8, 10, 14, 15, 16}),
+    # --- phrases: consecutive RAW positions, variant-per-slot. All
+    # variants of a hyphenated compound share its source position
+    # (analyzer.py tokenize_positions), so "drei zinnen" does NOT
+    # phrase-match inside "drei-zinnen-gebiet" — a declared divergence
+    # from ES's graph positions, identical in engine and oracle
+    ('"payment market"', "and", {18}),
+    ('"market report"', "and", {18}),     # 'market report' consecutive in 18
+    ('"report market"', "and", set()),    # wrong order
+    ('"drei zinnen"', "and", {10}),
+    ('"holzbau atlas"', "and", {5}),
+    # --- misses
+    ("xylophone", "and", set()),
+    ("holzbau dolomiten", "and", set()),
+]
+
+
+@pytest.fixture(scope="module")
+def matrix_oracle():
+    return OracleEngine().add_corpus(DOCS)
+
+
+@pytest.fixture(scope="module")
+def matrix_engine(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+    root = str(tmp_path_factory.mktemp("idx_matrix"))
+    build_index_from_documents(ds, root)
+    return SearchEngine(root)
+
+
+@pytest.mark.parametrize("query,mode,expected", MATRIX)
+def test_matrix_oracle(matrix_oracle, query, mode, expected):
+    got = {d for d, _ in matrix_oracle.search(query, k=30, mode=mode)}
+    assert got == expected, f"oracle: {query!r}"
+
+
+@pytest.mark.parametrize("query,mode,expected", MATRIX)
+def test_matrix_engine(matrix_engine, query, mode, expected):
+    got = {d for d, _ in matrix_engine.search(query, k=30, mode=mode)}
+    assert got == expected, f"engine: {query!r}"
