@@ -23,7 +23,7 @@ are owned by the driver, ``bench.py`` and the pytest fixture only.
 
 __version__ = "0.1.0"
 
-ANALYZER_VERSION = 2  # v2: German2 snowball stemming in the chain
+ANALYZER_VERSION = 3  # v3: stemmer region fix (protected U/Y are consonants)
 FORMAT_VERSION = 2  # v2: positional postings (pos_enc) for phrase queries
 
 

@@ -46,7 +46,7 @@ import unicodedata
 from .stemmer import german2_stem
 
 # Default analyzer profile: stem (the reference stems by default —
-# hbztitle-settings-v8.json German2). ANALYZER_VERSION 2.
+# hbztitle-settings-v8.json German2). See ANALYZER_VERSION.
 STEM_DEFAULT = True
 
 TOKEN_PATTERN = r"[^\W_]+(?:['’‐-][^\W_]+)*"
@@ -231,8 +231,10 @@ def tokenize_fields(
     return out, doclen
 
 
+# the unquoted alternative stops at a quote so adjacent phrases
+# ('web"drei zinnen"') still parse as phrases
 _CLAUSE_RE = re.compile(
-    r'(?:(?P<field>[A-Za-z][A-Za-z0-9_]*):)?(?P<body>"[^"]*"|\S+)'
+    r'(?:(?P<field>[A-Za-z][A-Za-z0-9_]*):)?(?P<body>"[^"]*"|[^"\s]+)'
 )
 
 
@@ -244,8 +246,16 @@ def parse_query(
     ``source:"a b"``) scopes the clause to that field (its variants are
     field-qualified — unscoped clauses hit the catch-all terms). Returns
     a list of clauses, each ``{"type": "term", "variants": tuple}`` or
-    ``{"type": "phrase", "slots": [tuple, ...]}`` (one variant group per
-    consecutive phrase position). Clauses AND together in "and" mode.
+    ``{"type": "phrase", "slots": [tuple, ...], "alt": tuple}`` (one
+    variant group per consecutive phrase position). Clauses AND together
+    in "and" mode.
+
+    A FIELD-scoped quoted body additionally carries ``alt`` — the
+    keyword-normalized whole value, field-qualified: the clause matches
+    if the phrase matches in a text field OR the exact keyword term
+    matches (``source:"library a"``). The parser does not know field
+    types, so both sides are emitted; whichever side has postings
+    decides (the other's terms simply have df 0).
 
     Scoring semantics (shared engine/oracle contract): phrases only
     FILTER — BM25 still sums over the distinct variant terms of all
@@ -257,18 +267,27 @@ def parse_query(
     for m in _CLAUSE_RE.finditer(text):
         field = m.group("field")
         body = m.group("body")
-        if body.startswith('"'):
+        quoted = body.startswith('"')
+        if quoted:
             body = body.strip('"')
         slots = analyze_query(body, stop=stop, stem=stem)
         if field:
             slots = [tuple(qualify(field, v) for v in g) for g in slots]
+        alt: tuple[str, ...] = ()
+        if field and quoted:
+            kw = keyword_normalize(body)
+            if kw:
+                alt = (qualify(field, kw),)
         if len(slots) == 1:
-            clauses.append({"type": "term", "variants": slots[0]})
+            variants = slots[0] + tuple(v for v in alt if v not in slots[0])
+            clauses.append({"type": "term", "variants": variants})
         elif slots:
-            if m.group("body").startswith('"'):
-                clauses.append({"type": "phrase", "slots": slots})
+            if quoted:
+                clauses.append({"type": "phrase", "slots": slots, "alt": alt})
             else:
                 clauses.extend({"type": "term", "variants": g} for g in slots)
+        elif alt:
+            clauses.append({"type": "term", "variants": alt})
     return clauses
 
 

@@ -84,11 +84,21 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Auto-detect and decode PPM/BMP → (h, w, 3) uint8."""
-    if payload.startswith(b"P6"):
-        return decode_ppm(payload)
-    if payload.startswith(b"BM"):
-        return decode_bmp(payload)
+    """Auto-detect and decode PPM/BMP → (h, w, 3) uint8.
+
+    Malformed payloads that merely SNIFF as a known container (bad
+    header fields, truncated pixel data) surface as
+    :class:`UnsupportedMediaFormat` too, so the stages' fallback
+    contract holds for corrupt real-world bytes."""
+    try:
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)
+        if payload.startswith(b"BM"):
+            return decode_bmp(payload)
+    except UnsupportedMediaFormat:
+        raise
+    except (ValueError, struct.error, IndexError) as e:
+        raise UnsupportedMediaFormat(f"malformed image payload: {e}") from e
     raise UnsupportedMediaFormat("unknown image container")
 
 
@@ -107,9 +117,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF PCM WAV → (mono float32 waveform in [-1, 1], sample_rate).
 
     Supports 8-bit unsigned, 16/32-bit signed PCM, any channel count
-    (channels average to mono)."""
+    (channels average to mono). Malformed RIFF payloads surface as
+    :class:`UnsupportedMediaFormat` (fallback contract)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise UnsupportedMediaFormat("not a RIFF/WAVE container")
+    try:
+        return _decode_wav_body(payload)
+    except UnsupportedMediaFormat:
+        raise
+    except (ValueError, struct.error, IndexError) as e:
+        raise UnsupportedMediaFormat(f"malformed WAV payload: {e}") from e
+
+
+def _decode_wav_body(payload: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     data = None

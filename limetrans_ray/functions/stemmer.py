@@ -70,11 +70,15 @@ def _regions(word: str) -> tuple[int, int]:
     to at least position 3 (the German adjustment)."""
 
     def after_first_nonvowel_after_vowel(start: int) -> int:
+        # NOTE: protected 'U'/'Y' (uppercased by the prelude) must count
+        # as CONSONANTS here — that is the point of the protection — so
+        # membership is checked case-sensitively against the lowercase
+        # vowel set ('neue' → 'neUe' → R1=3 → stems to 'neu')
         i = start
         n = len(word)
-        while i < n and word[i].lower() not in _VOWELS:
+        while i < n and word[i] not in _VOWELS:
             i += 1
-        while i < n and word[i].lower() in _VOWELS:
+        while i < n and word[i] in _VOWELS:
             i += 1
         return min(i + 1, n) if i < n else n
 

@@ -194,11 +194,91 @@ def build_lsh_index(
         vec_dir, partition_cols=["bucket"]
     )
     os.makedirs(index_dir, exist_ok=True)
-    meta = {"n_planes": n_planes, "seed": seed, "dim": probe_dim}
+    meta = {
+        "n_planes": n_planes, "seed": seed, "dim": probe_dim,
+        # row count recorded ONCE at build — queries must not pay a
+        # footer walk proportional to the whole index
+        "total_rows": _count_partition_rows(vec_dir),
+    }
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     np.save(os.path.join(index_dir, "planes.npy"), planes)
     return meta
+
+
+def _count_partition_rows(vec_dir: str) -> int:
+    import pyarrow.parquet as _pq
+
+    n = 0
+    for root, _dirs, fs in os.walk(vec_dir):
+        n += sum(
+            _pq.read_metadata(os.path.join(root, f)).num_rows
+            for f in fs if f.endswith(".parquet")
+        )
+    return int(n)
+
+
+def _partition_dirs(vec_dir: str, prefix: str) -> dict[int, str]:
+    """``{partition_value: path}`` for hive ``<prefix>=<v>`` dirs."""
+    return {
+        int(d.split("=", 1)[1]): os.path.join(vec_dir, d)
+        for d in os.listdir(vec_dir)
+        if d.startswith(prefix + "=")
+    }
+
+
+def _probed_files(dirs: dict[int, str], wanted) -> list[str]:
+    return [
+        os.path.join(dirs[b], f)
+        for b in wanted
+        if b in dirs
+        for f in sorted(os.listdir(dirs[b]))
+        if f.endswith(".parquet")
+    ]
+
+
+def _scan_pruned_topk(
+    files: list[str],
+    qn: np.ndarray,
+    query_ids,
+    allow: np.ndarray,
+    assign_fn,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[pd.DataFrame, int]:
+    """Shared pruned-read scorer for the partitioned ANN indexes:
+    read only ``files``, recompute each row's partition value with
+    ``assign_fn(v_normalized, assign_state)`` (never trust hive column
+    recovery on subdir reads), mask by ``allow[(n_q, n_partitions)]``,
+    per-batch top-k. ``assign_fn`` must be a module-level function; its
+    (possibly large) state ships once via the broadcast ref. Returns
+    (candidate frame, scanned row count)."""
+    assign_fn, assign_state = assign_fn
+    qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, assign_state))
+
+    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        q, qids, allow_tbl, state = ray.get(qref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        v = _normalize(np.stack(batch[vec_col].to_numpy()))
+        part = assign_fn(v, state)
+        mask = allow_tbl[:, part]
+        rows = []
+        for qi in range(len(qids)):
+            idx = np.flatnonzero(mask[qi])
+            if len(idx) == 0:
+                continue
+            s = v[idx] @ q[qi]
+            top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
+            for j in top:
+                rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
+        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+
+    scanned = rd.read_parquet(files)
+    n_scanned = scanned.count()
+    cand = scanned.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    return cand, int(n_scanned)
 
 
 def lsh_topk_indexed(
@@ -223,65 +303,38 @@ def lsh_topk_indexed(
     allow = _probe_table(qn @ planes > 0, probe_hamming)
     probed = np.flatnonzero(allow.any(axis=0))  # union over queries
     vec_dir = os.path.join(index_dir, "vectors")
-    have = {
-        int(d.split("=", 1)[1]): os.path.join(vec_dir, d)
-        for d in os.listdir(vec_dir)
-        if d.startswith("bucket=")
-    }
-    paths = [have[b] for b in probed if b in have]
-    import pyarrow.parquet as _pq
-
-    n_total = 0
-    for d in have.values():
-        for root, _dirs, fs in os.walk(d):
-            n_total += sum(
-                _pq.read_metadata(os.path.join(root, f)).num_rows
-                for f in fs
-                if f.endswith(".parquet")
-            )
-    if not paths:
+    dirs = _partition_dirs(vec_dir, "bucket")
+    files = _probed_files(dirs, probed)
+    n_total = int(meta.get("total_rows", -1))
+    if n_total < 0:  # pre-metadata index layout
+        n_total = _count_partition_rows(vec_dir)
+    if not files:
         return (
             _finalize_topk(pd.DataFrame(), k, id_col),
             {"probed_buckets": 0, "scanned_rows": 0, "total_rows": n_total},
         )
-    qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, planes))
-
-    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        q, qids, allow_tbl, pl = ray.get(qref)
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        # recompute the signature (cheap matmul) rather than trusting
-        # hive partition-column recovery on subdirectory reads
-        sig = _sig_ints(v @ pl > 0)
-        mask = allow_tbl[:, sig]
-        rows = []
-        for qi in range(len(qids)):
-            idx = np.flatnonzero(mask[qi])
-            if len(idx) == 0:
-                continue
-            s = v[idx] @ q[qi]
-            top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
-            for j in top:
-                rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
-
-    files = [
-        os.path.join(d, f)
-        for d in paths
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    scanned = rd.read_parquet(files)
-    n_scanned = scanned.count()
-    cand = scanned.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    cand, n_scanned = _scan_pruned_topk(
+        files, qn, query_ids, allow, (_assign_lsh, planes),
+        k=k, vec_col=vec_col, id_col=id_col,
+    )
     return (
         _finalize_topk(cand, k, id_col),
         {
-            "probed_buckets": int(len(paths)),
-            "scanned_rows": int(n_scanned),
-            "total_rows": int(n_total),
+            "probed_buckets": int(len(probed)),
+            "scanned_rows": n_scanned,
+            "total_rows": n_total,
         },
     )
+
+
+def _assign_lsh(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    # recompute the signature (cheap matmul) rather than trusting hive
+    # partition-column recovery on subdirectory reads
+    return _sig_ints(v @ planes > 0)
+
+
+def _assign_ivf(v: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    return (v @ centroids.T).argmax(axis=1)
 
 
 # ------------------------------------------------------------------- IVF
@@ -338,7 +391,10 @@ def build_ivf_index(
     )
     os.makedirs(index_dir, exist_ok=True)
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
-    meta = {"n_lists": int(len(cent)), "seed": seed, "dim": int(cent.shape[1])}
+    meta = {
+        "n_lists": int(len(cent)), "seed": seed, "dim": int(cent.shape[1]),
+        "total_rows": _count_partition_rows(vec_dir),
+    }
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -357,6 +413,8 @@ def ivf_topk(
     """Approximate cosine top-k probing only each query's ``nprobe``
     nearest inverted lists. Returns (result_frame, io_stats) like
     :func:`lsh_topk_indexed`."""
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     qn = _normalize(np.asarray(queries))
     sims = qn @ cent.T                       # (n_q, n_lists)
@@ -365,60 +423,26 @@ def ivf_topk(
     allow = np.zeros((len(qn), len(cent)), dtype=bool)
     allow[np.arange(len(qn))[:, None], probe] = True
     vec_dir = os.path.join(index_dir, "vectors")
-    have = {
-        int(d.split("=", 1)[1]): os.path.join(vec_dir, d)
-        for d in os.listdir(vec_dir)
-        if d.startswith("list_id=")
-    }
-    import pyarrow.parquet as _pq
-
-    n_total = 0
-    for d in have.values():
-        for root, _dirs, fs in os.walk(d):
-            n_total += sum(
-                _pq.read_metadata(os.path.join(root, f)).num_rows
-                for f in fs if f.endswith(".parquet")
-            )
+    dirs = _partition_dirs(vec_dir, "list_id")
     wanted = np.flatnonzero(allow.any(axis=0))
-    paths = [have[b] for b in wanted if b in have]
-    if not paths:
+    files = _probed_files(dirs, wanted)
+    n_total = int(meta.get("total_rows", -1))
+    if n_total < 0:  # pre-metadata index layout
+        n_total = _count_partition_rows(vec_dir)
+    if not files:
         return (
             _finalize_topk(pd.DataFrame(), k, id_col),
             {"probed_lists": 0, "scanned_rows": 0, "total_rows": n_total},
         )
-    files = [
-        os.path.join(d, f)
-        for d in paths
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
-    ]
-    qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, cent))
-
-    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        q, qids, allow_tbl, c = ray.get(qref)
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        lists = (v @ c.T).argmax(axis=1)
-        mask = allow_tbl[:, lists]
-        rows = []
-        for qi in range(len(qids)):
-            idx = np.flatnonzero(mask[qi])
-            if len(idx) == 0:
-                continue
-            s = v[idx] @ q[qi]
-            top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
-            for j in top:
-                rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
-
-    scanned = rd.read_parquet(files)
-    n_scanned = scanned.count()
-    cand = scanned.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    cand, n_scanned = _scan_pruned_topk(
+        files, qn, query_ids, allow, (_assign_ivf, cent),
+        k=k, vec_col=vec_col, id_col=id_col,
+    )
     return (
         _finalize_topk(cand, k, id_col),
         {
-            "probed_lists": int(len(paths)),
-            "scanned_rows": int(n_scanned),
-            "total_rows": int(n_total),
+            "probed_lists": int(len(wanted)),
+            "scanned_rows": n_scanned,
+            "total_rows": n_total,
         },
     )

@@ -55,6 +55,25 @@ def _bucket_pairs_capped(ids: np.ndarray, cap: int) -> tuple[list, bool]:
     anchor = int(ids[0])
     return [(anchor, int(b)) for b in ids[1:]], True
 
+
+def _capped_bucket_pairs_frame(id_col: str):
+    """The shared map_groups body for every banded-bucket candidate
+    stage (MinHash / embedding LSH): capped pairs + the ``capped`` flag
+    the caller logs (the one place the cap semantics live)."""
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
+            )
+        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
+        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
+        out["capped"] = capped
+        return out
+
+    return bucket_pairs
+
 from ..functions.textstats import (
     hash64_column,
     jaccard,
@@ -147,20 +166,9 @@ def minhash_lsh_candidates(
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
-                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
-            )
-        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
-        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
-        out["capped"] = capped
-        return out
-
     cand = (
         band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_capped_bucket_pairs_frame(id_col), batch_format="pandas")
         .to_pandas()
     )
     if len(cand) == 0:
@@ -324,6 +332,8 @@ def embedding_near_dups_lsh(
        MinHash path, overflow logged)
     3. exact cosine verification over candidate vectors only.
     """
+    from .ann import _normalize, _sig_ints
+
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
@@ -334,32 +344,19 @@ def embedding_near_dups_lsh(
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         pl = ray.get(pref)
         ids = batch[id_col].to_numpy().astype(np.int64)
-        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        bits = (v @ pl > 0).astype(np.int64)
+        bits = _normalize(np.stack(batch[vec_col].to_numpy())) @ pl > 0
         frames = []
         for b in range(bands):
-            val = (bits[:, b * r : (b + 1) * r] << np.arange(r)).sum(axis=1)
+            val = _sig_ints(bits[:, b * r : (b + 1) * r]).astype(np.int64)
             frames.append(
                 pd.DataFrame({"band_id": b, "band_val": val, id_col: ids})
             )
         return pd.concat(frames, ignore_index=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
-                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
-            )
-        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
-        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
-        out["capped"] = capped
-        return out
-
     cand = (
         ds.map_batches(to_bands, batch_format="pandas")
         .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(_capped_bucket_pairs_frame(id_col), batch_format="pandas")
         .to_pandas()
     )
     empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(

@@ -210,6 +210,18 @@ class SearchEngine:
                 tbl = self._with_enc_avgdl(
                     pq.read_table(f, filters=[("term", "==", term)])
                 )
+                if self._bucket_range is not None:
+                    # lazy path must honor the shard's doc range too —
+                    # unfiltered chunks would index out of the
+                    # range-local doclen/accumulator arrays
+                    w = int(self.stats["bucket_width"])
+                    buckets = pc.divide(tbl.column("first_doc"), w)
+                    lo, hi = self._bucket_range
+                    tbl = tbl.filter(
+                        pc.and_(
+                            pc.greater_equal(buckets, lo), pc.less(buckets, hi)
+                        )
+                    )
                 rows.extend(tbl.slice(i, 1) for i in range(len(tbl)))
         chunks = []
         for r in rows:
@@ -363,7 +375,12 @@ class SearchEngine:
             return []
         groups: list[tuple[str, ...]] = []
         for c in clauses:
-            groups.extend(c["slots"] if c["type"] == "phrase" else [c["variants"]])
+            if c["type"] == "phrase":
+                groups.extend(c["slots"])
+                if c.get("alt"):
+                    groups.append(c["alt"])
+            else:
+                groups.append(c["variants"])
         terms = sorted({t for g in groups for t in g if t in self.df})
         idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
 
@@ -415,7 +432,13 @@ class SearchEngine:
 
         final = None
         for c in clauses:
-            ids = phrase_docs(c["slots"]) if c["type"] == "phrase" else union_ids(c["variants"])
+            if c["type"] == "phrase":
+                ids = phrase_docs(c["slots"])
+                if c.get("alt"):
+                    # keyword-field alternative: exact normalized value
+                    ids = np.union1d(ids, union_ids(c["alt"]))
+            else:
+                ids = union_ids(c["variants"])
             if final is None:
                 final = ids
             elif mode == "and":

@@ -112,7 +112,10 @@ class OracleEngine:
         if not clauses:
             return []
         clause_docs = [
-            self._phrase_clause_docs(c["slots"])
+            (
+                self._phrase_clause_docs(c["slots"])
+                | self._term_clause_docs(c.get("alt", ()))
+            )
             if c["type"] == "phrase"
             else self._term_clause_docs(c["variants"])
             for c in clauses
@@ -126,7 +129,12 @@ class OracleEngine:
         scores: dict[int, float] = {d: 0.0 for d in candidates}
         all_terms = set()
         for c in clauses:
-            groups = c["slots"] if c["type"] == "phrase" else [c["variants"]]
+            if c["type"] == "phrase":
+                groups = list(c["slots"])
+                if c.get("alt"):
+                    groups.append(c["alt"])
+            else:
+                groups = [c["variants"]]
             for g in groups:
                 all_terms.update(g)
         for t in sorted(all_terms):

@@ -153,3 +153,58 @@ def test_engine_matches_oracle_fielded(ray_session, tmp_path, field_oracle):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, a), (_, b) in zip(got, want):
             assert a == pytest.approx(b, rel=1e-12), q
+
+
+def test_keyword_field_quoted_value(field_oracle):
+    """A field-scoped QUOTED multi-word value matches the keyword
+    field's exact normalized term (the 'alt' side of a phrase clause):
+    source:"library a" finds both spellings."""
+    got = {d for d, _ in field_oracle.search('source:"library a"', 10)}
+    assert got == {0, 1}
+    # and a quoted phrase on a TEXT field still phrase-matches
+    got = {d for d, _ in field_oracle.search('body:"holzbau-atlas wird"', 10)}
+    assert got == {1}
+
+
+def test_engine_keyword_quoted_and_lazy_range(ray_session, tmp_path, field_oracle):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, *_ in DOCS], pa.int64()),
+                "title": pa.array([t for _, t, _b, _s in DOCS], pa.string()),
+                "body": pa.array([b for _, _t, b, _s in DOCS], pa.string()),
+                "source": pa.array([s for *_, s in DOCS], pa.string()),
+            }
+        )
+    )
+    root = str(tmp_path / "idx")
+    build_index_from_documents(
+        ds, root,
+        fields=[("title", "title", "text"), ("body", "body", "text"),
+                ("source", "source", "keyword")],
+    )
+    eng = SearchEngine(root)
+    got = eng.search('source:"library a"', 10)
+    want = field_oracle.search('source:"library a"', 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+    # lazy (preload=False) + bucket_range must equal the preloaded shard
+    import json, os
+
+    from limetrans_ray.state.manifest import build_dir, current_build
+
+    stats = json.load(
+        open(os.path.join(build_dir(root, current_build(root)), "stats.json"))
+    )
+    w = stats["bucket_width"]
+    n_buckets = stats["max_doc"] // w + 1
+    rng = (0, max(1, n_buckets))
+    eager = SearchEngine(root, preload=True, bucket_range=rng)
+    lazy = SearchEngine(root, preload=False, bucket_range=rng)
+    for q in ["holzbau", "title:holzbau", "body:haus"]:
+        assert lazy.search(q, 10) == eager.search(q, 10), q

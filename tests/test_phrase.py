@@ -101,3 +101,8 @@ class TestPhraseSearch:
 
     def test_nonexistent_phrase(self, engine):
         assert engine.search('"xylophone zinnen"', 10) == []
+
+
+def test_quote_adjacent_to_word_still_phrases():
+    out = parse_query('web"drei zinnen" atlas')
+    assert [c["type"] for c in out] == ["term", "phrase", "term"]
