@@ -71,10 +71,21 @@ def brute_force_topk(
             top = idx[np.lexsort((ids[idx], -s[idx]))[: min(k, len(idx))]]
             for j in top:
                 rows.append((int(qids[qi]), int(ids[j]), float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+        return _typed_rows_frame(rows, id_col)
 
     cand = ds.map_batches(batch_topk, batch_format="pandas").to_pandas()
     return _finalize_topk(cand, k, id_col)
+
+
+def _typed_rows_frame(rows: list, id_col: str) -> pd.DataFrame:
+    """Candidate frame with stable dtypes even when empty (an untyped
+    empty object frame trips Ray's block size estimation)."""
+    out = pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+    if not rows:
+        out = out.astype(
+            {"query_id": np.int64, id_col: np.int64, "cosine": np.float64}
+        )
+    return out
 
 
 def _finalize_topk(cand: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
@@ -131,7 +142,7 @@ def lsh_topk(
             top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
             for j in top:
                 rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+        return _typed_rows_frame(rows, id_col)
 
     cand = ds.map_batches(batch_topk, batch_format="pandas").to_pandas()
     return _finalize_topk(cand, k, id_col)
@@ -273,7 +284,7 @@ def _scan_pruned_topk(
             top = np.lexsort((ids[idx], -s))[: min(k, len(idx))]
             for j in top:
                 rows.append((int(qids[qi]), int(ids[idx[j]]), float(s[j])))
-        return pd.DataFrame(rows, columns=["query_id", id_col, "cosine"])
+        return _typed_rows_frame(rows, id_col)
 
     scanned = rd.read_parquet(files)
     n_scanned = scanned.count()
