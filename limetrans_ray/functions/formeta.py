@@ -23,8 +23,6 @@ writer is NOT claimed (its source is not part of the reference repo).
 
 from __future__ import annotations
 
-import re
-
 _SPECIAL = set("{}:,'\\")
 
 
@@ -36,7 +34,18 @@ def _quote(s: str) -> str:
 
 def encode_records(rows: list[dict]) -> str:
     """Serialize flat rows (grouped by record_id, input order kept) into
-    Formeta-style text, one record per line."""
+    Formeta-style text, one record per line.
+
+    Note: quoted values may legally contain newlines, so the joined text
+    cannot be split back into records on ``\\n`` — use
+    :func:`encode_record_strings` when per-record blobs are needed.
+    """
+    return "\n".join(encode_record_strings(rows))
+
+
+def encode_record_strings(rows: list[dict]) -> list[str]:
+    """Serialize flat rows into one Formeta string per record
+    (grouped by record_id, input order kept)."""
     by_rec: dict[str, list[dict]] = {}
     order: list[str] = []
     for r in rows:
@@ -71,7 +80,7 @@ def encode_records(rows: list[dict]) -> str:
                 )
                 parts.append(f"{_quote(field)}{{{inner}}},")
         out_lines.append(f"{_quote(rid)}{{{''.join(parts)}}}")
-    return "\n".join(out_lines)
+    return out_lines
 
 
 class _Parser:
@@ -170,15 +179,12 @@ def decode_formeta(text: str) -> list[dict]:
     return _Parser(text).records()
 
 
-_NEWLINE_RE = re.compile(r"\n+")
-
-
 def encode_batch(batch, blob_col: str = "formeta"):
     """map_batches body: rows table → one Formeta blob per record
-    (sorted stable by record_id, field order preserved)."""
+    (record_id grouping, field order preserved). Built from per-record
+    strings so quoted values containing newlines stay intact."""
     import pyarrow as pa
 
     rows = batch.to_pylist()
-    text = encode_records(rows)
-    recs = _NEWLINE_RE.split(text) if text else []
+    recs = encode_record_strings(rows)
     return pa.table({blob_col: pa.array(recs, pa.string())})

@@ -60,7 +60,7 @@ from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
-from ..functions.analyzer import tokenize_fields
+from ..functions.analyzer import simple_terms, tokenize_fields
 from ..stages.indexing import (
     ExtractTokenizeStage,
     InvertStage,
@@ -383,6 +383,7 @@ def build_index_from_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     fields: list[tuple[str, str, str]] | None = None,
+    analyzer: str = "full",
     config: IndexBuildConfig | None = None,
     build_id: str = "docs-build",
     publish: bool = True,
@@ -401,8 +402,22 @@ def build_index_from_documents(
     field-qualified terms (``field\\x1fterm`` — query as
     ``field:term``) and unqualified catch-all terms; keyword fields one
     normalized qualified term. Default (None) = the single unqualified
-    ``text_col``."""
+    ``text_col``.
+
+    ``analyzer``: ``"full"`` (the shared analyzer chain — hyphen
+    multiplexing, folding, stop words, German2 stemming) or ``"simple"``
+    (:func:`~limetrans_ray.functions.analyzer.simple_terms` — lowercase
+    alnum split, deliberately ANSI-SQL-expressible so a DuckDB oracle
+    can mirror the ENTIRE index-then-query round trip exactly; the
+    reference's index-then-query conformance discipline,
+    ElasticsearchQueryTest.java:315-354, expressed in the driver's hard
+    signal). The profile is recorded in stats.json and the query side
+    follows it. ``"simple"`` requires ``fields=None``."""
     cfg = config or IndexBuildConfig()
+    if analyzer not in ("full", "simple"):
+        raise ValueError(f"unknown analyzer profile {analyzer!r}")
+    if analyzer == "simple" and fields is not None:
+        raise ValueError("analyzer='simple' does not support fields=")
     bdir = mf.build_dir(index_root, build_id)
     os.makedirs(bdir, exist_ok=True)
     fwd_dir = os.path.join(bdir, "fwd")
@@ -414,19 +429,29 @@ def build_index_from_documents(
         def tokenize_batch(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy().astype(np.int64)
             n = len(ids)
-            if fields is None:
-                specs_per_row = (
-                    [(None, "text", t)] for t in batch.column(text_col).to_pylist()
+            if analyzer == "simple":
+                def rows_simple():
+                    for t in batch.column(text_col).to_pylist():
+                        posmap: dict[str, list[int]] = {}
+                        toks = simple_terms(t or "")
+                        for p, term in enumerate(toks):
+                            posmap.setdefault(term, []).append(p)
+                        yield posmap, len(toks)
+                per_row = rows_simple()
+            elif fields is None:
+                per_row = (
+                    tokenize_fields([(None, "text", t)])
+                    for t in batch.column(text_col).to_pylist()
                 )
             else:
                 cols = {col: batch.column(col).to_pylist() for _f, col, _a in fields}
-                specs_per_row = (
-                    [(f, a, cols[col][i]) for f, col, a in fields] for i in range(n)
+                per_row = (
+                    tokenize_fields([(f, a, cols[col][i]) for f, col, a in fields])
+                    for i in range(n)
                 )
             terms_col, tfs_col, pos_col = [], [], []
             doclens = np.empty(n, dtype=np.int64)
-            for i, specs in enumerate(specs_per_row):
-                posmap, dl = tokenize_fields(specs)
+            for i, (posmap, dl) in enumerate(per_row):
                 items = sorted(posmap.items())
                 terms_col.append([k for k, _ in items])
                 tfs_col.append([len(p) for _, p in items])
@@ -457,7 +482,9 @@ def build_index_from_documents(
             metrics={"seconds": time.perf_counter() - t0},
         )
 
-    return _finish_from_fwd(index_root, build_id, fp, cfg, publish)
+    return _finish_from_fwd(
+        index_root, build_id, fp, cfg, publish, analyzer_profile=analyzer
+    )
 
 
 def _finish_from_fwd(
@@ -466,6 +493,8 @@ def _finish_from_fwd(
     fp: str,
     cfg: IndexBuildConfig,
     publish: bool,
+    *,
+    analyzer_profile: str = "full",
 ) -> dict:
     """Stages 2-4 over an existing fwd/ checkpoint (see module doc)."""
     bdir = mf.build_dir(index_root, build_id)
@@ -559,6 +588,7 @@ def _finish_from_fwd(
                                                  # incremental updates)
             "bucket_width": cfg.resolved_bucket_width(max_doc),
             "analyzer_version": ANALYZER_VERSION,
+            "analyzer_profile": analyzer_profile,
             "format_version": FORMAT_VERSION,
             "build_id": build_id,
             "input_fingerprint": fp,

@@ -76,7 +76,6 @@ def _capped_bucket_pairs_frame(id_col: str):
 
 from ..functions.textstats import (
     hash64_column,
-    jaccard,
     minhash_params,
     minhash_signature,
     simhash64,
@@ -175,37 +174,79 @@ def minhash_lsh_candidates(
         return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}).astype(
             {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
         )
+    # Dedupe across bands keeping the uncapped flag when any band emitted
+    # the pair normally, so the overflow count below reports pairs that
+    # ONLY exist thanks to star expansion (counting before dedup would
+    # over-count pairs re-emitted from several bands).
+    cand = (
+        cand.sort_values("capped")
+        .drop_duplicates(["a_id", "b_id"], keep="first")
+        .reset_index(drop=True)
+    )
     n_capped = int(cand["capped"].sum())
     if n_capped:
         logger.warning(
-            "minhash LSH: %d candidate pairs came from over-cap buckets "
-            "(> %d docs share a band hash) and used star expansion — "
-            "clusters stay connected but some within-bucket pairs were "
-            "not emitted",
+            "minhash LSH: %d candidate pairs exist only via over-cap "
+            "buckets (> %d docs share a band hash) and used star "
+            "expansion — clusters stay connected but some within-bucket "
+            "pairs were not emitted",
             n_capped,
             BUCKET_PAIR_CAP,
         )
-    cand = cand[["a_id", "b_id"]].drop_duplicates().astype(np.int64)
+    cand = cand[["a_id", "b_id"]].astype(np.int64)
 
-    # verification: fetch texts of candidate docs only (broadcast filter)
+    # Verification: exact Jaccard over exploded (doc_id, shingle) rows.
+    # Shingling runs inside map_batches (texts never reach the driver —
+    # only candidate docs' shingle hashes do) and the per-pair
+    # intersection is a vectorized double merge + grouped count, no
+    # per-row Python on the driver. Documented scale path for
+    # candidates ≫ driver memory: same two merges as Ray hash joins.
     needed = set(cand["a_id"]).union(cand["b_id"])
     needed_ref = ray.put(needed)
 
-    def project_needed(batch: pa.Table) -> pa.Table:
+    def shingle_rows(batch: pa.Table) -> pa.Table:
         want = ray.get(needed_ref)
         ids = batch.column(id_col).to_numpy()
         mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(ids))
-        return batch.filter(pa.array(mask)).select([id_col, text_col])
+        sub = batch.filter(pa.array(mask))
+        sids = sub.column(id_col).to_numpy()
+        texts = sub.column(text_col).to_pylist()
+        id_parts, sh_parts = [], []
+        for did, txt in zip(sids, texts):
+            sh = word_shingles(txt, shingle_k)
+            id_parts.append(np.full(len(sh), did, dtype=np.int64))
+            sh_parts.append(sh.view(np.int64))
+        if not id_parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(id_parts)),
+                "shingle": pa.array(np.concatenate(sh_parts)),
+            }
+        )
 
-    texts_df = ds.map_batches(project_needed, batch_format="pyarrow").to_pandas()
-    shingle_map = {
-        int(r[id_col]): word_shingles(r[text_col], shingle_k)
-        for _, r in texts_df.iterrows()
-    }
-    jac = np.array(
-        [jaccard(shingle_map[a], shingle_map[b]) for a, b in zip(cand["a_id"], cand["b_id"])]
+    sh_df = ds.map_batches(shingle_rows, batch_format="pyarrow").to_pandas()
+    sizes = sh_df.groupby(id_col).size()
+    cand = cand.assign(pair=np.arange(len(cand)))
+    ea = cand[["pair", "a_id"]].merge(
+        sh_df.rename(columns={id_col: "a_id"}), on="a_id"
     )
-    out = cand.assign(jaccard=jac)
+    eb = cand[["pair", "b_id"]].merge(
+        sh_df.rename(columns={id_col: "b_id"}), on="b_id"
+    )
+    inter = ea.merge(eb, on=["pair", "shingle"]).groupby("pair").size()
+    n_a = sizes.reindex(cand["a_id"]).fillna(0).to_numpy()
+    n_b = sizes.reindex(cand["b_id"]).fillna(0).to_numpy()
+    n_i = inter.reindex(cand["pair"]).fillna(0).to_numpy()
+    union = n_a + n_b - n_i
+    # union == 0 ⇔ both shingle sets empty ⇔ Jaccard 1.0 (matches jaccard())
+    jac = np.where(union > 0, n_i / np.maximum(union, 1), 1.0)
+    out = cand[["a_id", "b_id"]].assign(jaccard=jac)
     out = out[out["jaccard"] >= threshold].sort_values(["a_id", "b_id"])
     return out.reset_index(drop=True)
 

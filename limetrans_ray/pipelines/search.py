@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
-from ..functions.analyzer import parse_query
+from ..functions.analyzer import parse_query, simple_terms
 from ..state import bm25
 from ..state.manifest import build_dir, current_build
 
@@ -86,6 +86,9 @@ class SearchEngine:
         self.n_docs = int(self.stats["n_docs"])
         self.max_doc = int(self.stats.get("max_doc", self.n_docs - 1))
         self.avgdl = float(self.stats["avgdl"])
+        # index-then-query analyzer contract: the query side MUST use
+        # the profile the index was built with (recorded in stats.json)
+        self.analyzer_profile = self.stats.get("analyzer_profile", "full")
 
         # doc-range-local state: a bucket_range shard holds ONLY its
         # range's doclen/tombstone slices and scores in range-local
@@ -295,16 +298,28 @@ class SearchEngine:
 
     def _prepare(self, query: str):
         # parse_query handles field-scoped clauses (field:term) too —
-        # qualified variants are ordinary terms to the scorers
-        groups = [
-            c["variants"] for c in parse_query(query) if c["type"] == "term"
-        ]
+        # qualified variants are ordinary terms to the scorers. Phrase
+        # clauses degrade to their slot term groups here: search_pruned /
+        # search_exhaustive are public scorers, and a quoted query passed
+        # to them directly scores the words as plain AND terms (use
+        # search() / search_phrases for positional phrase semantics).
+        if self.analyzer_profile == "simple":
+            # simple profile: one single-variant group per token (no
+            # hyphen multiplexing / stemming / stop words / phrases)
+            groups = [(t,) for t in simple_terms(query)]
+        else:
+            groups = []
+            for c in parse_query(query):
+                if c["type"] == "term":
+                    groups.append(c["variants"])
+                else:
+                    groups.extend(tuple(g) for g in c["slots"])
         terms = sorted({t for g in groups for t in g if t in self.df})
         idfs = {t: bm25.idf(self.df[t], self.n_docs) for t in terms}
         return groups, terms, idfs
 
     def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
-        if '"' in query:
+        if '"' in query and self.analyzer_profile != "simple":
             clauses = parse_query(query)
             if any(c["type"] == "phrase" for c in clauses):
                 return self.search_phrases(clauses, k, mode)
