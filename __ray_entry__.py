@@ -163,16 +163,42 @@ def _ann_topk(sf_dir: str):
 
 
 def _ann_lsh_topk(sf_dir: str):
+    """Pruned-read ANN: queries run against the bucket-partitioned LSH
+    index (hive ``bucket=`` layout) and read ONLY probed partitions —
+    the scale path, with io transparency (scanned/total rows) carried in
+    the result frame. The index build is cached per input fingerprint."""
+    import json
+    import shutil
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from limetrans_ray.pipelines.ann import lsh_topk
+    from limetrans_ray.pipelines.ann import build_lsh_index, lsh_topk_indexed
+    from limetrans_ray.state.manifest import fingerprint_paths
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(emb_path).to_pandas()
     qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = lsh_topk(ds, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].tolist(), k=10)
+
+    idx_dir = _index_root(sf_dir) + "-annlsh"
+    fp = fingerprint_paths([emb_path])
+    marker = os.path.join(idx_dir, "fingerprint.json")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            fresh = json.load(fh).get("fp") == fp
+    if not fresh:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = rd.read_parquet(emb_path)
+        build_lsh_index(ds, idx_dir)
+        with open(marker, "w") as fh:
+            json.dump({"fp": fp}, fh)
+    out, io_stats = lsh_topk_indexed(
+        idx_dir, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].tolist(), k=10
+    )
     out["cosine"] = out["cosine"].round(6)
+    out["scanned_rows"] = np.int64(io_stats["scanned_rows"])
+    out["total_rows"] = np.int64(io_stats["total_rows"])
     return out
 
 

@@ -305,8 +305,12 @@ def build_index(
             winners = compute_winners(keys_tbl)
             del keys_tbl
         metrics["dedup_keys_s"] = time.perf_counter() - t0
+        # dict form: one small broadcast; ShardedWinners: the handle is
+        # tiny — shard bytes stay in the object store (no monolith)
         winners_ref = ray.put(winners)
-        n_docs_expected = len(winners["doc_id"])
+        n_docs_expected = (
+            len(winners["doc_id"]) if isinstance(winners, dict) else len(winners)
+        )
 
         t0 = time.perf_counter()
 
@@ -587,6 +591,15 @@ def _finish_from_fwd(
                                                  # segments (never touched by
                                                  # incremental updates)
             "bucket_width": cfg.resolved_bucket_width(max_doc),
+            # on-disk doc-range layout of segments/: hive ``bslice=``
+            # partitions over these bucket bounds, so a doc-range
+            # serving shard lists (and reads) ONLY its overlapping
+            # slices instead of scanning the whole index at startup
+            "segment_slice_bounds": np.linspace(
+                0,
+                max_doc // cfg.resolved_bucket_width(max_doc) + 1,
+                min(max_doc // cfg.resolved_bucket_width(max_doc) + 1, 16) + 1,
+            ).astype(int).tolist(),
             "analyzer_version": ANALYZER_VERSION,
             "analyzer_profile": analyzer_profile,
             "format_version": FORMAT_VERSION,
@@ -646,8 +659,10 @@ def _finish_from_fwd(
             batch_format="pyarrow",
             batch_size=cfg.invert_batch_size,
         )
+        slice_bounds = stats.get("segment_slice_bounds")
         merger = MergeShardGroup(
-            dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base
+            dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base,
+            slice_bounds=slice_bounds,
         )
 
         def merge_shard_group(group: pa.Table) -> pa.Table:
@@ -661,7 +676,11 @@ def _finish_from_fwd(
             merge_shard_group, batch_format="pyarrow"
         )
         _clean_dir(seg_dir)
-        segs.write_parquet(seg_dir)
+        if slice_bounds and len(slice_bounds) > 2:
+            # hive doc-range layout: serving shards read only their slices
+            segs.write_parquet(seg_dir, partition_cols=["bslice"])
+        else:
+            segs.write_parquet(seg_dir)
         metrics["segments_s"] = time.perf_counter() - t0
         mf.write_stage_manifest(
             bdir,

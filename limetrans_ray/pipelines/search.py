@@ -155,8 +155,27 @@ class SearchEngine:
     # ------------------------------------------------------------------ io
 
     def _segment_files(self) -> list[str]:
+        """All segment parquet files — pruned to this shard's doc range
+        when the build wrote the hive ``bslice=`` doc-range layout: a
+        slice dir disjoint from ``bucket_range`` is skipped entirely, so
+        a shard's startup IO is its slice fraction of the index, not a
+        full scan. Files OUTSIDE slice dirs (incremental delta segments,
+        pre-layout builds) are always listed and range-filtered in
+        memory as before."""
+        import re as _re
+
+        bounds = self.stats.get("segment_slice_bounds")
+        br = self._bucket_range
         out = []
         for root, _dirs, fs in os.walk(self._seg_dir):
+            if br is not None and bounds:
+                m = _re.search(r"bslice=(\d+)", os.path.relpath(root, self._seg_dir))
+                if m:
+                    s = int(m.group(1))
+                    if s + 1 < len(bounds) and (
+                        bounds[s + 1] <= br[0] or bounds[s] >= br[1]
+                    ):
+                        continue
             out.extend(os.path.join(root, f) for f in fs if f.endswith(".parquet"))
         return sorted(out)
 

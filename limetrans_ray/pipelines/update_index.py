@@ -206,6 +206,9 @@ def compact_index(index_root: str, *, build_id: str | None = None, retain: int =
     )
 
     new_stats = dict(stats)
+    # compacted segment files are rewritten flat (no bslice dirs) — drop
+    # the doc-range layout key so shard preloads don't prune wrongly
+    new_stats.pop("segment_slice_bounds", None)
     new_stats.update(
         {
             "n_docs": n_docs,

@@ -90,11 +90,64 @@ def compute_winners(keys: pa.Table) -> dict[str, np.ndarray]:
     }
 
 
+class ShardedWinners:
+    """Winner table kept as doc_key-range shards in the OBJECT STORE —
+    the full table never materializes on the driver or in any single
+    broadcast object (the 10^12-doc memory contract).
+
+    ``bounds_lo[i] ≤ doc_key ≤ bounds_hi[i]`` locates a key's shard
+    (ranges are disjoint and ascending — each shard covers whole
+    top-bit partitions); ``refs[i]`` is the shard's object ref (a dict
+    of doc_key-sorted parallel arrays, same layout as
+    :func:`compute_winners`). Lookup = searchsorted over bounds, then
+    searchsorted inside the shard (:meth:`ExtractTokenizeStage`).
+    The handle itself is tiny and broadcasts cheaply; shard bytes live
+    in (and spill from) the object store, fetched zero-copy per node.
+    """
+
+    def __init__(self, bounds_lo, bounds_hi, refs, total: int):
+        self.bounds_lo = np.asarray(bounds_lo, dtype=np.uint64)
+        self.bounds_hi = np.asarray(bounds_hi, dtype=np.uint64)
+        self.refs = list(refs)
+        self.total = int(total)
+
+    def __len__(self) -> int:
+        return self.total
+
+
+@ray.remote
+def _winner_block_counts(block: pa.Table):
+    part = block.column("part").to_numpy()
+    u, c = np.unique(part, return_counts=True)
+    return u.astype(np.int64), c.astype(np.int64)
+
+
+@ray.remote(num_returns=2)
+def _finalize_winner_block(block: pa.Table, offsets: np.ndarray):
+    """Attach global doc ids (partition offset + local rank) and sort
+    the shard by doc_key. Returns (shard arrays, (lo, hi, n)) — the
+    arrays stay in the object store; only the tiny bounds tuple is
+    fetched by the driver."""
+    part = block.column("part").to_numpy()
+    local_rank = block.column("local_rank").to_numpy()
+    dk = block.column("doc_key").to_numpy().astype(np.uint64)
+    doc_id = offsets[part] + local_rank
+    order = np.argsort(dk)
+    out = {
+        "doc_key": dk[order],
+        "win_ts": block.column("win_ts").to_numpy()[order],
+        "win_url_hash": block.column("win_url_hash").to_numpy().astype(np.uint64)[order],
+        "doc_id": doc_id[order],
+    }
+    return out, (int(out["doc_key"][0]), int(out["doc_key"][-1]), len(dk))
+
+
 def compute_winners_distributed(
     keys_ds, n_partitions: int = 64
-) -> dict[str, np.ndarray]:
+) -> ShardedWinners:
     """Distributed dedup + rank: the 100 TB form of
-    :func:`compute_winners`, identical output (tests pin this).
+    :func:`compute_winners`, logically identical output (tests pin the
+    parity through the built index).
 
     Partitions on the TOP bits of ``doc_key`` (``n_partitions`` ordered
     key ranges — data-dependent, never parallelism-dependent), computes
@@ -105,12 +158,13 @@ def compute_winners_distributed(
     ordered key ranges, ``offset[part] + local_rank`` IS the global
     ascending-doc_key rank.
 
-    Returns the same parallel-array layout as the driver path (the
-    winner broadcast itself stays small: ~32 B per distinct doc). At
-    10^12 docs the arrays would stay sharded as a Dataset and the
-    winner lookup in ExtractTokenizeStage would become a doc_key-range
-    hash join; the rank assembly below (a bincount + cumsum over
-    ``n_partitions`` ints) is unchanged at any scale.
+    The winner rows themselves NEVER visit the driver: per-block Ray
+    tasks report (partition, count) pairs (tiny), the driver cumsums
+    offsets, and a second per-block task attaches global ids in place —
+    the results stay in the object store as doc_key-range shards
+    (:class:`ShardedWinners`). ExtractTokenizeStage then joins each
+    batch to its shards by key range — the doc_key-range hash join the
+    broadcast form degrades into past one machine's memory.
     """
     import math
 
@@ -150,22 +204,33 @@ def compute_winners_distributed(
         .groupby("part")
         .map_groups(part_winners, batch_format="pyarrow")
     )
-    tbl = pa.concat_tables(
-        [_ray.get(r) for r in parts_ds.to_arrow_refs()]
-    ).combine_chunks()
-    part = tbl.column("part").to_numpy()
-    local_rank = tbl.column("local_rank").to_numpy()
-    counts = np.bincount(part, minlength=n_partitions)
+    block_refs = parts_ds.to_arrow_refs()
+    metas = _ray.get([_winner_block_counts.remote(r) for r in block_refs])
+    counts = np.zeros(n_partitions, dtype=np.int64)
+    for u, c in metas:
+        counts[u] += c
     offsets = np.zeros(n_partitions, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    doc_id = offsets[part] + local_rank
-    order = np.argsort(doc_id)  # == ascending doc_key across partitions
-    return {
-        "doc_key": tbl.column("doc_key").to_numpy().astype(np.uint64)[order],
-        "win_ts": tbl.column("win_ts").to_numpy()[order],
-        "win_url_hash": tbl.column("win_url_hash").to_numpy().astype(np.uint64)[order],
-        "doc_id": doc_id[order],
-    }
+    off_ref = _ray.put(offsets)
+    data_refs, bound_refs = [], []
+    for r, (u, _c) in zip(block_refs, metas):
+        if len(u) == 0:
+            continue  # empty block
+        d, b = _finalize_winner_block.remote(r, off_ref)
+        data_refs.append(d)
+        bound_refs.append(b)
+    bounds = _ray.get(bound_refs)
+    order = np.argsort([b[0] for b in bounds])
+    lo = [bounds[i][0] for i in order]
+    hi = [bounds[i][1] for i in order]
+    if any(hi[i] >= lo[i + 1] for i in range(len(lo) - 1)):  # pragma: no cover
+        raise AssertionError(
+            "winner shards have overlapping doc_key ranges — a groupby "
+            "block split a partition group (Ray contract violation)"
+        )
+    return ShardedWinners(
+        lo, hi, [data_refs[i] for i in order], int(counts.sum())
+    )
 
 
 class ExtractTokenizeStage:
@@ -175,13 +240,53 @@ class ExtractTokenizeStage:
     (binary search on doc_key), and tokenization into the forward index
     row (doc_id, url, canon, lang, doclen, terms, tfs).
 
-    Winner arrays are fetched zero-copy from the local object store on
-    first use (never shipped in the task closure).
+    Winner state is fetched zero-copy from the local object store on
+    first use (never shipped in the task closure). Two forms: the dense
+    broadcast arrays (small corpora — one ``ray.put``), or a
+    :class:`ShardedWinners` handle whose doc_key-range shards are
+    fetched per batch as needed (the hash-join form: no single object
+    ever holds the whole winner table, per-worker residency is governed
+    by the object store, which spills cold shards).
     """
 
     def __init__(self, winners_ref):
         self._ref = winners_ref
         self._w = None
+        self._shard_cache: dict[int, dict] = {}
+
+    _TS_SENTINEL = np.int64(-(1 << 62))  # never equals a real warc_ts
+
+    def _shard(self, w: "ShardedWinners", i: int) -> dict:
+        got = self._shard_cache.get(i)
+        if got is None:
+            got = self._shard_cache[i] = ray.get(w.refs[i])
+        return got
+
+    def _lookup_sharded(self, w: "ShardedWinners", doc_key: np.ndarray):
+        """Per-row winner columns via the range join: locate each key's
+        shard (searchsorted over the handle's bounds), then binary-search
+        inside just the shards this batch touches."""
+        n = len(doc_key)
+        win_key = np.zeros(n, dtype=np.uint64)
+        win_ts = np.full(n, self._TS_SENTINEL, dtype=np.int64)
+        win_uh = np.zeros(n, dtype=np.uint64)
+        win_id = np.full(n, -1, dtype=np.int64)
+        if len(w.bounds_lo) == 0:
+            return win_key, win_ts, win_uh, win_id
+        blk = np.searchsorted(w.bounds_lo, doc_key, side="right") - 1
+        valid = (blk >= 0) & (
+            doc_key <= w.bounds_hi[np.clip(blk, 0, len(w.bounds_hi) - 1)]
+        )
+        for b in np.unique(blk[valid]):
+            rows = np.flatnonzero(valid & (blk == b))
+            shard = self._shard(w, int(b))
+            pos = np.searchsorted(shard["doc_key"], doc_key[rows])
+            pos = np.clip(pos, 0, len(shard["doc_key"]) - 1)
+            win_key[rows] = shard["doc_key"][pos]
+            win_ts[rows] = shard["win_ts"][pos]
+            win_uh[rows] = shard["win_url_hash"][pos]
+            win_id[rows] = shard["doc_id"][pos]
+        return win_key, win_ts, win_uh, win_id
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._w is None:
@@ -200,17 +305,19 @@ class ExtractTokenizeStage:
         url_hash = np.fromiter(
             (stable_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)
         )
-        pos = np.searchsorted(w["doc_key"], doc_key)
-        pos = np.clip(pos, 0, len(w["doc_key"]) - 1)
+        if isinstance(w, ShardedWinners):
+            win_key, win_ts, win_uh, doc_ids = self._lookup_sharded(w, doc_key)
+        else:
+            pos = np.searchsorted(w["doc_key"], doc_key)
+            pos = np.clip(pos, 0, len(w["doc_key"]) - 1)
+            win_key = w["doc_key"][pos]
+            win_ts = w["win_ts"][pos]
+            win_uh = w["win_url_hash"][pos]
+            doc_ids = w["doc_id"][pos]
         # NOTE: duplicate doc_keys (hash collision between distinct
         # canons) resolve to the first slot; the winner filter below
         # then keeps exactly one row — collision odds are ~n²/2^64.
-        is_winner = (
-            (w["doc_key"][pos] == doc_key)
-            & (w["win_ts"][pos] == ts)
-            & (w["win_url_hash"][pos] == url_hash)
-        )
-        doc_ids = w["doc_id"][pos]
+        is_winner = (win_key == doc_key) & (win_ts == ts) & (win_uh == url_hash)
 
         out_doc, out_url, out_canon, out_lang = [], [], [], []
         terms_col, tfs_col, pos_col, doclens = [], [], [], []
@@ -389,12 +496,27 @@ class MergeShardGroup:
     ever holds a dense max_doc+1 array.
     """
 
-    def __init__(self, dl_refs: dict, avgdl: float, block_size: int, *, bg_doc_base):
+    def __init__(
+        self,
+        dl_refs: dict,
+        avgdl: float,
+        block_size: int,
+        *,
+        bg_doc_base,
+        slice_bounds=None,
+    ):
         self._refs = dl_refs
         self._slices: dict[int, np.ndarray] = {}
         self.bg_doc_base = np.asarray(bg_doc_base, dtype=np.int64)
         self.avgdl = float(avgdl)
         self.block_size = int(block_size)
+        # on-disk doc-range layout: chunks are tagged with the slice of
+        # their bucket (hive ``bslice=`` partition key at write time)
+        self.slice_bounds = (
+            np.asarray(slice_bounds, dtype=np.int64)
+            if slice_bounds is not None
+            else None
+        )
 
     def doclens_slice(self, bg: int) -> np.ndarray:
         got = self._slices.get(bg)
@@ -481,8 +603,7 @@ class MergeShardGroup:
             ibo_col.append((ioffs[cell_bs] - ioffs[s]).tolist())
             tbo_col.append((toffs[cell_bs] - toffs[s]).tolist())
 
-        return pa.table(
-            {
+        out_cols = {
                 "term": cell_terms,
                 "bucket": pa.array(cell_buckets),
                 "shard": pa.array(np.full(len(cstarts), shard, dtype=np.int32)),
@@ -497,5 +618,11 @@ class MergeShardGroup:
                 "block_max": pa.array(bm_col, pa.list_(pa.float64())),
                 "ids_boff": pa.array(ibo_col, pa.list_(pa.int64())),
                 "tfs_boff": pa.array(tbo_col, pa.list_(pa.int64())),
-            }
-        )
+        }
+        if self.slice_bounds is not None:
+            out_cols["bslice"] = pa.array(
+                (
+                    np.searchsorted(self.slice_bounds, cell_buckets, side="right") - 1
+                ).astype(np.int32)
+            )
+        return pa.table(out_cols)

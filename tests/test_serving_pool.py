@@ -25,6 +25,30 @@ def test_pool_spans_shards(pool_and_engine):
     assert pool.n_shards == 4
 
 
+def test_shard_preload_reads_only_its_slices(pool_and_engine):
+    """The hive ``bslice=`` doc-range layout: a bucket-range shard's
+    file listing (what _preload_segments reads) must touch only slice
+    dirs overlapping its range — bytes-read ≪ whole index."""
+    import os
+
+    _, engine = pool_and_engine
+    bounds = engine.stats["segment_slice_bounds"]
+    assert len(bounds) > 2  # layout actually sliced at this bucket_width
+    full_files = engine._segment_files()
+    n_buckets = int(engine.stats["max_doc"]) // int(engine.stats["bucket_width"]) + 1
+    lo, hi = 0, max(1, n_buckets // 4)
+    shard = SearchEngine(
+        os.path.dirname(os.path.dirname(engine.bdir)), bucket_range=(lo, hi)
+    )
+    shard_files = shard._segment_files()
+    assert len(shard_files) < len(full_files)
+    for f in shard_files:  # every listed sliced file overlaps the range
+        part = [p for p in f.split(os.sep) if p.startswith("bslice=")]
+        if part:
+            s = int(part[0].split("=")[1])
+            assert bounds[s] < hi and bounds[s + 1] > lo, f
+
+
 def test_pool_equals_single_engine(pool_and_engine):
     pool, engine = pool_and_engine
     for q in REFERENCE_QUERIES:
