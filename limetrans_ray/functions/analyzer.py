@@ -43,6 +43,8 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import numpy as np
+
 from .stemmer import german2_stem
 
 # Default analyzer profile: stem (the reference stems by default —
@@ -160,6 +162,150 @@ def tokenize_positions(
         for v in token_variants(raw, stop=stop, stem=stem):
             out.setdefault(v, []).append(p)
     return out
+
+
+class BatchTokenizer:
+    """Batched, per-actor-stateful tokenizer for the heavy index pass.
+
+    Semantically IDENTICAL to calling :func:`tokenize_positions` per row
+    and sorting the items (tests pin the parity); the difference is the
+    execution shape: the per-token analyzer chain is memoized as
+    ``raw token → (packed variant-id bytes, count)`` against a growing
+    per-actor term vocabulary, so each token occurrence costs one dict
+    hit + two list appends, and ALL per-document grouping/sorting
+    (term-ascending cells, ascending positions, tf counts, doclens)
+    happens in a handful of numpy/Arrow batch ops — no per-variant
+    Python dict/setdefault work in the hot loop. This is the
+    state-loaded-once actor-pool pattern of SURVEY.md §2.5 applied to
+    the tokenizer itself.
+
+    Returns Arrow list columns ready for the fwd/ schema.
+    """
+
+    _RAW_MEMO_MAX = 1_000_000
+
+    def __init__(self, *, stop: bool = True, stem: bool | None = None):
+        self.stop = stop
+        self.stem = STEM_DEFAULT if stem is None else stem
+        self._vocab: list[str] = []           # variant id → term string
+        self._vid: dict[str, int] = {}        # term string → variant id
+        self._raw: dict[str, tuple[bytes, int]] = {}  # raw → (ids bytes, k)
+
+    def _ids_for_raw(self, raw: str) -> tuple[bytes, int]:
+        got = self._raw.get(raw)
+        if got is None:
+            variants = token_variants(raw, stop=self.stop, stem=self.stem)
+            ids = np.empty(len(variants), dtype=np.int64)
+            for i, v in enumerate(variants):
+                j = self._vid.get(v)
+                if j is None:
+                    j = self._vid[v] = len(self._vocab)
+                    self._vocab.append(v)
+                ids[i] = j
+            got = (ids.tobytes(), len(variants))
+            if len(self._raw) < self._RAW_MEMO_MAX:
+                self._raw[raw] = got
+        return got
+
+    def tokenize_texts(self, texts: list[str]):
+        """texts → (terms list<string>, tfs list<int32>,
+        pos list<list<int32>>, doclens int64 array) — one entry per
+        input text, terms lexicographically ascending per doc, positions
+        ascending per term."""
+        import pyarrow as pa
+
+        n_docs = len(texts)
+        byte_parts: list[bytes] = []   # one per raw occurrence
+        kcounts: list[int] = []        # variants emitted per occurrence
+        n_raws = np.empty(n_docs, dtype=np.int64)
+        # hot loop: locals + inlined memo hit (a function call per token
+        # would dominate), NFC check before the (usually no-op) normalize
+        findall = _TOKEN_RE.findall
+        is_norm = unicodedata.is_normalized
+        norm = unicodedata.normalize
+        memo_get = self._raw.get
+        miss = self._ids_for_raw
+        bapp = byte_parts.append
+        kapp = kcounts.append
+        for di, text in enumerate(texts):
+            t = text or ""
+            if not is_norm("NFC", t):
+                t = norm("NFC", t)
+            raws = findall(t)
+            n_raws[di] = len(raws)
+            for raw in raws:
+                got = memo_get(raw)
+                if got is None:
+                    got = miss(raw)
+                bapp(got[0])
+                kapp(got[1])
+
+        total_raws = int(n_raws.sum())
+        counts = np.fromiter(kcounts, dtype=np.int64, count=total_raws)
+        flat_ids = np.frombuffer(b"".join(byte_parts), dtype=np.int64)
+        # per-doc totals of emitted variants = doclen (Σ tf) per doc
+        raw_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_raws)
+        doclens = np.bincount(raw_doc, weights=counts, minlength=n_docs).astype(
+            np.int64
+        )
+        if len(flat_ids) == 0:
+            empty_terms = pa.ListArray.from_arrays(
+                np.zeros(n_docs + 1, dtype=np.int32), pa.array([], pa.string())
+            )
+            empty_tfs = pa.ListArray.from_arrays(
+                np.zeros(n_docs + 1, dtype=np.int32), pa.array([], pa.int32())
+            )
+            inner = pa.ListArray.from_arrays(
+                np.zeros(1, dtype=np.int32), pa.array([], pa.int32())
+            )
+            empty_pos = pa.ListArray.from_arrays(
+                np.zeros(n_docs + 1, dtype=np.int32), inner
+            )
+            return empty_terms, empty_tfs, empty_pos, doclens
+
+        # per-occurrence doc index and raw position, expanded per variant
+        raw_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(n_raws[:-1], out=raw_starts[1:])
+        raw_pos = np.arange(total_raws, dtype=np.int64) - np.repeat(raw_starts, n_raws)
+        occ_doc = np.repeat(raw_doc, counts)
+        occ_pos = np.repeat(raw_pos, counts)
+
+        # lexicographic rank of each variant id used in THIS batch
+        used = np.unique(flat_ids)
+        used_strs = np.array([self._vocab[i] for i in used])
+        sorder = np.argsort(used_strs, kind="stable")
+        rank_of_used = np.empty(len(used), dtype=np.int64)
+        rank_of_used[sorder] = np.arange(len(used), dtype=np.int64)
+        rank = rank_of_used[np.searchsorted(used, flat_ids)]
+
+        # stable sort by (doc, term rank); input is doc-major with
+        # ascending positions, so positions stay ascending per cell
+        key = occ_doc * len(used) + rank
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        pos_s = occ_pos[order].astype(np.int32)
+
+        cstarts = np.flatnonzero(np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+        cends = np.append(cstarts[1:], len(key_s))
+        tfs = (cends - cstarts).astype(np.int32)
+        cell_doc = key_s[cstarts] // len(used)
+        cell_rank = key_s[cstarts] % len(used)
+        cell_terms = pa.array(used_strs[sorder][cell_rank])
+
+        cells_per_doc = np.bincount(cell_doc, minlength=n_docs)
+        outer_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(cells_per_doc, out=outer_offsets[1:])
+
+        terms_col = pa.ListArray.from_arrays(pa.array(outer_offsets, pa.int32()), cell_terms)
+        tfs_col = pa.ListArray.from_arrays(
+            pa.array(outer_offsets, pa.int32()), pa.array(tfs, pa.int32())
+        )
+        inner_offsets = np.concatenate([cstarts, [len(key_s)]]).astype(np.int32)
+        pos_inner = pa.ListArray.from_arrays(
+            pa.array(inner_offsets, pa.int32()), pa.array(pos_s, pa.int32())
+        )
+        pos_col = pa.ListArray.from_arrays(pa.array(outer_offsets, pa.int32()), pos_inner)
+        return terms_col, tfs_col, pos_col, doclens
 
 
 _PHRASE_RE = re.compile(r'"([^"]*)"')

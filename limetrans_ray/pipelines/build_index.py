@@ -60,7 +60,7 @@ from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
-from ..functions.analyzer import simple_terms, tokenize_fields
+from ..functions.analyzer import BatchTokenizer, simple_terms, tokenize_fields
 from ..stages.indexing import (
     ExtractTokenizeStage,
     InvertStage,
@@ -429,10 +429,29 @@ def build_index_from_documents(
 
     if not mf.stage_done(bdir, "fwd", fp):
         t0 = time.perf_counter()
+        bt = BatchTokenizer() if (analyzer == "full" and fields is None) else None
 
         def tokenize_batch(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy().astype(np.int64)
             n = len(ids)
+            if bt is not None:
+                # single-text full-analyzer fast path: batched tokenizer
+                # (identical output to the per-row tokenize_fields form)
+                texts = batch.column(text_col).to_pylist()
+                terms_col, tfs_col, pos_col, doclens = bt.tokenize_texts(texts)
+                sid = [str(i) for i in ids]
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids),
+                        "url": pa.array(sid, pa.string()),
+                        "canon": pa.array(sid, pa.string()),
+                        "lang": pa.array([""] * n, pa.string()),
+                        "doclen": pa.array(doclens),
+                        "terms": terms_col,
+                        "tfs": tfs_col,
+                        "pos": pos_col,
+                    }
+                )
             if analyzer == "simple":
                 def rows_simple():
                     for t in batch.column(text_col).to_pylist():
@@ -442,11 +461,6 @@ def build_index_from_documents(
                             posmap.setdefault(term, []).append(p)
                         yield posmap, len(toks)
                 per_row = rows_simple()
-            elif fields is None:
-                per_row = (
-                    tokenize_fields([(None, "text", t)])
-                    for t in batch.column(text_col).to_pylist()
-                )
             else:
                 cols = {col: batch.column(col).to_pylist() for _f, col, _a in fields}
                 per_row = (

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..functions.analyzer import tokenize_positions
+from ..functions.analyzer import BatchTokenizer
 from ..functions.extract import extract_text
 from ..functions.textstats import detect_language, stable_hash64
 from ..functions.urlnorm import canonical_url
@@ -253,6 +253,9 @@ class ExtractTokenizeStage:
         self._ref = winners_ref
         self._w = None
         self._shard_cache: dict[int, dict] = {}
+        # per-actor batched tokenizer (memoized analyzer chain + direct
+        # Arrow list-column construction — see BatchTokenizer)
+        self._bt = BatchTokenizer()
 
     _TS_SENTINEL = np.int64(-(1 << 62))  # never equals a real warc_ts
 
@@ -319,35 +322,31 @@ class ExtractTokenizeStage:
         # then keeps exactly one row — collision odds are ~n²/2^64.
         is_winner = (win_key == doc_key) & (win_ts == ts) & (win_uh == url_hash)
 
-        out_doc, out_url, out_canon, out_lang = [], [], [], []
-        terms_col, tfs_col, pos_col, doclens = [], [], [], []
-        for i in np.flatnonzero(is_winner):
+        win_rows = np.flatnonzero(is_winner)
+        out_doc = doc_ids[win_rows].astype(np.int64)
+        out_url, out_canon, out_lang, out_texts = [], [], [], []
+        for i in win_rows:
             t = texts[i]
             if not t:
                 t = extract_text(htmls[int(i)].as_py())
             else:
                 t = unicodedata.normalize("NFC", t)
-            lang = langs[i] if langs[i] else detect_language(t)
-            items = sorted(tokenize_positions(t).items())
-            out_doc.append(int(doc_ids[i]))
+            out_texts.append(t)
             out_url.append(urls[i])
             out_canon.append(canons[i])
-            out_lang.append(lang)
-            terms_col.append([k for k, _ in items])
-            tfs_col.append([len(p) for _, p in items])
-            pos_col.append([p for _, p in items])
-            doclens.append(sum(len(p) for _, p in items))
+            out_lang.append(langs[i] if langs[i] else detect_language(t))
 
+        terms_col, tfs_col, pos_col, doclens = self._bt.tokenize_texts(out_texts)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "doc_id": pa.array(out_doc),
                 "url": pa.array(out_url, pa.string()),
                 "canon": pa.array(out_canon, pa.string()),
                 "lang": pa.array(out_lang, pa.string()),
-                "doclen": pa.array(doclens, pa.int64()),
-                "terms": pa.array(terms_col, pa.list_(pa.string())),
-                "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
-                "pos": pa.array(pos_col, pa.list_(pa.list_(pa.int32()))),
+                "doclen": pa.array(doclens),
+                "terms": terms_col,
+                "tfs": tfs_col,
+                "pos": pos_col,
             }
         )
 
