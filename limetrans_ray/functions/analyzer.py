@@ -339,15 +339,38 @@ def keyword_normalize(value: str) -> str:
     return " ".join(_KEYWORD_STRIP_RE.sub(" ", fold(value)).split())
 
 
+_OCN_RE = re.compile(r"^[^0-9]*0*")
+
+
+def ocn_normalize(value: str) -> str:
+    """The reference's ``ocn_normalizer`` (strip leading non-digits,
+    then leading zeros; rest of the value verbatim — reference
+    hbztitle-settings-v8.json:56-60, pattern ``^[^0-9]*0*`` → ``""``).
+    Used by ``keyword_ocn`` fields, e.g. ``(OCoLC)0043381`` → ``43381``."""
+    return _OCN_RE.sub("", value, count=1)
+
+
 def tokenize_fields(
     specs, *, stop: bool = True, stem: bool | None = None
 ) -> tuple[dict[str, list[int]], int]:
     """Positions for a multi-field document.
 
     ``specs``: iterable of ``(field_name, analyzer, text)`` with
-    analyzer ``"text"`` (full chain; emits qualified + catch-all terms)
-    or ``"keyword"`` (one normalized term, qualified only — keyword
-    fields stay out of the catch-all, like un-copy_to'd ES keywords).
+    analyzer:
+
+    - ``"text"`` — full chain; emits qualified + catch-all terms;
+    - ``"text_unstemmed"`` — the reference's per-field analyzer override
+      (``bib.namePersonal`` maps the ``unstemmed`` analyzer while the
+      catch-all stems, hbztitle-mapping-v8.json:33-37): the
+      field-QUALIFIED terms come from the unstemmed chain (person names
+      are not stem-conflated when searched field-scoped), while the
+      catch-all still indexes the full stemmed chain;
+    - ``"keyword"`` — one ``keyword_normalize`` term, qualified only
+      (keyword fields stay out of the catch-all, like un-copy_to'd ES
+      keywords);
+    - ``"keyword_ocn"`` — one ``ocn_normalize`` term, qualified only
+      (the reference's ``ocn`` normalizer, settings-v8.json:56-60).
+
     Returns ``(term → ascending positions, doclen)`` where doclen counts
     only the catch-all text tokens (the document-length semantic BM25
     normalizes by)."""
@@ -355,22 +378,37 @@ def tokenize_fields(
     base = 0
     doclen = 0
     for field, analyzer, text in specs:
-        if analyzer == "keyword":
-            kw = keyword_normalize(text or "")
+        if analyzer in ("keyword", "keyword_ocn"):
+            kw = (
+                keyword_normalize(text or "")
+                if analyzer == "keyword"
+                else ocn_normalize(text or "")
+            )
             if kw:
                 out.setdefault(qualify(field, kw), []).append(base)
                 base += 1 + FIELD_GAP
             continue
+        if analyzer not in ("text", "text_unstemmed"):
+            raise ValueError(f"unknown field analyzer {analyzer!r}")
         pos = tokenize_positions(text or "", stop=stop, stem=stem)
         width = 0
         for term, plist in pos.items():
             shifted = [p + base for p in plist]
             out.setdefault(term, []).extend(shifted)  # catch-all
-            if field:
+            if field and analyzer == "text":
                 out.setdefault(qualify(field, term), []).extend(shifted)
             doclen += len(plist)
             if plist:
                 width = max(width, plist[-1] + 1)
+        if field and analyzer == "text_unstemmed":
+            for term, plist in tokenize_positions(
+                text or "", stop=stop, stem=False
+            ).items():
+                out.setdefault(qualify(field, term), []).extend(
+                    [p + base for p in plist]
+                )
+                if plist:
+                    width = max(width, plist[-1] + 1)
         base += width + FIELD_GAP
     for plist in out.values():
         plist.sort()
@@ -385,7 +423,11 @@ _CLAUSE_RE = re.compile(
 
 
 def parse_query(
-    text: str, *, stop: bool = True, stem: bool | None = None
+    text: str,
+    *,
+    stop: bool = True,
+    stem: bool | None = None,
+    field_analyzers: dict[str, str] | None = None,
 ) -> list[dict]:
     """Full query parse: quoted segments become phrase clauses, the rest
     term clauses; a ``field:`` prefix (``title:holzbau``,
@@ -407,6 +449,12 @@ def parse_query(
     FILTER — BM25 still sums over the distinct variant terms of all
     clauses (a deliberate divergence from ES phrase-frequency scoring,
     identical in both engines).
+
+    ``field_analyzers`` (field name → analyzer) is the per-field SEARCH
+    analyzer map (the ES search_analyzer analogue, recorded by the index
+    build): a clause scoped to a ``text_unstemmed`` field analyzes its
+    body without stemming, so query-side stems never leak into an
+    unstemmed field's postings (reference hbztitle-mapping-v8.json:33-37).
     """
     text = unicodedata.normalize("NFC", text)
     clauses: list[dict] = []
@@ -416,7 +464,10 @@ def parse_query(
         quoted = body.startswith('"')
         if quoted:
             body = body.strip('"')
-        slots = analyze_query(body, stop=stop, stem=stem)
+        clause_stem = stem
+        if field and field_analyzers and field_analyzers.get(field) == "text_unstemmed":
+            clause_stem = False
+        slots = analyze_query(body, stop=stop, stem=clause_stem)
         if field:
             slots = [tuple(qualify(field, v) for v in g) for g in slots]
         alt: tuple[str, ...] = ()
@@ -424,6 +475,13 @@ def parse_query(
             kw = keyword_normalize(body)
             if kw:
                 alt = (qualify(field, kw),)
+        if field:
+            # ocn-normalized alternative (keyword_ocn fields): emitted
+            # whenever it differs from the raw body — like the keyword
+            # alt, whichever side has postings decides (df 0 otherwise)
+            oc = ocn_normalize(body)
+            if oc and oc != body:
+                alt = alt + (qualify(field, oc),)
         if len(slots) == 1:
             variants = slots[0] + tuple(v for v in alt if v not in slots[0])
             clauses.append({"type": "term", "variants": variants})

@@ -501,7 +501,8 @@ def build_index_from_documents(
         )
 
     return _finish_from_fwd(
-        index_root, build_id, fp, cfg, publish, analyzer_profile=analyzer
+        index_root, build_id, fp, cfg, publish, analyzer_profile=analyzer,
+        fields_map={f: a for f, _c, a in fields} if fields else None,
     )
 
 
@@ -513,6 +514,7 @@ def _finish_from_fwd(
     publish: bool,
     *,
     analyzer_profile: str = "full",
+    fields_map: dict[str, str] | None = None,
 ) -> dict:
     """Stages 2-4 over an existing fwd/ checkpoint (see module doc)."""
     bdir = mf.build_dir(index_root, build_id)
@@ -616,6 +618,8 @@ def _finish_from_fwd(
             ).astype(int).tolist(),
             "analyzer_version": ANALYZER_VERSION,
             "analyzer_profile": analyzer_profile,
+            # per-field SEARCH analyzer map (ES search_analyzer analogue)
+            "fields": fields_map,
             "format_version": FORMAT_VERSION,
             "build_id": build_id,
             "input_fingerprint": fp,

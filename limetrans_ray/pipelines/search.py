@@ -87,8 +87,10 @@ class SearchEngine:
         self.max_doc = int(self.stats.get("max_doc", self.n_docs - 1))
         self.avgdl = float(self.stats["avgdl"])
         # index-then-query analyzer contract: the query side MUST use
-        # the profile the index was built with (recorded in stats.json)
+        # the profile the index was built with (recorded in stats.json),
+        # including per-field search analyzers (ES search_analyzer)
         self.analyzer_profile = self.stats.get("analyzer_profile", "full")
+        self.field_analyzers = self.stats.get("fields") or None
 
         # doc-range-local state: a bucket_range shard holds ONLY its
         # range's doclen/tombstone slices and scores in range-local
@@ -328,7 +330,7 @@ class SearchEngine:
             groups = [(t,) for t in simple_terms(query)]
         else:
             groups = []
-            for c in parse_query(query):
+            for c in parse_query(query, field_analyzers=self.field_analyzers):
                 if c["type"] == "term":
                     groups.append(c["variants"])
                 else:
@@ -339,7 +341,7 @@ class SearchEngine:
 
     def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
         if '"' in query and self.analyzer_profile != "simple":
-            clauses = parse_query(query)
+            clauses = parse_query(query, field_analyzers=self.field_analyzers)
             if any(c["type"] == "phrase" for c in clauses):
                 return self.search_phrases(clauses, k, mode)
         if pruned:

@@ -32,6 +32,7 @@ class OracleEngine:
         self.positions: dict[str, dict[int, list[int]]] = {}
         self.doclen: dict[int, int] = {}
         self.avgdl: float = 0.0
+        self.field_analyzers: dict[str, str] = {}
 
     def add(self, doc_id: int, text: str) -> None:
         pos = tokenize_positions(text)
@@ -44,6 +45,9 @@ class OracleEngine:
         """Multi-field add — same (field, analyzer, text) specs and the
         same shared :func:`tokenize_fields` as the distributed engine's
         ``build_index_from_documents(fields=...)`` path."""
+        for field, analyzer, _text in specs:
+            if field:
+                self.field_analyzers[field] = analyzer
         posmap, dl = tokenize_fields(specs)
         self.doclen[doc_id] = dl
         for term, plist in posmap.items():
@@ -108,7 +112,7 @@ class OracleEngine:
 
         ``mode="and"``: every clause must match; ``"or"``: any clause.
         """
-        clauses = parse_query(query)
+        clauses = parse_query(query, field_analyzers=self.field_analyzers or None)
         if not clauses:
             return []
         clause_docs = [

@@ -208,3 +208,97 @@ def test_engine_keyword_quoted_and_lazy_range(ray_session, tmp_path, field_oracl
     lazy = SearchEngine(root, preload=False, bucket_range=rng)
     for q in ["holzbau", "title:holzbau", "body:haus"]:
         assert lazy.search(q, 10) == eager.search(q, 10), q
+
+
+# ---------------------------------------------------------------- profiles
+#
+# Per-field analyzer overrides (reference: bib.namePersonal maps the
+# ``unstemmed`` analyzer while cql.allIndexes stems —
+# hbztitle-mapping-v8.json:33-37; the ``ocn`` keyword normalizer strips
+# leading non-digits/zeros — settings-v8.json:56-60).
+
+PDOCS = [
+    # (doc_id, name [unstemmed text], body [text], ocn [keyword_ocn])
+    (0, "Anna Häuser", "bücher über häuser", "(OCoLC)0043381"),
+    (1, "Karl Hauser", "moderne architektur", "ocm00012345"),
+    (2, "Maria Haus", "häuser und gärten", "67890"),
+]
+PSPECS = lambda n, b, o: [  # noqa: E731
+    ("name", "text_unstemmed", n),
+    ("body", "text", b),
+    ("ocn", "keyword_ocn", o),
+]
+
+
+@pytest.fixture(scope="module")
+def profile_oracle():
+    eng = OracleEngine()
+    for d, n, b, o in PDOCS:
+        eng.add_fields(d, PSPECS(n, b, o))
+    eng.finalize()
+    return eng
+
+
+class TestFieldProfiles:
+    def test_ocn_normalize(self):
+        from limetrans_ray.functions.analyzer import ocn_normalize
+
+        assert ocn_normalize("(OCoLC)0043381") == "43381"
+        assert ocn_normalize("ocm00012345") == "12345"
+        assert ocn_normalize("67890") == "67890"
+        assert ocn_normalize("000") == ""
+
+    def test_unstemmed_field_terms(self):
+        posmap, _dl = tokenize_fields(PSPECS(*PDOCS[0][1:]))
+        # scoped name field: unstemmed folded form, NOT the stem
+        assert qualify("name", "hauser") in posmap
+        assert qualify("name", "haus") not in posmap
+        # catch-all still stems (haus from häuser)
+        assert "haus" in posmap and "hauser" in posmap
+
+    def test_unstemmed_search_not_stem_conflated(self, profile_oracle):
+        # "Maria Haus" is the only name whose unstemmed form is "haus";
+        # a stemmed field would conflate Häuser/Hauser/Haus
+        assert {d for d, _ in profile_oracle.search("name:haus", 10)} == {2}
+        assert {d for d, _ in profile_oracle.search("name:hauser", 10)} == {0, 1}
+        # catch-all stems: unscoped "haus" hits häuser docs too
+        assert {d for d, _ in profile_oracle.search("haus", 10)} == {0, 1, 2}
+
+    def test_ocn_field_matches_normalized(self, profile_oracle):
+        assert {d for d, _ in profile_oracle.search("ocn:43381", 10)} == {0}
+        # query carrying the raw junk/zero prefix matches via the ocn alt
+        assert {d for d, _ in profile_oracle.search("ocn:0043381", 10)} == {0}
+        assert {d for d, _ in profile_oracle.search("ocn:00012345", 10)} == {1}
+        assert {d for d, _ in profile_oracle.search("ocn:67890", 10)} == {2}
+
+
+def test_engine_matches_oracle_profiles(ray_session, tmp_path, profile_oracle):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, *_ in PDOCS], pa.int64()),
+                "name": pa.array([n for _, n, _b, _o in PDOCS], pa.string()),
+                "body": pa.array([b for _, _n, b, _o in PDOCS], pa.string()),
+                "ocn": pa.array([o for *_, o in PDOCS], pa.string()),
+            }
+        )
+    )
+    root = str(tmp_path / "idx")
+    build_index_from_documents(
+        ds, root,
+        fields=[("name", "name", "text_unstemmed"), ("body", "body", "text"),
+                ("ocn", "ocn", "keyword_ocn")],
+    )
+    eng = SearchEngine(root)
+    for q in ["name:haus", "name:hauser", "haus", "ocn:43381", "ocn:0043381",
+              "ocn:00012345", "name:hauser body:architektur"]:
+        got = eng.search(q, 10)
+        want = profile_oracle.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-12), q

@@ -177,3 +177,65 @@ class TestTextStats:
         s2 = simhash64("the quick brown fox jumps over the lazy cat " * 10)
         s3 = simhash64("completely different words entirely unrelated topic matter")
         assert hamming64(s1, s2) < hamming64(s1, s3)
+
+
+class TestBatchTokenizer:
+    """The batched index-path tokenizer must equal the per-row
+    tokenize_positions contract exactly (same analyzer chain — any
+    divergence would silently fork index vs oracle tokenization)."""
+
+    CASES = [
+        "Holzbau-Atlas für die moderne Straße, e-payment Épayement RÉSUMÉ über",
+        "", "   ", "the the the and of", "drei Zinnen gebiet drei zinnen",
+        "a-b-c d'été l'atelier xyz123 42 ß æ œ",
+        "payment market web search engine " * 50,
+        "wort " * 3 + "anders-wort nochmal-anders",
+    ]
+
+    def _rand_texts(self, n=120, seed=7):
+        rng = np.random.default_rng(seed)
+        vocab = ["spark", "query", "join", "Straße", "e-payment",
+                 "holzbau-atlas", "über", "the", "der", "datenbank",
+                 "ätsch", "naïve", "crème"]
+        return [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 120)).tolist())
+            for _ in range(n)
+        ]
+
+    def test_parity_with_tokenize_positions(self):
+        from limetrans_ray.functions.analyzer import (
+            BatchTokenizer,
+            tokenize_positions,
+        )
+
+        texts = self.CASES + self._rand_texts()
+        bt = BatchTokenizer()
+        terms_col, tfs_col, pos_col, doclens = bt.tokenize_texts(texts)
+        for i, t in enumerate(texts):
+            items = sorted(tokenize_positions(t).items())
+            assert terms_col[i].as_py() == [k for k, _ in items], i
+            assert tfs_col[i].as_py() == [len(p) for _, p in items], i
+            assert pos_col[i].as_py() == [p for _, p in items], i
+            assert doclens[i] == sum(len(p) for _, p in items), i
+
+    def test_batch_split_invariance(self):
+        from limetrans_ray.functions.analyzer import BatchTokenizer
+
+        texts = self.CASES + self._rand_texts()
+        whole = BatchTokenizer().tokenize_texts(texts)
+        bt = BatchTokenizer()
+        h1 = bt.tokenize_texts(texts[:7])
+        h2 = bt.tokenize_texts(texts[7:])
+        assert h1[0].to_pylist() + h2[0].to_pylist() == whole[0].to_pylist()
+        assert h1[2].to_pylist() + h2[2].to_pylist() == whole[2].to_pylist()
+
+    def test_all_stopword_and_empty_batch(self):
+        from limetrans_ray.functions.analyzer import BatchTokenizer
+
+        bt = BatchTokenizer()
+        terms_col, tfs_col, pos_col, doclens = bt.tokenize_texts(
+            ["the and of", "", "der die das"]
+        )
+        assert terms_col.to_pylist() == [[], [], []]
+        assert pos_col.to_pylist() == [[], [], []]
+        assert doclens.tolist() == [0, 0, 0]
