@@ -36,10 +36,11 @@ result-identity check).
 Scale notes (100 TB / 10^12 docs): ``bucket_width`` bounds the largest
 posting-merge group (hot-term skew); metadata aggregates switch from
 driver-side pandas to distributed groupbys past ``SMALL_AGG_BYTES``;
-the winner broadcast becomes a doc_key-bucketed hash join once the key
-table outgrows one machine (documented in stages/indexing.py); ``fwd/``
-on disk is the classic SPIMI spill and what makes the build resumable
-without re-tokenizing.
+past the same threshold the winner table stays doc_key-range SHARDED in
+the object store (ShardedWinners — never concatenated on the driver,
+never one broadcast object) and ExtractTokenizeStage joins each batch
+to its key-range shards; ``fwd/`` on disk is the classic SPIMI spill
+and what makes the build resumable without re-tokenizing.
 """
 
 from __future__ import annotations
