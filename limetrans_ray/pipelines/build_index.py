@@ -80,14 +80,18 @@ class IndexBuildConfig:
     block_size: int = codec.BLOCK_SIZE
     bucket_width: int | None = None  # posting-chunk doc-range; None → from corpus size
     batch_size: int = 2048          # rows per extract/tokenize batch
-    invert_batch_size: int = 12288  # rows per SPIMI invert batch: large enough
-                                    # to amortize per-(term,bucket) cell
-                                    # overhead (doc ids are hash-ordered, every
-                                    # batch spans most buckets), small enough
-                                    # for task balance and cache-sized sorts.
-                                    # Re-tuned for analyzer v2 (stemming adds
-                                    # ~34% postings per row, so the sweet spot
-                                    # moved down from 16384; see BASELINE.md)
+    invert_batch_size: int | None = None  # rows per SPIMI invert batch;
+                                    # None → adaptive (see
+                                    # resolved_invert_batch_size): the batch
+                                    # size IS the map-task granularity, so it
+                                    # balances two pressures — large enough to
+                                    # amortize per-(term,bucket) cell overhead
+                                    # (doc ids are hash-ordered, every batch
+                                    # spans most buckets), small enough that
+                                    # the invert stage runs ≥4 task waves per
+                                    # CPU (45 monolithic 7-s tasks over 32
+                                    # CPUs = 1.3 ragged waves and ~2× the
+                                    # wall; measured in BASELINE.md §4c)
     fwd_partition_groups: int = 1   # >1: the extract+tokenize pass runs as G
                                     # input-file groups, each with its own
                                     # fwd/group-* dir, manifest and done
@@ -116,6 +120,15 @@ class IndexBuildConfig:
                                     # max_doc+1 array). None → from corpus
                                     # size at ~1 GiB of doclens per slice
                                     # (1 at sandbox scale, ~8000 at 10^12)
+
+    def resolved_invert_batch_size(self, n_rows: int, n_cpus: int) -> int:
+        """Adaptive SPIMI batch size: ~4 invert tasks per CPU for wave
+        packing, clamped to [4096, 12288] (below ~4k the per-cell
+        overhead dominates; above ~12k one task outlasts the wave —
+        both measured, BASELINE.md §4c / §5)."""
+        if self.invert_batch_size:
+            return int(self.invert_batch_size)
+        return min(12288, max(4096, n_rows // max(1, 4 * n_cpus)))
 
     def resolved_merge_bucket_groups(self, max_doc: int) -> int:
         if self.merge_bucket_groups:
@@ -676,7 +689,9 @@ def _finish_from_fwd(
                 bucket_group_bounds=bg_bucket_bounds,
             ),
             batch_format="pyarrow",
-            batch_size=cfg.invert_batch_size,
+            batch_size=cfg.resolved_invert_batch_size(
+                int(stats["n_docs"]), int(ray.cluster_resources().get("CPU", 8))
+            ),
         )
         slice_bounds = stats.get("segment_slice_bounds")
         merger = MergeShardGroup(
