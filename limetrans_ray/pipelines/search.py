@@ -142,6 +142,7 @@ class SearchEngine:
         self._seg_dir = os.path.join(self.bdir, "segments")
         self._segments: pa.Table | None = None
         self._term_rows: dict[str, list[int]] | None = None
+        self._lazy_term_files: dict[str, list[str]] | None = None
         # warmed-serving caches (the ES filesystem/query-cache analogue):
         # parsed chunk metadata per term, and decoded postings per term
         # bounded by a postings budget (LRU).
@@ -202,10 +203,24 @@ class SearchEngine:
         "block_last", "block_max", "ids_boff", "tfs_boff", "enc_avgdl",
     ]
 
+    _READ_THREADS = 16
+
+    def _read_tables(self, files: list[str], **kw) -> list[pa.Table]:
+        """Read many segment files concurrently — parquet decode releases
+        the GIL, and the hive ``bslice=`` layout legitimately fans out to
+        O(merge tasks × slices) small files, so serial per-file reads
+        would dominate engine startup."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(files) <= 2:
+            return [pq.read_table(f, **kw) for f in files]
+        with ThreadPoolExecutor(max_workers=self._READ_THREADS) as ex:
+            return list(ex.map(lambda f: pq.read_table(f, **kw), files))
+
     def _preload_segments(self) -> None:
         tables = [
-            self._with_enc_avgdl(pq.read_table(f)).select(self._SEG_COLS)
-            for f in self._segment_files()
+            self._with_enc_avgdl(t).select(self._SEG_COLS)
+            for t in self._read_tables(self._segment_files())
         ]
         tbl = pa.concat_tables(tables)
         if self._bucket_range is not None:
@@ -229,8 +244,20 @@ class SearchEngine:
             idxs = self._term_rows.get(term, [])
             rows = [self._segments.slice(i, 1) for i in idxs]
         else:
+            if self._lazy_term_files is None:
+                # one threaded pass over just the term columns builds a
+                # term → files map, so each lazy term read opens only
+                # its own files instead of every segment file
+                tf: dict[str, list[str]] = {}
+                files = self._segment_files()
+                for f, t in zip(
+                    files, self._read_tables(files, columns=["term"])
+                ):
+                    for term_s in set(t.column("term").to_pylist()):
+                        tf.setdefault(term_s, []).append(f)
+                self._lazy_term_files = tf
             rows = []
-            for f in self._segment_files():
+            for f in self._lazy_term_files.get(term, ()):
                 tbl = self._with_enc_avgdl(
                     pq.read_table(f, filters=[("term", "==", term)])
                 )
