@@ -80,3 +80,17 @@ def test_retention(ray_session, webtext_dir, tmp_path):
     kept = sorted(os.listdir(os.path.join(root, "builds")))
     assert kept == ["b-1", "b-2", "b-3"]  # current + 2 previous
     assert current_build(root) == "b-3"
+
+
+def test_adaptive_invert_batch_resolution():
+    """Adaptive SPIMI batch size: ~4 invert tasks per CPU within the
+    measured [4096, 12288] clamp; explicit config wins."""
+    from limetrans_ray.pipelines.build_index import IndexBuildConfig
+
+    cfg = IndexBuildConfig()
+    assert cfg.resolved_invert_batch_size(600_000, 32) == 600_000 // 128
+    assert cfg.resolved_invert_batch_size(100_000, 32) == 4096      # floor
+    assert cfg.resolved_invert_batch_size(10_000_000, 32) == 12288  # cap
+    assert IndexBuildConfig(invert_batch_size=7777).resolved_invert_batch_size(
+        600_000, 32
+    ) == 7777
