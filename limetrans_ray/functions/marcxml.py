@@ -1,0 +1,107 @@
+"""MARC-XML record decoder → flat Arrow rows.
+
+From-scratch re-expression of the reference's MARCXML/ALMAXML input
+path (reference core/src/main/java/hbz/limetrans/util/FileQueue.java:42-50
+wires Metafacture's ``MarcXmlHandler``; the ALMAXML variant tolerates a
+missing namespace). A MARC-XML record is
+
+    <record>
+      <leader>...</leader>
+      <controlfield tag="001">...</controlfield>
+      <datafield tag="245" ind1="1" ind2="0">
+        <subfield code="a">Title</subfield> ...
+      </datafield>
+    </record>
+
+We decode into the same FLAT ROW model every other decoder in this
+package emits — ``(record_id, field, subfield, occurrence, value)``
+(functions/multiline.py ROW_SCHEMA) — so MARC records flow through the
+identical downstream ``map_batches``/groupby machinery:
+
+- ``record_id`` = the ``001`` controlfield value (the MARC record id;
+  falls back to a running per-blob index when absent);
+- leader → field ``leader``, subfield None;
+- controlfield tag T → field T, subfield None;
+- datafield tag T ind1 I1 ind2 I2 → field ``T[I1][I2]`` with one row
+  per subfield code (the Metafacture convention of indicator-qualified
+  entity names, blanks kept as spaces);
+- ``occurrence`` numbers repeats of the same (field, subfield) within a
+  record, in document order.
+
+Namespace-tolerant: MARC21 slim namespace, no namespace (ALMAXML), or
+any other prefix — only local names are matched. Decoding is per-blob
+``xml.etree`` (C-accelerated); the batch wrapper explodes a column of
+XML blobs exactly like the SISIS decoder.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+
+from .multiline import ROW_SCHEMA
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_marcxml(text: str) -> list[dict]:
+    """Parse a MARC-XML blob (a single <record> or any element tree
+    containing <record> descendants, e.g. <collection>) into flat rows."""
+    root = ET.fromstring(text)
+    records = (
+        [root]
+        if _local(root.tag) == "record"
+        else [el for el in root.iter() if _local(el.tag) == "record"]
+    )
+    rows: list[dict] = []
+    for ri, rec in enumerate(records):
+        # first pass: the record id from controlfield 001
+        record_id = f"record-{ri}"
+        for el in rec:
+            if _local(el.tag) == "controlfield" and el.get("tag") == "001":
+                record_id = (el.text or "").strip() or record_id
+                break
+        occ: dict[tuple[str, str | None], int] = {}
+
+        def emit(field: str, sub: str | None, value: str) -> None:
+            key = (field, sub)
+            n = occ.get(key, 0)
+            occ[key] = n + 1
+            rows.append(
+                {
+                    "record_id": record_id,
+                    "field": field,
+                    "subfield": sub,
+                    "occurrence": n,
+                    "value": value,
+                }
+            )
+
+        for el in rec:
+            name = _local(el.tag)
+            if name == "leader":
+                emit("leader", None, el.text or "")
+            elif name == "controlfield":
+                emit(el.get("tag", ""), None, el.text or "")
+            elif name == "datafield":
+                tag = el.get("tag", "")
+                field = f"{tag}{el.get('ind1', ' ')}{el.get('ind2', ' ')}"
+                for sf in el:
+                    if _local(sf.tag) == "subfield":
+                        emit(field, sf.get("code", ""), sf.text or "")
+    return rows
+
+
+def decode_batch(batch: pa.Table, blob_col: str = "xml") -> pa.Table:
+    """map_batches body: explode a column of MARC-XML blobs (string or
+    binary) into the shared flat row schema."""
+    out: list[dict] = []
+    for blob in batch.column(blob_col).to_pylist():
+        if isinstance(blob, bytes):
+            blob = blob.decode("utf-8", "replace")
+        if blob:
+            out.extend(parse_marcxml(blob))
+    return pa.Table.from_pylist(out, schema=ROW_SCHEMA)
