@@ -1,0 +1,153 @@
+"""Metafix-analogue record ops: hand-written expectations in the
+reference's transformation-test spirit (event-stream in → expected
+record out — reference test/TransformationTestCase.java), over the
+flat-row model, plus the Ray map_batches composition with the MARC-XML
+decoder."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from limetrans_ray.functions.multiline import ROW_SCHEMA
+from limetrans_ray.functions.recordops import RecordOps, apply_ops
+
+
+def _rows(*tuples):
+    return pd.DataFrame(
+        tuples, columns=["record_id", "field", "subfield", "occurrence", "value"]
+    )
+
+
+BASE = _rows(
+    ("r1", "001", None, 0, "(DE-605)HT001"),
+    ("r1", "245", "a", 0, "Der Holzbau-Atlas"),
+    ("r1", "041", None, 0, "ger"),
+    ("r1", "700", "a", 0, "Person, One"),
+    ("r1", "700", "a", 1, "Person, One"),
+    ("r2", "001", None, 0, "(DE-605)HT002"),
+    ("r2", "245", "a", 0, "Payment Systems"),
+    ("r2", "041", None, 0, "eng"),
+)
+
+
+def _as_map(df):
+    return {
+        (r.record_id, r.field, r.subfield, r.occurrence): r.value
+        for r in df.itertuples()
+    }
+
+
+def test_copy_move_remove_add():
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("copy_field", {"src": "245", "dst": "title"}),
+            ("move_field", {"src": "041", "dst": "language"}),
+            ("remove_field", {"field": "700"}),
+            ("add_field", {"field": "collection", "value": "testset"}),
+        ],
+    )
+    m = _as_map(out)
+    assert m[("r1", "title", "a", 0)] == "Der Holzbau-Atlas"
+    assert m[("r1", "245", "a", 0)] == "Der Holzbau-Atlas"  # copy keeps src
+    assert m[("r1", "language", None, 0)] == "ger"
+    assert ("r1", "700", "a", 0) not in m
+    assert m[("r1", "collection", None, 0)] == "testset"
+    assert m[("r2", "collection", None, 0)] == "testset"
+
+
+def test_replace_all_strips_prefix():
+    # the alma.fix idiom: strip "(DE-605)" prefixes (alma.fix:224-244)
+    out = apply_ops(
+        BASE.copy(),
+        [("replace_all", {"field": "001", "pattern": r"^\(DE-605\)", "replacement": ""})],
+    )
+    m = _as_map(out)
+    assert m[("r1", "001", None, 0)] == "HT001"
+    assert m[("r2", "001", None, 0)] == "HT002"
+
+
+def test_lookup_policies():
+    table = {"ger": "German", "fre": "French"}
+    keep = apply_ops(BASE.copy(), [("lookup", {"field": "041", "table": table})])
+    assert _as_map(keep)[("r1", "041", None, 0)] == "German"
+    assert _as_map(keep)[("r2", "041", None, 0)] == "eng"  # miss keeps value
+    dflt = apply_ops(
+        BASE.copy(), [("lookup", {"field": "041", "table": table, "default": "und"})]
+    )
+    assert _as_map(dflt)[("r2", "041", None, 0)] == "und"
+    dele = apply_ops(
+        BASE.copy(), [("lookup", {"field": "041", "table": table, "delete": True})]
+    )
+    m = _as_map(dele)
+    assert m[("r1", "041", None, 0)] == "German"
+    assert ("r2", "041", None, 0) not in m  # miss row dropped
+
+
+def test_paste_and_uniq_and_occurrence_renumber():
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("uniq", {"field": "700"}),
+            ("paste", {"dst": "display", "srcs": ["245", "041"], "join_char": " / "}),
+        ],
+    )
+    m = _as_map(out)
+    assert m[("r1", "display", None, 0)] == "Der Holzbau-Atlas / ger"
+    assert m[("r2", "display", None, 0)] == "Payment Systems / eng"
+    # the duplicate 700 row is gone and occurrences renumbered densely
+    assert ("r1", "700", "a", 1) not in m
+    assert m[("r1", "700", "a", 0)] == "Person, One"
+
+
+def test_retain_and_reject():
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("reject_if", {"field": "041", "pattern": "^eng$"}),
+            ("retain", {"fields": ["001", "245"]}),
+        ],
+    )
+    assert set(out["record_id"]) == {"r1"}
+    assert set(out["field"]) == {"001", "245"}
+
+
+def test_unknown_op_rejected():
+    with pytest.raises(ValueError, match="unknown record op"):
+        RecordOps([("frobnicate", {})])
+    with pytest.raises(ValueError):
+        apply_ops(BASE.copy(), [("nope", {})])
+
+
+def test_ray_composition_with_marcxml(ray_session):
+    """decode_batch → RecordOps in one map_batches chain (whole records
+    per batch — the documented partitioning assumption)."""
+    import ray.data as rd
+
+    from limetrans_ray.functions.marcxml import decode_batch
+
+    xml = (
+        "<record><controlfield tag='001'>(DE-605)X1</controlfield>"
+        "<datafield tag='245' ind1='1' ind2='0'>"
+        "<subfield code='a'>Ein Titel</subfield></datafield></record>"
+    )
+    ds = rd.from_arrow(pa.table({"xml": pa.array([xml], pa.string())}))
+    ops = RecordOps(
+        [
+            ("replace_all", {"field": "001", "pattern": r"^\(DE-605\)", "replacement": ""}),
+            ("copy_field", {"src": "24510", "dst": "title"}),
+            ("retain", {"fields": ["001", "title"]}),
+        ]
+    )
+    out = (
+        ds.map_batches(decode_batch, batch_format="pyarrow")
+        .map_batches(ops, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = _as_map(out)
+    # record_id keeps the decoder's original 001 (the idKey is assigned
+    # at decode time, like RecordIdChanger before the transform); the
+    # FIELD value is what replace_all rewrote
+    assert m[("(DE-605)X1", "001", None, 0)] == "X1"
+    assert m[("(DE-605)X1", "title", "a", 0)] == "Ein Titel"
+    assert set(out["field"]) == {"001", "title"}
