@@ -339,7 +339,9 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "docs_per_s_8": tput8,
         "docs_per_s_32": tput32,
-        "speedup": round(tput32 / tput8, 2),
+        # 4 × the median per-rep efficiency, so speedup and the headline
+        # never contradict (median of ratios ≠ ratio of medians)
+        "speedup": round(4 * eff, 2),
         "reps": reps,
         "hardware_ceiling": hw,
         "hardware_ceiling_ray_tasks": hw_ray,

@@ -183,10 +183,18 @@ class BatchTokenizer:
     """
 
     _RAW_MEMO_MAX = 1_000_000
+    # Vocab bound: the memo vocabulary is pure cache (per-batch output
+    # remaps ids to strings, so dropping ALL state between batches is
+    # semantics-free). On adversarial ever-fresh vocabularies the reset
+    # caps worker heap where an unbounded _vid/_vocab would grow forever.
+    _VOCAB_MAX = 4_000_000
 
     def __init__(self, *, stop: bool = True, stem: bool | None = None):
         self.stop = stop
         self.stem = STEM_DEFAULT if stem is None else stem
+        self._reset()
+
+    def _reset(self) -> None:
         self._vocab: list[str] = []           # variant id → term string
         self._vid: dict[str, int] = {}        # term string → variant id
         self._raw: dict[str, tuple[bytes, int]] = {}  # raw → (ids bytes, k)
@@ -214,6 +222,8 @@ class BatchTokenizer:
         ascending per term."""
         import pyarrow as pa
 
+        if len(self._vocab) > self._VOCAB_MAX:
+            self._reset()
         n_docs = len(texts)
         byte_parts: list[bytes] = []   # one per raw occurrence
         kcounts: list[int] = []        # variants emitted per occurrence
@@ -475,10 +485,12 @@ def parse_query(
             kw = keyword_normalize(body)
             if kw:
                 alt = (qualify(field, kw),)
-        if field:
-            # ocn-normalized alternative (keyword_ocn fields): emitted
-            # whenever it differs from the raw body — like the keyword
-            # alt, whichever side has postings decides (df 0 otherwise)
+        if field and field_analyzers and field_analyzers.get(field) == "keyword_ocn":
+            # ocn-normalized alternative — ONLY for fields the index
+            # declared keyword_ocn: a bare digit-led variant emitted
+            # into a text field would collide with real tokenized terms
+            # (e.g. title:mp3 → title\x1f3) and even bypass phrase
+            # filtering via the alt union
             oc = ocn_normalize(body)
             if oc and oc != body:
                 alt = alt + (qualify(field, oc),)

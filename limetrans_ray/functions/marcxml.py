@@ -47,9 +47,15 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def parse_marcxml(text: str) -> list[dict]:
+def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
     """Parse a MARC-XML blob (a single <record> or any element tree
-    containing <record> descendants, e.g. <collection>) into flat rows."""
+    containing <record> descendants, e.g. <collection>) into flat rows.
+
+    ``id_prefix`` namespaces the fallback ids of records lacking a 001
+    controlfield — callers decoding many blobs MUST pass a per-blob
+    prefix (decode_batch derives one from the blob content hash) or
+    id-less records from different blobs would collide on
+    ``record-0``."""
     root = ET.fromstring(text)
     records = (
         [root]
@@ -59,7 +65,7 @@ def parse_marcxml(text: str) -> list[dict]:
     rows: list[dict] = []
     for ri, rec in enumerate(records):
         # first pass: the record id from controlfield 001
-        record_id = f"record-{ri}"
+        record_id = f"{id_prefix}-{ri}"
         for el in rec:
             if _local(el.tag) == "controlfield" and el.get("tag") == "001":
                 record_id = (el.text or "").strip() or record_id
@@ -97,11 +103,18 @@ def parse_marcxml(text: str) -> list[dict]:
 
 def decode_batch(batch: pa.Table, blob_col: str = "xml") -> pa.Table:
     """map_batches body: explode a column of MARC-XML blobs (string or
-    binary) into the shared flat row schema."""
+    binary) into the shared flat row schema. Fallback record ids are
+    namespaced by a content hash of the blob, so id-less records from
+    different blobs (in this or any other batch) never collide."""
+    import hashlib
+
     out: list[dict] = []
     for blob in batch.column(blob_col).to_pylist():
         if isinstance(blob, bytes):
             blob = blob.decode("utf-8", "replace")
         if blob:
-            out.extend(parse_marcxml(blob))
+            prefix = "record-" + hashlib.blake2b(
+                blob.encode(), digest_size=6
+            ).hexdigest()
+            out.extend(parse_marcxml(blob, id_prefix=prefix))
     return pa.Table.from_pylist(out, schema=ROW_SCHEMA)

@@ -116,24 +116,39 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             sel = df["field"] == kw["field"]
             mapped = df.loc[sel, "value"].map(kw["table"])
             if kw.get("delete"):
-                drop = sel.copy()
-                drop.loc[sel] = mapped.isna()
-                df = df[~drop].copy()
-                sel = df["field"] == kw["field"]
-                df.loc[sel, "value"] = df.loc[sel, "value"].map(kw["table"])
+                # reuse the computed mapping: assign hits, drop misses
+                # (a table value of None counts as a miss, like an
+                # absent key — the delete policy treats both as "no
+                # translation exists")
+                hits = mapped.dropna()
+                df.loc[hits.index, "value"] = hits
+                df = df.drop(index=mapped.index[mapped.isna()])
             elif "default" in kw:
                 df.loc[sel, "value"] = mapped.fillna(kw["default"])
             else:
                 df.loc[sel, "value"] = mapped.fillna(df.loc[sel, "value"])
         elif name == "paste":
-            parts = [_first_occurrence_values(df, s) for s in kw["srcs"]]
-            joined = pd.concat(parts, axis=1).apply(
-                lambda r: kw.get("join_char", " ").join(
-                    v for v in r if isinstance(v, str)
-                ),
-                axis=1,
+            # vectorized join-skipping-missing: align srcs, mark missing
+            # cells with a sentinel, str.cat pairwise, then strip
+            # sentinel fields and their separators (no per-record loop)
+            jc = kw.get("join_char", " ")
+            parts = pd.concat(
+                [_first_occurrence_values(df, s) for s in kw["srcs"]], axis=1
             )
-            joined = joined[joined != ""]
+            cols = [
+                parts.iloc[:, i].astype("string").fillna("\x00")
+                for i in range(parts.shape[1])
+            ]
+            acc = cols[0]
+            for col in cols[1:]:
+                acc = acc.str.cat(col, sep=jc)
+            jrx = re.escape(jc)
+            joined = (
+                acc.str.replace(f"\x00{jrx}", "", regex=True)
+                .str.replace(f"{jrx}\x00", "", regex=True)
+                .str.replace("\x00", "", regex=False)
+            )
+            joined = joined[joined != ""].astype(object)
             if len(joined):
                 df = pd.concat(
                     [

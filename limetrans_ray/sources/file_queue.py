@@ -58,13 +58,14 @@ def _expand_group_marker(
     candidates = _find(path, prefix + "*" + suffix, sort_by, reverse)
     if not candidates:
         return None
-    # glob → regex exactly like the reference (escape .+(), * → .*, ? → .)
-    rx = re.compile(
-        re.sub(r"[.+()]", r"\\\g<0>", pattern)
-        .replace("*", ".*")
-        .replace("?", ".")
-        .replace(GROUP_MARKER, "(.*)")
-    )
+
+    # glob → regex: escape EVERYTHING, then revive the glob wildcards —
+    # glob-legal filename characters like {}|$^\\ must never become live
+    # regex syntax (the reference escapes only .+() — FIXME'd there)
+    def glob_rx(s: str) -> str:
+        return re.escape(s).replace(r"\*", ".*").replace(r"\?", ".")
+
+    rx = re.compile(glob_rx(prefix) + "(.*)" + glob_rx(suffix))
     m = rx.fullmatch(os.path.basename(candidates[-1]))
     if not m:
         return None

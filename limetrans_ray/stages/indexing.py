@@ -253,16 +253,39 @@ class ExtractTokenizeStage:
         self._ref = winners_ref
         self._w = None
         self._shard_cache: dict[int, dict] = {}
+        self._shard_bytes = 0
         # per-actor batched tokenizer (memoized analyzer chain + direct
         # Arrow list-column construction — see BatchTokenizer)
         self._bt = BatchTokenizer()
 
     _TS_SENTINEL = np.int64(-(1 << 62))  # never equals a real warc_ts
+    # LRU byte budget for pinned winner shards: ray.get'd numpy arrays
+    # are zero-copy views that pin their plasma objects, so an unbounded
+    # cache would pin the WHOLE winner table per worker (doc_keys are
+    # uniform hashes — every batch touches most ranges). Evicting drops
+    # the pin and lets the object store spill cold shards; a re-touched
+    # shard is a cheap local-store re-get.
+    _SHARD_CACHE_BYTES = 2 << 30
+
+    @staticmethod
+    def _shard_nbytes(shard: dict) -> int:
+        return sum(a.nbytes for a in shard.values())
 
     def _shard(self, w: "ShardedWinners", i: int) -> dict:
         got = self._shard_cache.get(i)
-        if got is None:
-            got = self._shard_cache[i] = ray.get(w.refs[i])
+        if got is not None:
+            self._shard_cache[i] = self._shard_cache.pop(i)  # LRU refresh
+            return got
+        got = ray.get(w.refs[i])
+        n = self._shard_nbytes(got)
+        while (
+            self._shard_cache
+            and self._shard_bytes + n > self._SHARD_CACHE_BYTES
+        ):
+            old = self._shard_cache.pop(next(iter(self._shard_cache)))
+            self._shard_bytes -= self._shard_nbytes(old)
+        self._shard_cache[i] = got
+        self._shard_bytes += n
         return got
 
     def _lookup_sharded(self, w: "ShardedWinners", doc_key: np.ndarray):

@@ -302,3 +302,21 @@ def test_engine_matches_oracle_profiles(ray_session, tmp_path, profile_oracle):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, a), (_, b) in zip(got, want):
             assert a == pytest.approx(b, rel=1e-12), q
+
+
+def test_ocn_alt_gated_to_keyword_ocn_fields():
+    """The ocn-normalized alternative is only emitted for declared
+    keyword_ocn fields — a text field scoped query like title:mp3 must
+    NOT grow a bare 'title\\x1f3' variant (it would match any doc whose
+    title contains the token 3, and even bypass phrase filtering)."""
+    text_map = {"title": "text"}
+    out = parse_query("title:mp3", field_analyzers=text_map)
+    assert qualify("title", "3") not in out[0]["variants"]
+    out = parse_query("title:mp3")  # no map at all → no ocn alt either
+    assert qualify("title", "3") not in out[0]["variants"]
+    ocn_map = {"ocn": "keyword_ocn"}
+    out = parse_query("ocn:0043381", field_analyzers=ocn_map)
+    assert qualify("ocn", "43381") in out[0]["variants"]
+    # phrase alt path: quoted body on a text field gains no ocn alt
+    out = parse_query('title:"volume 10"', field_analyzers=text_map)
+    assert qualify("title", "10") not in out[0].get("alt", ())

@@ -94,3 +94,16 @@ def test_group_marker_expansion(tmp_path):
 def test_group_marker_no_match(tmp_path):
     (tmp_path / "x.csv").write_text("x")
     assert file_queue(str(tmp_path), f"dump-{GROUP_MARKER}.xml") == []
+
+
+def test_group_marker_with_regex_special_chars(tmp_path):
+    """Glob-legal filename characters ({}|$^) must not become live
+    regex syntax in the marker expansion."""
+    base = tmp_path / "g"
+    base.mkdir()
+    for name in ["a{2}b-07.xml", "a{2}b-08.xml", "x|y-07.xml"]:
+        (base / name).write_text(name)
+    got = file_queue(str(base), f"a{{2}}b-{GROUP_MARKER}.xml", sort_by="name")
+    assert [os.path.basename(f) for f in got] == ["a{2}b-08.xml"]
+    got = file_queue(str(base), f"x|y-{GROUP_MARKER}.xml")
+    assert [os.path.basename(f) for f in got] == ["x|y-07.xml"]

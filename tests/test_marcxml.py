@@ -77,3 +77,13 @@ def test_binary_blob_column():
     tbl = pa.table({"xml": pa.array([RECORD.format(ns="").encode()], pa.binary())})
     out = decode_batch(tbl)
     assert out.num_rows == len(parse_marcxml(RECORD.format(ns="")))
+
+
+def test_idless_records_across_blobs_never_collide():
+    """Fallback ids are namespaced per blob (content hash): two id-less
+    records in different blobs must not merge downstream."""
+    a = "<record><datafield tag='100' ind1=' ' ind2=' '><subfield code='a'>Alice</subfield></datafield></record>"
+    b = "<record><datafield tag='100' ind1=' ' ind2=' '><subfield code='a'>Bob</subfield></datafield></record>"
+    tbl = pa.table({"xml": pa.array([a, b], pa.string())})
+    out = decode_batch(tbl).to_pylist()
+    assert len({r["record_id"] for r in out}) == 2

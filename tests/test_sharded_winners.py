@@ -90,6 +90,7 @@ def test_stage_lookup_equals_dense(both_forms):
     )
     stage = ExtractTokenizeStage.__new__(ExtractTokenizeStage)
     stage._shard_cache = {}
+    stage._shard_bytes = 0
     wk, wts, wuh, wid = stage._lookup_sharded(sharded, probe)
     pos = np.clip(
         np.searchsorted(driver["doc_key"], probe), 0, len(driver["doc_key"]) - 1
