@@ -47,6 +47,47 @@ from ..state import bm25
 from ..state.manifest import build_dir, current_build
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted-unique int64 arrays. Binary-searches
+    the smaller into the larger — O(min·log max) and no allocation of a
+    concat copy, vs np.intersect1d's full sort of the concatenation
+    (which dominates when postings reach 10^6+ entries)."""
+    if len(a) > len(b):
+        a, b = b, a
+    if len(a) == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    idx[idx == len(b)] = 0
+    return a[b[idx] == a]
+
+
+def _union_sorted(arrs: list[np.ndarray], dedupe: bool = True) -> np.ndarray:
+    """Union of pre-sorted int64 arrays. numpy's stable sort on integer
+    dtypes is a radix sort (O(n), comparison-free), so concat+stable-sort
+    beats np.union1d's quicksort; duplicates are dropped with one
+    neighbor-compare pass instead of np.unique's sort. Pass
+    ``dedupe=False`` when the inputs are known pairwise-disjoint."""
+    arrs = [a for a in arrs if len(a)]
+    if not arrs:
+        return np.zeros(0, dtype=np.int64)
+    if len(arrs) == 1:
+        return arrs[0]
+    out = np.concatenate(arrs)
+    out.sort(kind="stable")
+    return _dedupe_sorted(out) if dedupe else out
+
+
+def _dedupe_sorted(a: np.ndarray) -> np.ndarray:
+    """np.unique for an already-sorted array — one vectorized
+    neighbor-compare, no sort."""
+    if len(a) < 2:
+        return a
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.not_equal(a[1:], a[:-1], out=keep[1:])
+    return a[keep]
+
+
 @dataclass
 class _Chunk:
     first_doc: int
@@ -151,7 +192,24 @@ class SearchEngine:
         self._full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._decoded_cache: "dict[str, list[tuple[np.ndarray, np.ndarray]]]" = {}
         self._decoded_postings = 0
-        self._decoded_budget = 20_000_000  # ≈320 MB of id+tf arrays
+        # cache budgets scale with the engine's doc slice: a term can
+        # legally appear in every doc (~41% df was observed in bench
+        # webtext), so a fixed budget thrashes the moment a handful of
+        # hot query terms outgrow it — every query then re-decodes ≈the
+        # whole working set (measured 6×+ warm-latency cliff at the 3.2M
+        # tier). 16 postings/doc of budget holds ~a dozen worst-case
+        # terms; serving shards are doc-range-partitioned, so per-shard
+        # n_docs — and therefore this cache — stays bounded at fleet
+        # scale.
+        slice_docs = min(self.n_docs, self._span)
+        self._decoded_budget = max(20_000_000, 16 * max(slice_docs, 1))
+        # per-chunk decoded positions (doc-repeated ids + raw positions)
+        # for terms whose range-pruned queries never decode every chunk —
+        # without this, chunk pruning re-decodes the same hot chunks on
+        # every phrase query; occurrence-budgeted LRU over terms
+        self._poschunk_cache: "dict[str, list] " = {}
+        self._poschunk_occ = 0
+        self._poschunk_budget = max(20_000_000, 16 * max(slice_docs, 1))
         if preload:
             self._preload_segments()
 
@@ -394,9 +452,16 @@ class SearchEngine:
             lo = np.searchsorted(d, doc_range[0], side="left")
             hi = np.searchsorted(d, doc_range[1], side="right")
             return d[lo:hi], p[lo:hi]
+        chunks = self._chunks(term)
+        parts = self._poschunk_cache.get(term)
+        if parts is not None:  # LRU recency refresh
+            self._poschunk_cache[term] = self._poschunk_cache.pop(term)
+        else:
+            parts = [None] * len(chunks)
+            self._poschunk_cache[term] = parts
         ids_all, pos_all = [], []
         partial = False
-        for ci, c in enumerate(self._chunks(term)):
+        for ci, c in enumerate(chunks):
             if c.pos_enc is None:
                 raise ValueError(
                     "this index was built without positions (pre-phrase "
@@ -405,21 +470,44 @@ class SearchEngine:
             if doc_range is not None and (
                 c.last_doc < doc_range[0] or c.first_doc > doc_range[1]
             ):
-                partial = True  # pruned a chunk — don't poison the cache
+                partial = True  # pruned a chunk — decode it another day
                 continue
-            ids, tfs = self._decoded(term)[ci]
-            vstarts = np.zeros(len(tfs), dtype=np.int64)
-            np.cumsum(tfs[:-1], out=vstarts[1:])
-            deltas = codec.varint_decode(c.pos_enc).astype(np.int64)
-            pos = codec.segmented_delta_decode(deltas, vstarts)
-            ids_all.append(np.repeat(ids, tfs))
-            pos_all.append(pos)
+            part = parts[ci]
+            if part is None:
+                ids, tfs = self._decoded(term)[ci]
+                vstarts = np.zeros(len(tfs), dtype=np.int64)
+                np.cumsum(tfs[:-1], out=vstarts[1:])
+                deltas = codec.varint_decode(c.pos_enc).astype(np.int64)
+                pos = codec.segmented_delta_decode(deltas, vstarts)
+                part = (np.repeat(ids, tfs), pos)
+                parts[ci] = part
+                self._poschunk_occ += len(pos)
+                # evict other terms' chunk decodes, oldest first, to keep
+                # decoded positions under the budget (the term being
+                # assembled stays — it is the recency head by definition)
+                while (
+                    self._poschunk_occ > self._poschunk_budget
+                    and len(self._poschunk_cache) > 1
+                ):
+                    oldest = next(iter(self._poschunk_cache))
+                    if oldest == term:
+                        break
+                    dropped = self._poschunk_cache.pop(oldest)
+                    self._poschunk_occ -= sum(
+                        len(x[1]) for x in dropped if x is not None
+                    )
+            ids_all.append(part[0])
+            pos_all.append(part[1])
         out = (
             np.concatenate(ids_all) if ids_all else np.zeros(0, dtype=np.int64),
             np.concatenate(pos_all) if pos_all else np.zeros(0, dtype=np.int64),
         )
         if not partial:
+            # every chunk decoded: promote to the flat cache (O(log)
+            # range slicing from here on) and release the chunk parts
             self._pos_cache[term] = out
+            self._poschunk_cache.pop(term, None)
+            self._poschunk_occ -= len(out[1])
         return out
 
     _POS_K = np.int64(1) << np.int64(32)  # (doc, pos) packing base
@@ -429,11 +517,16 @@ class SearchEngine:
         FILTER — consecutive raw positions, any variant per slot — and
         BM25 still sums over every clause's variant terms).
 
-        Candidate-driven: clause match sets are SORTED doc-id arrays
-        (set algebra via np.intersect1d/union1d), position keys are
-        built only for candidate docs, and BM25 accumulates into a
-        len(final)-sized vector — memory is O(postings touched), never
-        O(max_doc), so the path serves at shard scale."""
+        Candidate-driven: clause match sets are SORTED doc-id arrays,
+        position keys are built only for candidate docs, and BM25
+        accumulates into a len(final)-sized vector — memory is
+        O(postings touched), never O(max_doc), so the path serves at
+        shard scale. Set algebra avoids comparison sorts: postings and
+        (doc,pos) keys arrive pre-sorted, so intersections are binary
+        searches (`_intersect_sorted`) and unions are radix-sort merges
+        (`_union_sorted`) — np.intersect1d/union1d re-sort their concat
+        every call, which dominated warm phrase latency at 10^6+ doc
+        posting sizes (observed 6× per index doubling)."""
         if not clauses:
             return []
         groups: list[tuple[str, ...]] = []
@@ -449,49 +542,63 @@ class SearchEngine:
 
         def union_ids(variants) -> np.ndarray:
             arrs = [self._postings(t)[0] for t in variants if t in self.df]
-            if not arrs:
-                return np.zeros(0, dtype=np.int64)
-            return np.unique(np.concatenate(arrs))
+            return _union_sorted(arrs)
 
         def phrase_docs(slots) -> np.ndarray:
-            # candidate pre-filter: docs containing every slot
+            # candidate pre-filter: docs containing every slot,
+            # intersected rarest-first so the running set collapses as
+            # early as the most selective slot allows
+            unions = [union_ids(s) for s in slots]
             cand = None
-            for slot in slots:
-                s = union_ids(slot)
-                cand = s if cand is None else np.intersect1d(cand, s, assume_unique=True)
-                if cand is None or len(cand) == 0:
+            for s in sorted(unions, key=len):
+                if len(s) == 0:
+                    return np.zeros(0, dtype=np.int64)
+                cand = s if cand is None else _intersect_sorted(cand, s)
+                if len(cand) == 0:
                     return np.zeros(0, dtype=np.int64)
             # (doc, pos - slot_index) keys over candidate docs only; the
             # phrase exists iff some shifted key survives intersection.
             # Membership via a _span-sized bool mask — the same memory
             # envelope as the doclen slice, O(|postings|) instead of
-            # |postings|·log|candidates|
+            # |postings|·log|candidates|. Slots are processed rarest
+            # union first (intersection is commutative; each slot's
+            # position shift uses its ORIGINAL index) and the mask is
+            # re-tightened to the surviving anchor docs after every
+            # slot, so a selective slot shrinks the postings the common
+            # slots must key.
             cand_mask = np.zeros(self._span, dtype=bool)
             cand_mask[cand - self._base] = True
+            lo, hi = int(cand[0]), int(cand[-1])
             anchor = None
             L = len(slots)  # +L keeps the shifted position positive, so
             # packed (doc, pos) keys never borrow into the doc part
-            for i, slot in enumerate(slots):
+            order = sorted(range(L), key=lambda j: len(unions[j]))
+            for i in order:
                 keys_i = []
-                for t in slot:
+                for t in slots[i]:
                     if t not in self.df:
                         continue
-                    d, p = self._doc_positions(t, doc_range=(cand[0], cand[-1]))
+                    d, p = self._doc_positions(t, doc_range=(lo, hi))
                     keep = cand_mask[d - self._base]
                     d, p = d[keep], p[keep]
                     keys_i.append(d * self._POS_K + (p - i + L))
                 if not keys_i:
                     return np.zeros(0, dtype=np.int64)
-                if len(keys_i) == 1:
-                    # per-term keys are already sorted-unique: postings
-                    # are doc-ascending with ascending positions
-                    ks = keys_i[0]
-                else:
-                    ks = np.unique(np.concatenate(keys_i))
-                anchor = ks if anchor is None else np.intersect1d(anchor, ks, assume_unique=True)
+                # per-term keys are sorted (postings are doc-ascending
+                # with ascending positions) and disjoint ACROSS variants
+                # (one raw token per (doc, position)) — a radix-sort
+                # merge with no dedupe is exact
+                ks = _union_sorted(keys_i, dedupe=False)
+                anchor = ks if anchor is None else _intersect_sorted(anchor, ks)
                 if len(anchor) == 0:
                     return np.zeros(0, dtype=np.int64)
-            return np.unique(anchor // self._POS_K)
+                docs = _dedupe_sorted(anchor // self._POS_K)
+                if len(docs) < len(cand):  # tighten for remaining slots
+                    cand_mask[:] = False
+                    cand_mask[docs - self._base] = True
+                    cand = docs
+                    lo, hi = int(docs[0]), int(docs[-1])
+            return _dedupe_sorted(anchor // self._POS_K)
 
         final = None
         for c in clauses:
@@ -499,15 +606,15 @@ class SearchEngine:
                 ids = phrase_docs(c["slots"])
                 if c.get("alt"):
                     # keyword-field alternative: exact normalized value
-                    ids = np.union1d(ids, union_ids(c["alt"]))
+                    ids = _union_sorted([ids, union_ids(c["alt"])])
             else:
                 ids = union_ids(c["variants"])
             if final is None:
                 final = ids
             elif mode == "and":
-                final = np.intersect1d(final, ids, assume_unique=True)
+                final = _intersect_sorted(final, ids)
             else:
-                final = np.union1d(final, ids)
+                final = _union_sorted([final, ids])
             if mode == "and" and len(final) == 0:
                 return []
         final = final[~self._deleted[final - self._base]]
