@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+
 # Kept as data so oracle SQL / docs can cite the exact patterns.
 FRAGMENT_PATTERN = r"#.*$"
 UTM_QUERY_PATTERN = r"\?utm[^#]*$"
@@ -42,3 +44,51 @@ def canonical_url(url: str) -> str:
     if m:
         s = m.group(1).lower() + s[m.end():]
     return s
+
+
+def canonical_url_batch(urls) -> "list[str]":
+    """Vectorized :func:`canonical_url` over an Arrow string array —
+    the KeyStage hot path (the scalar form costs ~4 µs/url in Python
+    regex; Arrow/RE2 kernels run the same chain an order of magnitude
+    faster). Byte-identical to the scalar function: the two edge
+    families where RE2 semantics could diverge fall back to the scalar
+    path per row —
+
+    * a value ending in ``\\n`` (Python ``$`` in ``/+$`` also matches
+      *before* a final newline; RE2's ``$`` is end-of-text only);
+    * a non-ASCII scheme+host (``str.lower`` vs ``utf8_lower`` corner
+      cases in full-width case mapping).
+
+    Property-tested against the scalar chain (tests/test_urlnorm.py).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.chunked_array([urls]) if not isinstance(
+        urls, (pa.Array, pa.ChunkedArray)
+    ) else urls
+    s = pc.replace_substring_regex(arr, pattern="(?s)" + FRAGMENT_PATTERN,
+                                   replacement="")
+    s = pc.replace_substring_regex(s, pattern="(?s)" + UTM_QUERY_PATTERN,
+                                   replacement="")
+    s = pc.replace_substring_regex(s, pattern=TRAILING_SLASH_PATTERN,
+                                   replacement="")
+    g = pc.extract_regex(
+        s, pattern=r"(?s)^(?P<sh>[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(?P<rest>.*)$"
+    )
+    sh = pc.struct_field(g, "sh")
+    rest = pc.struct_field(g, "rest")
+    joined = pc.binary_join_element_wise(pc.utf8_lower(sh), rest, "")
+    out = pc.if_else(pc.is_valid(sh), joined, s)
+    exact = pc.and_(
+        pc.invert(pc.match_substring_regex(arr, "(?s)\n$")),
+        pc.if_else(pc.is_valid(sh), pc.string_is_ascii(sh), pa.scalar(True)),
+    )
+    result = out.to_pylist()
+    if not pc.all(exact).as_py():
+        if isinstance(exact, pa.ChunkedArray):
+            exact = exact.combine_chunks()
+        raw = arr.to_pylist()
+        for i in np.flatnonzero(~exact.to_numpy(zero_copy_only=False)):
+            result[i] = canonical_url(raw[i])
+    return result

@@ -6,6 +6,8 @@ import unicodedata
 
 import numpy as np
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 
 from limetrans_ray.functions.analyzer import (
     STOPWORDS,
@@ -130,6 +132,56 @@ class TestUrlNorm:
 
     def test_path_case_preserved(self):
         assert canonical_url("https://H.example/Path") == "https://h.example/Path"
+
+    def test_batch_parity_edge_cases(self):
+        # the vectorized KeyStage path must be byte-identical to the
+        # scalar chain, including its RE2-divergence fallbacks
+        # (trailing-newline '$' semantics, non-ASCII host lowercase)
+        import pyarrow as pa
+
+        from limetrans_ray.functions.urlnorm import canonical_url_batch
+
+        urls = [
+            "http://Example.COM/Path/page?x=1#frag",
+            "https://A.b/c//",
+            "HTTP://X.Y/z?utm_source=a",
+            "ftp://Host.Name",
+            "no-scheme/path/",
+            "http://h/p?utm_x=1#f",
+            "http://h/p\n",          # Python '$' matches before final \n
+            "http://h/p/\n",
+            "http://hö.st/Päth",     # non-ASCII host → scalar fallback
+            "http://h/a#b#c",
+            "",
+            "http://h//",
+            "weird\nmiddle/x/",
+            "https://UPPER.HOST/K?utm",
+            "http://h/p?notutm=1",
+            "https://İstanbul.example/İ",
+        ]
+        assert canonical_url_batch(pa.array(urls)) == [
+            canonical_url(u) for u in urls
+        ]
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(
+                    list("abcXZ09:/?#.&=_-%\n\täö😀") + ["://", "?utm", "//"]
+                ),
+                max_size=12,
+            ).map("".join),
+            max_size=30,
+        )
+    )
+    def test_batch_parity_property(self, urls):
+        import pyarrow as pa
+
+        from limetrans_ray.functions.urlnorm import canonical_url_batch
+
+        assert canonical_url_batch(pa.array(urls, pa.string())) == [
+            canonical_url(u) for u in urls
+        ]
 
 
 class TestTextStats:
