@@ -106,3 +106,34 @@ class TestPhraseSearch:
 def test_quote_adjacent_to_word_still_phrases():
     out = parse_query('web"drei zinnen" atlas')
     assert [c["type"] for c in out] == ["term", "phrase", "term"]
+
+
+class TestSortedSetAlgebra:
+    """The sorted-array set kernels behind search_phrases must agree
+    with np.intersect1d/union1d/unique on sorted-unique inputs."""
+
+    def test_against_numpy_reference(self):
+        import numpy as np
+
+        from limetrans_ray.pipelines.search import (
+            _dedupe_sorted,
+            _intersect_sorted,
+            _union_sorted,
+        )
+
+        rng = np.random.default_rng(3)
+        for na, nb in [(0, 0), (0, 5), (1, 1), (100, 3), (1000, 1000)]:
+            a = np.unique(rng.integers(0, 500, na)).astype(np.int64)
+            b = np.unique(rng.integers(0, 500, nb)).astype(np.int64)
+            assert np.array_equal(
+                _intersect_sorted(a, b), np.intersect1d(a, b, assume_unique=True)
+            )
+            assert np.array_equal(_union_sorted([a, b]), np.union1d(a, b))
+        # dedupe of an already-sorted array == unique
+        s = np.sort(rng.integers(0, 50, 300)).astype(np.int64)
+        assert np.array_equal(_dedupe_sorted(s), np.unique(s))
+        # dedupe=False requires pairwise-disjoint inputs; result is the
+        # radix-merged concatenation
+        a = np.array([1, 4, 9], dtype=np.int64)
+        b = np.array([2, 5], dtype=np.int64)
+        assert list(_union_sorted([a, b], dedupe=False)) == [1, 2, 4, 5, 9]

@@ -104,3 +104,46 @@ def test_stage_lookup_equals_dense(both_forms):
     assert not np.any(
         (wk[~hit] == probe[~hit]) & (wts[~hit] != stage._TS_SENTINEL)
     )
+
+
+class TestSelectWinners:
+    """_select_winners is the optimized (argsort + dup-only tie-break)
+    form of the original 3-key lexsort winner rule — pin exact parity
+    against the lexsort reference, ties included."""
+
+    @pytest.mark.parametrize("seed,n,key_space,ts_space", [
+        (0, 10_000, 3_000, 50),    # heavy dup groups + frequent ts ties
+        (1, 10_000, 9_999, 10**9), # mostly singletons
+        (2, 500, 5, 1),            # tiny key space, ALL ts tied
+        (3, 1, 1, 1),              # single row
+    ])
+    def test_matches_lexsort_reference(self, seed, n, key_space, ts_space):
+        from limetrans_ray.stages.indexing import _select_winners
+
+        rng = np.random.default_rng(seed)
+        dk = rng.integers(0, key_space, n).astype(np.uint64)
+        ts = rng.integers(0, ts_space, n)
+        uh = rng.integers(0, 1 << 63, n).astype(np.uint64)
+        order = np.lexsort((uh, ts, dk))
+        k = dk[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        widx = order[first]
+        wkey, wts, wuh = _select_winners(dk, ts, uh)
+        assert np.array_equal(wkey, dk[widx])
+        assert np.array_equal(wts, ts[widx])
+        assert np.array_equal(wuh, uh[widx])
+
+    def test_empty_and_max_hash(self):
+        from limetrans_ray.stages.indexing import _select_winners
+
+        e = np.zeros(0, dtype=np.uint64)
+        assert all(len(x) == 0 for x in _select_winners(e, e.astype(np.int64), e))
+        # a genuinely max-valued url_hash must still win its group
+        dk = np.array([7, 7, 9], dtype=np.uint64)
+        ts = np.array([5, 5, 1], dtype=np.int64)
+        uh = np.array(
+            [0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFE, 3], dtype=np.uint64
+        )
+        wkey, wts, wuh = _select_winners(dk, ts, uh)
+        assert list(wuh) == [0xFFFFFFFFFFFFFFFE, 3]
