@@ -322,6 +322,11 @@ def run_scaling() -> dict:
                 ),
                 "hash_8": level[8]["result_hash"],
                 "hash_32": level[32]["result_hash"],
+                # per-stage walls at both levels, from the same machine
+                # window — the only way to attribute efficiency loss to
+                # a stage on a box whose load swings 2x between runs
+                "stages_8": level[8].get("stage_seconds"),
+                "stages_32": level[32].get("stage_seconds"),
             }
         )
     hw = _hardware_ceiling()

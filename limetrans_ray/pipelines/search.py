@@ -210,6 +210,10 @@ class SearchEngine:
         self._poschunk_cache: "dict[str, list] " = {}
         self._poschunk_occ = 0
         self._poschunk_budget = max(20_000_000, 16 * max(slice_docs, 1))
+        # promoted full decodes share the same occurrence budget — a
+        # long-lived shard serving many distinct phrase terms must not
+        # grow without bound
+        self._pos_occ = 0
         if preload:
             self._preload_segments()
 
@@ -446,6 +450,7 @@ class SearchEngine:
         smaller than the term's full posting list)."""
         cached = self._pos_cache.get(term)
         if cached is not None:
+            self._pos_cache[term] = self._pos_cache.pop(term)  # LRU touch
             if doc_range is None:
                 return cached
             d, p = cached
@@ -506,8 +511,17 @@ class SearchEngine:
             # every chunk decoded: promote to the flat cache (O(log)
             # range slicing from here on) and release the chunk parts
             self._pos_cache[term] = out
+            self._pos_occ += len(out[1])
             self._poschunk_cache.pop(term, None)
             self._poschunk_occ -= len(out[1])
+            while (
+                self._pos_occ > self._poschunk_budget
+                and len(self._pos_cache) > 1
+            ):
+                oldest = next(iter(self._pos_cache))
+                if oldest == term:
+                    break
+                self._pos_occ -= len(self._pos_cache.pop(oldest)[1])
         return out
 
     _POS_K = np.int64(1) << np.int64(32)  # (doc, pos) packing base
