@@ -165,6 +165,41 @@ def _dir_bytes(directory: str) -> int:
     return size
 
 
+def _projected_dir_bytes(directory: str, columns: list[str]) -> int:
+    """Estimated on-disk bytes of just ``columns`` under ``directory``:
+    total dir bytes scaled by the projected columns' share of compressed
+    bytes in a spread sample of parquet footers (O(1) footer reads at
+    any directory size). The small-aggregate threshold must see what
+    the aggregation actually READS — posting-blob / text columns
+    dominate segment and fwd files, so gating on whole-file bytes sent
+    10k-row term aggregates down the distributed path (a 2000-file Ray
+    job + all-to-all barrier for a sub-second pandas groupby)."""
+    files: list[str] = []
+    total = 0
+    for root, _dirs, fs in os.walk(directory):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                files.append(p)
+                total += os.path.getsize(p)
+    if not files:
+        return 0
+    sample = files[:: max(1, len(files) // 8)][:8]
+    proj = whole = 0
+    for p in sample:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                whole += col.total_compressed_size
+                if col.path_in_schema.split(".")[0] in columns:
+                    proj += col.total_compressed_size
+    if whole == 0:
+        return total
+    return int(total * (proj / whole))
+
+
 def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
     """Collapse fwd/ rows that share a doc_id.
 
@@ -247,7 +282,7 @@ def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):
     """Run a metadata aggregation on the driver (pandas) when the pruned
     input columns are small, else distributed (Ray groupby). Returns a
     pandas DataFrame or a Ray Dataset respectively."""
-    if _dir_bytes(directory) <= SMALL_AGG_BYTES:
+    if _projected_dir_bytes(directory, columns) <= SMALL_AGG_BYTES:
         tbl = pq.read_table(directory, columns=columns)
         return pandas_fn(tbl.to_pandas())
     return ray_fn(rd.read_parquet(directory, columns=columns))
@@ -604,7 +639,7 @@ def _finish_from_fwd(
         # (the copy is O(n) and must not serialize on the driver).
         doc_cols = ["doc_id", "url", "canon", "lang", "doclen"]
         _clean_dir(docs_dir)
-        if n_docs <= 1_000_000:
+        if _projected_dir_bytes(fwd_dir, doc_cols) <= SMALL_AGG_BYTES:
             os.makedirs(docs_dir, exist_ok=True)
             pq.write_table(
                 pq.read_table(fwd_dir, columns=doc_cols),
@@ -681,19 +716,21 @@ def _finish_from_fwd(
             for bg in range(n_bg)
         }
         del doclens, dl_tbl
+        slice_bounds = stats.get("segment_slice_bounds")
+        have_slices = bool(slice_bounds) and len(slice_bounds) > 2
         partials = rd.read_parquet(
             fwd_dir, columns=["doc_id", "terms", "tfs", "pos"]
         ).map_batches(
             InvertStage(
                 stats["bucket_width"], cfg.n_term_shards,
                 bucket_group_bounds=bg_bucket_bounds,
+                slice_bounds=slice_bounds if have_slices else None,
             ),
             batch_format="pyarrow",
             batch_size=cfg.resolved_invert_batch_size(
                 int(stats["n_docs"]), int(ray.cluster_resources().get("CPU", 8))
             ),
         )
-        slice_bounds = stats.get("segment_slice_bounds")
         merger = MergeShardGroup(
             dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base,
             slice_bounds=slice_bounds,
@@ -702,10 +739,16 @@ def _finish_from_fwd(
         def merge_shard_group(group: pa.Table) -> pa.Table:
             return merger(group)
 
-        # single-key groupby when every bucket falls in one doclen group
-        # (the sandbox norm) — the extra key only exists to co-locate
-        # doc ranges at 10^12 scale
+        # merge groups: term-hash shard × doc-range slice. The slice key
+        # splits a hot term's buckets across merge tasks — one group per
+        # term made the Zipf head a 4x-the-mean straggler task that WAS
+        # the stage wall at 32 CPUs (and its multi-GB working set
+        # thrashed caches); slice-sized groups balance the waves. bgroup
+        # joins the key only when >1 doclen slice exists (10^12 scale) so
+        # each task still fetches a single doclen range.
         group_keys = ["shard"] if n_bg == 1 else ["shard", "bgroup"]
+        if have_slices:
+            group_keys = group_keys + ["mslice"]
         segs = partials.groupby(group_keys).map_groups(
             merge_shard_group, batch_format="pyarrow"
         )

@@ -430,6 +430,7 @@ class InvertStage:
         bucket_width: int,
         n_merge_shards: int,
         bucket_group_bounds: np.ndarray | None = None,
+        slice_bounds: np.ndarray | None = None,
     ):
         self.w = int(bucket_width)
         self.n_merge_shards = int(n_merge_shards)
@@ -439,6 +440,18 @@ class InvertStage:
         self.bg_bounds = (
             np.asarray(bucket_group_bounds, dtype=np.int64)
             if bucket_group_bounds is not None
+            else None
+        )
+        # bucket → on-disk doc-range slice (``mslice``): including it in
+        # the merge grouping key splits a hot term's buckets across
+        # ~n_slices merge groups. With shard-only groups, one group =
+        # one term's ENTIRE posting run; at 3.2M docs the hottest groups
+        # reached 4x the mean (Zipf), and with ~6 task waves at 32 CPUs
+        # that one 90 s task WAS the stage wall — finer, cache-sized
+        # groups cut both the tail and the per-task working set.
+        self.slice_bounds = (
+            np.asarray(slice_bounds, dtype=np.int64)
+            if slice_bounds is not None
             else None
         )
         self._shard_cache: dict[str, int] = {}
@@ -463,6 +476,7 @@ class InvertStage:
             {
                 "shard": pa.array([], pa.int32()),
                 "bgroup": pa.array([], pa.int32()),
+                "mslice": pa.array([], pa.int32()),
                 "term": pa.array([], pa.string()),
                 "bucket": pa.array([], pa.int64()),
                 "pdf": pa.array([], pa.int64()),
@@ -517,10 +531,18 @@ class InvertStage:
             ).astype(np.int32)
         else:
             bgroups = np.zeros(len(cell_buckets), dtype=np.int32)
+        if self.slice_bounds is not None:
+            mslices = (
+                np.searchsorted(self.slice_bounds, cell_buckets, side="right")
+                - 1
+            ).astype(np.int32)
+        else:
+            mslices = np.zeros(len(cell_buckets), dtype=np.int32)
         return pa.table(
             {
                 "shard": pa.array(shards, pa.int32()),
                 "bgroup": pa.array(bgroups, pa.int32()),
+                "mslice": pa.array(mslices, pa.int32()),
                 "term": cell_terms,
                 "bucket": pa.array(cell_buckets),
                 "pdf": pa.array((ends - starts).astype(np.int64)),

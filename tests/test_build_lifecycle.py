@@ -94,3 +94,34 @@ def test_adaptive_invert_batch_resolution():
     assert IndexBuildConfig(invert_batch_size=7777).resolved_invert_batch_size(
         600_000, 32
     ) == 7777
+
+
+def test_projected_dir_bytes(tmp_path):
+    """The small-aggregate gate must see only the bytes of the columns
+    the aggregation reads: a directory dominated by blob columns must
+    still route a 3-small-column groupby to the driver path."""
+    import numpy as np
+
+    from limetrans_ray.pipelines.build_index import (
+        _dir_bytes,
+        _projected_dir_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        blob = [rng.bytes(20_000) for _ in range(50)]
+        t = pa.table(
+            {
+                "term": pa.array([f"t{j}" for j in range(50)]),
+                "df": pa.array(np.arange(50, dtype=np.int64)),
+                "blob": pa.array(blob, pa.binary()),
+            }
+        )
+        pq.write_table(t, tmp_path / f"part-{i}.parquet", compression="none")
+    total = _dir_bytes(str(tmp_path))
+    proj = _projected_dir_bytes(str(tmp_path), ["term", "df"])
+    assert proj < total * 0.05          # blobs dominate the files
+    assert proj > 0
+    full = _projected_dir_bytes(str(tmp_path), ["term", "df", "blob"])
+    assert total * 0.9 <= full <= total * 1.1
+    assert _projected_dir_bytes(str(tmp_path / "missing"), ["term"]) == 0
