@@ -27,12 +27,29 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def _as_unsigned(values: np.ndarray) -> tuple[np.ndarray, int]:
+    """Contiguous unsigned view of ``values`` plus its max varint byte
+    count. uint32 inputs stay 32-bit (5 encode passes over half the
+    memory traffic — the invert stage is bandwidth-bound at full
+    parallelism, so byte width is wall time); everything else widens to
+    uint64 (10 passes). int32 is VIEWED as uint32 — callers guarantee
+    non-negative values (positions, tfs, constructed deltas); a
+    negative would wrap mod 2^32, not mod 2^64."""
+    v = np.ascontiguousarray(values)
+    if v.dtype == np.uint32:
+        return v, 5
+    if v.dtype == np.int32:
+        return v.view(np.uint32), 5
+    return np.ascontiguousarray(values, dtype=np.uint64), 10
+
+
 def varint_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (int64, vectorized)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v, maxk = _as_unsigned(values)
+    one = v.dtype.type(1)
     nbytes = np.ones(len(v), dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    for k in range(1, maxk):
+        nbytes += (v >= one << v.dtype.type(7 * k)).astype(np.int64)
     return nbytes
 
 
@@ -46,7 +63,7 @@ def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     Python-level encode call per cell (the per-call numpy overhead
     dominates otherwise; see BENCH notes).
     """
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v, maxk = _as_unsigned(values)
     n = len(v)
     if n == 0:
         return b"", np.zeros(1, dtype=np.int64)
@@ -55,11 +72,12 @@ def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     np.cumsum(nbytes, out=offsets[1:])
     out = np.empty(int(offsets[-1]), dtype=np.uint8)
     starts = offsets[:-1]
-    for k in range(10):
+    seven_f = v.dtype.type(0x7F)
+    for k in range(maxk):
         mask = nbytes > k
         if not mask.any():
             break
-        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        chunk = (v[mask] >> v.dtype.type(7 * k)) & seven_f
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
     return out.tobytes(), offsets
@@ -71,15 +89,24 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def segmented_delta_encode(ids: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
-    """Deltas of int64 ids with a reset at every segment start (the
-    start value is stored absolute) — one vectorized pass for all
-    cells of a batch/shard."""
-    ids = np.ascontiguousarray(ids, dtype=np.int64)
-    deltas = np.empty(len(ids), dtype=np.uint64)
+    """Deltas of ids with a reset at every segment start (the start
+    value is stored absolute) — one vectorized pass for all cells of a
+    batch/shard. int32/uint32 input stays 32-bit (all absolute values
+    and in-segment gaps fit by construction when the caller passes
+    32-bit ids; cross-segment wrap artifacts are overwritten by the
+    absolute segment starts) — half the memory traffic of the uint64
+    form on the bandwidth-bound invert path."""
+    if ids.dtype in (np.dtype(np.int32), np.dtype(np.uint32)):
+        ids = np.ascontiguousarray(ids)
+        deltas = np.empty(len(ids), dtype=np.uint32)
+    else:
+        ids = np.ascontiguousarray(ids, dtype=np.int64)
+        deltas = np.empty(len(ids), dtype=np.uint64)
     if len(ids):
-        deltas[0] = np.uint64(ids[0])
-        deltas[1:] = np.diff(ids).astype(np.uint64)
-        deltas[seg_starts] = ids[seg_starts].astype(np.uint64)
+        dt = deltas.dtype.type
+        deltas[0] = dt(ids[0])
+        deltas[1:] = np.diff(ids).astype(deltas.dtype)
+        deltas[seg_starts] = ids[seg_starts].astype(deltas.dtype)
     return deltas
 
 

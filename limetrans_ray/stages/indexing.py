@@ -493,8 +493,21 @@ class InvertStage:
         flat_terms = pc.list_flatten(terms_arr)
         flat_tfs = pc.list_flatten(batch.column("tfs").combine_chunks()).to_numpy()
         pos_outer = pc.list_flatten(batch.column("pos").combine_chunks())
-        pos_flat = pc.list_flatten(pos_outer).to_numpy().astype(np.int64)
-        doc_rep = np.repeat(doc_ids, lens)
+        # 32-bit flat arrays wherever the values fit: this stage is
+        # memory-bandwidth-bound at full parallelism (measured task
+        # inflation ~6x over solo runs at 32 workers), so every halved
+        # array halves wall time; the fit checks are data-dependent,
+        # never parallelism-dependent, and the varint bytes produced are
+        # identical for identical values
+        pos_flat = pc.list_flatten(pos_outer).to_numpy()
+        if pos_flat.dtype != np.int32 and (
+            len(pos_flat) == 0 or pos_flat.max() < 2**31
+        ):
+            pos_flat = pos_flat.astype(np.int32)
+        if doc_ids.max() < 2**31:
+            doc_rep = np.repeat(doc_ids.astype(np.int32), lens)
+        else:
+            doc_rep = np.repeat(doc_ids, lens)
         if len(doc_rep) == 0:
             return empty
         dict_arr = pc.dictionary_encode(flat_terms)
@@ -502,7 +515,10 @@ class InvertStage:
         vocab = dict_arr.dictionary
         bucket = doc_rep // self.w
         limit = int(bucket.max()) + 1  # per-batch key packing base
-        key = codes * limit + bucket
+        if (len(vocab) - 1) * limit + limit - 1 < 2**31:
+            key = (codes * limit).astype(np.int32) + bucket.astype(np.int32)
+        else:
+            key = codes * limit + bucket.astype(np.int64)
         order = np.lexsort((doc_rep, key))
         k_s, d_s, t_s = key[order], doc_rep[order], flat_tfs[order]
         starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
@@ -513,7 +529,9 @@ class InvertStage:
         # one batched varint pass for the whole batch, sliced per cell
         deltas = codec.segmented_delta_encode(d_s, starts)
         ibuf, ioffs = codec.varint_encode_all(deltas)
-        tbuf, toffs = codec.varint_encode_all(t_s.astype(np.uint64))
+        tbuf, toffs = codec.varint_encode_all(
+            t_s if t_s.dtype == np.int32 else t_s.astype(np.uint64)
+        )
         ids_enc = [ibuf[ioffs[s]:ioffs[e]] for s, e in zip(starts, ends)]
         tfs_enc = [tbuf[toffs[s]:toffs[e]] for s, e in zip(starts, ends)]
         # positions: gather the per-posting position runs into posting-

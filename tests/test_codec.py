@@ -70,3 +70,45 @@ def test_single_posting_chunk():
     ids, tfs = codec.decode_chunk(ch["ids_enc"], ch["tfs_enc"])
     assert ids.tolist() == [42] and tfs.tolist() == [3]
     assert ch["block_last"].tolist() == [42]
+
+
+class TestNarrowDtypes:
+    """The 32-bit codec fast path must produce byte-identical streams
+    to the 64-bit path for the same values (the invert stage feeds
+    int32 arrays purely as a bandwidth optimization)."""
+
+    def test_varint_bytes_identical_across_widths(self):
+        rng = np.random.default_rng(9)
+        vals = np.concatenate(
+            [
+                rng.integers(0, 128, 500),
+                rng.integers(0, 1 << 14, 500),
+                rng.integers(0, 1 << 28, 500),
+                rng.integers(0, 1 << 31, 500),
+                [0, 1, 127, 128, 16383, 16384, (1 << 31) - 1],
+            ]
+        )
+        b32, o32 = codec.varint_encode_all(vals.astype(np.uint32))
+        b32i, o32i = codec.varint_encode_all(vals.astype(np.int32))
+        b64, o64 = codec.varint_encode_all(vals.astype(np.uint64))
+        assert b32 == b64 and b32i == b64
+        assert np.array_equal(o32, o64) and np.array_equal(o32i, o64)
+        assert np.array_equal(
+            codec.varint_decode(b32), vals.astype(np.uint64)
+        )
+
+    def test_delta_encode_32bit_roundtrip(self):
+        rng = np.random.default_rng(10)
+        segs = [np.sort(rng.integers(0, 1 << 30, n)) for n in (5, 1, 40, 3)]
+        ids64 = np.concatenate(segs).astype(np.int64)
+        ids32 = ids64.astype(np.int32)
+        starts = np.cumsum([0] + [len(s) for s in segs[:-1]])
+        d64 = codec.segmented_delta_encode(ids64, starts)
+        d32 = codec.segmented_delta_encode(ids32, starts)
+        assert d32.dtype == np.uint32
+        assert np.array_equal(d32.astype(np.uint64), d64)
+        assert codec.varint_encode(d32) == codec.varint_encode(d64)
+        back = codec.segmented_delta_decode(
+            codec.varint_decode(codec.varint_encode(d32)), starts
+        )
+        assert np.array_equal(back, ids64)
