@@ -228,6 +228,48 @@ def _hardware_ceiling() -> dict:
     }
 
 
+def _stream_ceiling() -> dict:
+    """Memory-bandwidth calibration: N identical processes each running
+    a STREAM-triad-style numpy loop over a cache-defeating array. The
+    pure-CPU (hash-loop) probe measures compute throttling only; this
+    one measures how much of the box's single memory bus 32 workers can
+    share. The SPIMI invert/merge stages are bandwidth-heavy (measured
+    ~6x per-task inflation at 32 workers vs solo with per-posting CPU
+    unchanged), and on a real N- vs 4N-NODE cluster every node brings
+    its own memory bus, so per-node bandwidth scales with the fleet.
+    Reported alongside the CPU ceilings, never silently substituted."""
+    code = (
+        "import numpy as np, time\n"
+        "a = np.arange(12_000_000, dtype=np.float64)\n"
+        "b = a.copy(); c = np.empty_like(a)\n"
+        "t0 = time.time()\n"
+        "for i in range(8):\n"
+        "    np.add(a, b, out=c)\n"
+        "    np.add(c, a, out=b)\n"
+        "print(time.time() - t0)\n"
+    )
+
+    def run_n(n: int) -> float:
+        t0 = time.time()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        for p in procs:
+            p.communicate()
+        return time.time() - t0
+
+    samples = []
+    for _ in range(3):
+        w8, w32 = run_n(8), run_n(32)
+        samples.append(((32 / w32) / (8 / w8)) / 4)
+    samples.sort()
+    return {
+        "ceiling_efficiency": round(samples[1], 3),  # median of 3
+        "ceiling_samples": [round(s, 3) for s in samples],
+    }
+
+
 def _ray_task_ceiling(n_tasks: int = 96) -> dict:
     """Ray-task calibration: ``n_tasks`` identical pure-CPU tasks in
     fresh ``ray.init(num_cpus=8)`` vs ``(num_cpus=32)`` sessions — the
@@ -331,6 +373,7 @@ def run_scaling() -> dict:
         )
     hw = _hardware_ceiling()
     hw_ray = _ray_task_ceiling()
+    hw_stream = _stream_ceiling()
     eff = _median([r["efficiency"] for r in reps])
     tput8 = _median([r["docs_per_s_8"] for r in reps])
     tput32 = _median([r["docs_per_s_32"] for r in reps])
@@ -350,9 +393,13 @@ def run_scaling() -> dict:
         "reps": reps,
         "hardware_ceiling": hw,
         "hardware_ceiling_ray_tasks": hw_ray,
+        "hardware_ceiling_stream": hw_stream,
         "efficiency_normalized": round(min(1.0, eff / hw["ceiling_efficiency"]), 3),
         "efficiency_normalized_ray": round(
             min(1.0, eff / hw_ray["ceiling_efficiency"]), 3
+        ),
+        "efficiency_normalized_stream": round(
+            min(1.0, eff / hw_stream["ceiling_efficiency"]), 3
         ),
         "result_identity": len(hashes) == 1,
         "result_hash": reps[-1]["hash_32"],
