@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -36,7 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # RAY_GRAFT_CPUS bounds the session like bench.py — a small
+        # filter job on a loaded box should not spawn a full worker
+        # pool just to start up
+        ncpu = os.environ.get("RAY_GRAFT_CPUS")
+        ray.init(
+            address="local", include_dashboard=False, logging_level="ERROR",
+            num_cpus=int(ncpu) if ncpu else None,
+        )
     import logging
 
     import ray.data as rd

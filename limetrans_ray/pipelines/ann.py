@@ -55,6 +55,8 @@ def brute_force_topk(
     ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64)))
 
     def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # Ray may emit empty blocks under splits
+            return _typed_rows_frame([], id_col)
         q, qids = ray.get(ref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         v = _normalize(np.stack(batch[vec_col].to_numpy()))
@@ -128,6 +130,8 @@ def lsh_topk(
     ref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), planes, allow))
 
     def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _typed_rows_frame([], id_col)
         q, qids, pl, allow_tbl = ray.get(ref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         v = _normalize(np.stack(batch[vec_col].to_numpy()))
@@ -194,9 +198,12 @@ def build_lsh_index(
     planes_ref = ray.put(planes)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, vec_col]].copy()
+        if len(batch) == 0:
+            batch["bucket"] = np.array([], dtype=np.int64)
+            return batch
         pl = ray.get(planes_ref)
         v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        batch = batch[[id_col, vec_col]].copy()
         batch["bucket"] = _sig_ints(v @ pl > 0).astype(np.int64)
         return batch
 
@@ -270,6 +277,8 @@ def _scan_pruned_topk(
     qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, assign_state))
 
     def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _typed_rows_frame([], id_col)
         q, qids, allow_tbl, state = ray.get(qref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         v = _normalize(np.stack(batch[vec_col].to_numpy()))
@@ -390,9 +399,12 @@ def build_ivf_index(
     cref = ray.put(cent)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[id_col, vec_col]].copy()
+        if len(batch) == 0:
+            batch["list_id"] = np.array([], dtype=np.int64)
+            return batch
         c = ray.get(cref)
         v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        batch = batch[[id_col, vec_col]].copy()
         batch["list_id"] = (v @ c.T).argmax(axis=1).astype(np.int64)
         return batch
 

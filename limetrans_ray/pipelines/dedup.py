@@ -383,6 +383,14 @@ def embedding_near_dups_lsh(
     pref = ray.put(planes)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # Ray may emit empty blocks under splits
+            return pd.DataFrame(
+                {
+                    "band_id": np.array([], dtype=np.int64),
+                    "band_val": np.array([], dtype=np.int64),
+                    id_col: np.array([], dtype=np.int64),
+                }
+            )
         pl = ray.get(pref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         bits = _normalize(np.stack(batch[vec_col].to_numpy())) @ pl > 0
@@ -454,6 +462,14 @@ def embedding_near_dups(
     ref = ray.put((ids_all, mat))
 
     def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], dtype=np.int64),
+                    "b_id": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
+            )
         ids_a, m = ray.get(ref)
         ids = batch[id_col].to_numpy().astype(np.int64)
         v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)

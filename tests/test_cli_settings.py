@@ -71,9 +71,12 @@ class TestFilterCli:
         return str(d / "docs.parquet")
 
     def _run(self, doc_parquet, *args):
+        import os
+
         proc = subprocess.run(
             [sys.executable, "-m", "limetrans_ray.filter_cli", doc_parquet, *args],
-            capture_output=True, text=True, timeout=240,
+            capture_output=True, text=True, timeout=480,
+            env={**os.environ, "RAY_GRAFT_CPUS": "4"},
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         return [json.loads(line) for line in proc.stdout.splitlines() if line.strip()]
