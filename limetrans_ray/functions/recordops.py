@@ -45,6 +45,27 @@ Supported ops (name, kwargs):
   ``retain(...)`` of alma.fix:1173-1296)
 - ``("reject_if", {"field": f, "pattern": p})`` — drop WHOLE records
   where any value of f matches (Metafix ``reject`` inside an ``if``)
+- ``("add_array", {"field": f, "values": [..], "subfield": s?})`` — per
+  record, one new row per value; the flat-row model has no empty
+  containers, so ``add_array("x[]")`` with no values is a no-op until
+  something appends (matches the reference idiom alma.fix:57-68 where
+  ``add_array`` + ``do ... add_hash($append)`` build the array)
+- ``("add_hash", {"field": f, "entries": {sub: val, ..}})`` — per
+  record, one new row per (subfield, value) pair; repeated add_hash on
+  the same field yields successive occurrence numbers per subfield —
+  element *i* of the reference's ``field[].$append`` hash array is the
+  occurrence-*i* row set here
+- ``("vacuum", {})`` — drop rows whose value is null/empty (Metafix
+  ``vacuum``: prune empty leaves)
+- ``("parse_text", {"field": f, "pattern": p})`` — regex with NAMED
+  groups (alma.fix:1090): each matching row of f is replaced by one
+  row per named group (field = group name); non-matching rows are kept
+  unchanged
+- ``("do_list", {"field": f, "ops": [..]})`` — Metafix
+  ``do list(path, var)``: run a sub-program scoped to the rows of f
+  only (all occurrences — the flat-row analogue of per-element
+  iteration; sub-ops reference field f directly where the reference
+  references the loop variable), other fields untouched
 
 Occurrences are renumbered per (record_id, field, subfield) after the
 program runs, in stable row order.
@@ -63,6 +84,7 @@ from .multiline import ROW_SCHEMA
 _KNOWN = {
     "copy_field", "move_field", "add_field", "remove_field", "replace_all",
     "lookup", "paste", "uniq", "retain", "reject_if",
+    "add_array", "add_hash", "vacuum", "parse_text", "do_list",
 }
 
 
@@ -179,6 +201,83 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 & df["value"].str.contains(kw["pattern"], regex=True, na=False)
             ]["record_id"].unique()
             df = df[~df["record_id"].isin(set(hit))]
+        elif name == "add_array":
+            vals = list(kw.get("values", []))
+            if vals:  # no empty containers in the flat-row model
+                recs = df["record_id"].drop_duplicates()
+                df = pd.concat(
+                    [
+                        df,
+                        pd.DataFrame(
+                            {
+                                "record_id": np.repeat(
+                                    recs.to_numpy(), len(vals)
+                                ),
+                                "field": kw["field"],
+                                "subfield": kw.get("subfield"),
+                                "occurrence": 0,
+                                "value": vals * len(recs),
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+        elif name == "add_hash":
+            entries = dict(kw["entries"])
+            if entries:
+                recs = df["record_id"].drop_duplicates()
+                subs, vals = zip(*entries.items())
+                df = pd.concat(
+                    [
+                        df,
+                        pd.DataFrame(
+                            {
+                                "record_id": np.repeat(
+                                    recs.to_numpy(), len(subs)
+                                ),
+                                "field": kw["field"],
+                                "subfield": list(subs) * len(recs),
+                                "occurrence": 0,
+                                "value": list(vals) * len(recs),
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+        elif name == "vacuum":
+            df = df[df["value"].notna() & (df["value"] != "")]
+        elif name == "parse_text":
+            sel = df["field"] == kw["field"]
+            groups = df.loc[sel, "value"].str.extract(kw["pattern"])
+            # only NAMED groups become fields (unnamed ones are grouping
+            # aids and surface as integer columns from str.extract)
+            groups = groups[[c for c in groups.columns if isinstance(c, str)]]
+            # a row matched if any named group captured (optional groups
+            # may legitimately be empty on a match)
+            matched = groups.notna().any(axis=1)
+            new_frames = []
+            for gname in groups.columns:
+                hit = groups.loc[matched, gname].dropna()
+                if len(hit):
+                    new_frames.append(
+                        pd.DataFrame(
+                            {
+                                "record_id": df.loc[hit.index, "record_id"].to_numpy(),
+                                "field": gname,
+                                "subfield": None,
+                                "occurrence": 0,
+                                "value": hit.to_numpy(),
+                            }
+                        )
+                    )
+            # matched source rows are consumed; unmatched rows survive
+            drop = sel.copy()
+            drop.loc[sel] = matched
+            df = pd.concat([df[~drop], *new_frames], ignore_index=True)
+        elif name == "do_list":
+            sel = df["field"] == kw["field"]
+            sub = apply_ops(df[sel].copy(), list(kw["ops"]))
+            df = pd.concat([df[~sel], sub], ignore_index=True)
         df = df.reset_index(drop=True)
     # renumber occurrences per (record, field, subfield), stable order
     df = df.reset_index(drop=True)
@@ -196,12 +295,24 @@ class RecordOps:
     of SURVEY.md §2.5) applied to flat-row record batches."""
 
     def __init__(self, ops: list[tuple[str, dict]]):
+        self._validate(ops)
+        self.ops = list(ops)
+
+    @classmethod
+    def _validate(cls, ops) -> None:
         for name, kw in ops:
             if name not in _KNOWN:
                 raise ValueError(f"unknown record op {name!r}")
             if name in ("replace_all", "reject_if"):
                 re.compile(kw["pattern"])  # fail fast at build time
-        self.ops = list(ops)
+            elif name == "parse_text":
+                if not re.compile(kw["pattern"]).groupindex:
+                    raise ValueError(
+                        "parse_text pattern needs named groups "
+                        "(?P<field>...) — group names become fields"
+                    )
+            elif name == "do_list":
+                cls._validate(kw["ops"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = apply_ops(batch.to_pandas(), self.ops)

@@ -151,3 +151,92 @@ def test_ray_composition_with_marcxml(ray_session):
     assert m[("(DE-605)X1", "001", None, 0)] == "X1"
     assert m[("(DE-605)X1", "title", "a", 0)] == "Ein Titel"
     assert set(out["field"]) == {"001", "title"}
+
+
+def test_add_array_and_add_hash():
+    # the alma.fix:57-68 idiom: add_array creates the container (a no-op
+    # in the flat-row model until values exist), repeated add_hash
+    # appends hash elements distinguished by occurrence number
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("add_array", {"field": "keywords", "values": ["wood", "atlas"]}),
+            ("add_array", {"field": "empty", "values": []}),
+            ("add_hash", {"field": "freq", "entries": {"interval": "weekly", "since": "1990"}}),
+            ("add_hash", {"field": "freq", "entries": {"interval": "monthly", "since": "2001"}}),
+        ],
+    )
+    m = _as_map(out)
+    assert m[("r1", "keywords", None, 0)] == "wood"
+    assert m[("r1", "keywords", None, 1)] == "atlas"
+    assert m[("r2", "keywords", None, 0)] == "wood"
+    assert "empty" not in set(out["field"])
+    # element 0 and element 1 of the hash array, per record
+    assert m[("r1", "freq", "interval", 0)] == "weekly"
+    assert m[("r1", "freq", "since", 0)] == "1990"
+    assert m[("r1", "freq", "interval", 1)] == "monthly"
+    assert m[("r2", "freq", "since", 1)] == "2001"
+
+
+def test_vacuum_drops_empty_values():
+    base = pd.concat(
+        [BASE, _rows(("r1", "999", None, 0, ""), ("r2", "999", None, 0, None))],
+        ignore_index=True,
+    )
+    out = apply_ops(base, [("vacuum", {})])
+    assert "999" not in set(out["field"])
+    assert len(out) == len(BASE)
+
+
+def test_parse_text_named_groups():
+    # the alma.fix:1090 linkage idiom: named groups become fields,
+    # matched source rows are consumed, optional groups may be absent
+    base = _rows(
+        ("r1", "@linkage", None, 0, "100-01/r"),
+        ("r2", "@linkage", None, 0, "245-02"),
+        ("r3", "@linkage", None, 0, "not a linkage"),
+    )
+    out = apply_ops(
+        base,
+        [("parse_text", {
+            "field": "@linkage",
+            "pattern": r"^(?P<tag>\d{3})-(?P<occ>\d{2})(?:/(?P<script>.*))?$",
+        })],
+    )
+    m = _as_map(out)
+    assert m[("r1", "tag", None, 0)] == "100"
+    assert m[("r1", "occ", None, 0)] == "01"
+    assert m[("r1", "script", None, 0)] == "r"
+    assert m[("r2", "tag", None, 0)] == "245"
+    assert ("r2", "script", None, 0) not in m  # optional group absent
+    # matched rows consumed; the unmatched record keeps its source row
+    assert ("r1", "@linkage", None, 0) not in m
+    assert m[("r3", "@linkage", None, 0)] == "not a linkage"
+
+
+def test_parse_text_requires_named_groups():
+    with pytest.raises(ValueError, match="named groups"):
+        RecordOps([("parse_text", {"field": "x", "pattern": r"(\d+)"})])
+
+
+def test_do_list_scopes_sub_program():
+    # do list(path): sub-ops touch only the iterated field's rows
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("do_list", {
+                "field": "700",
+                "ops": [
+                    ("uniq", {"field": "700"}),
+                    ("replace_all", {"field": "700", "pattern": ", ", "replacement": "|"}),
+                ],
+            }),
+        ],
+    )
+    m = _as_map(out)
+    assert m[("r1", "700", "a", 0)] == "Person|One"
+    assert ("r1", "700", "a", 1) not in m  # uniq ran inside the scope
+    assert m[("r1", "245", "a", 0)] == "Der Holzbau-Atlas"  # untouched
+    # sub-program validation happens at compile time too
+    with pytest.raises(ValueError, match="unknown record op"):
+        RecordOps([("do_list", {"field": "x", "ops": [("bogus", {})]})])
