@@ -269,6 +269,64 @@ def _fingerprint_docs(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+_LANG_NAMES = {"de": "German", "en": "English", "es": "Spanish"}
+
+
+def _recordops_pipeline(sf_dir: str):
+    """Decode→transform conformance through the driver's hard signal:
+    each documents row becomes a JSONL record, the JSON decoder
+    explodes it onto the flat-row model, a fix program (lookup with
+    default, copy_field, retain) transforms it, and the grouped
+    (field, value) counts must equal the oracle's direct CASE/GROUP BY
+    over the base table — the reference's TransformationTestCase
+    discipline (event-stream in → expected record out) as a driver
+    row/hash check. The JSONL round trip is the point here (this IS
+    the decoder's conformance harness), not the hot-path shape."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from limetrans_ray.functions.jsonrec import decode_batch
+    from limetrans_ray.functions.recordops import RecordOps
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_jsonl(batch: pa.Table) -> pa.Table:
+        blob = "\n".join(
+            json.dumps({"id": i, "lang": l, "source": s})
+            for i, l, s in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("lang").to_pylist(),
+                batch.column("source").to_pylist(),
+            )
+        )
+        return pa.table({"json": pa.array([blob], pa.string())})
+
+    ops = RecordOps(
+        [
+            ("lookup", {"field": "lang", "table": dict(_LANG_NAMES), "default": "Other"}),
+            ("copy_field", {"src": "source", "dst": "collection"}),
+            ("retain", {"fields": ["lang", "collection"]}),
+        ]
+    )
+    rows = (
+        ds.map_batches(to_jsonl, batch_format="pyarrow")
+        .map_batches(
+            lambda b: decode_batch(b, lines=True), batch_format="pyarrow"
+        )
+        .map_batches(ops, batch_format="pyarrow")
+    )
+    return (
+        rows.groupby(["field", "value"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["field", "value", "n"])
+    )
+
+
 FIELDED_QUERY_SET = [
     "body:spark",
     "spark lang:en",
@@ -373,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
         "fingerprint_docs": _fingerprint_docs,
+        "recordops_pipeline": _recordops_pipeline,
     }
 
 
@@ -664,6 +723,18 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": f"""
             SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
             FROM documents
+        """,
+        # decode→fix-program conformance: CASE mirrors the lookup table
+        # (generated from _LANG_NAMES — single source of truth), the
+        # copy_field+retain mirror is the collection branch
+        "recordops_pipeline": f"""
+            SELECT field, value, count(*) AS n FROM (
+              SELECT 'lang' AS field,
+                     CASE lang {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_LANG_NAMES.items()))} ELSE 'Other' END AS value
+              FROM documents
+              UNION ALL
+              SELECT 'collection' AS field, source AS value FROM documents
+            ) GROUP BY field, value
         """,
         "standard_numbers": """
             WITH b AS (
