@@ -86,25 +86,29 @@ def _scalar(v) -> str | None:
 
 
 def _flatten(obj: dict, emit) -> None:
-    """Walk one record object; emit(field, subfield, value) per leaf."""
+    """Walk one record object; emit(field, subfield, value, elem) per
+    leaf. ``elem`` is the enclosing array-of-objects element index (or
+    None): it pins "element i = occurrence-i row set" even when the
+    objects have heterogeneous keys (a per-(field, subfield) counter
+    alone would mis-group them)."""
 
-    def walk(path: list[str], value) -> None:
+    def walk(path: list[str], value, elem: int | None) -> None:
         if isinstance(value, dict):
             for k, v in value.items():
-                walk(path + [str(k)], v)
+                walk(path + [str(k)], v, elem)
         elif isinstance(value, list):
-            for item in value:  # arrayName "": repeat the path
-                walk(path, item)
+            for i, item in enumerate(value):  # arrayName "": repeat path
+                walk(path, item, i if isinstance(item, dict) else elem)
         else:
             s = _scalar(value)
             if s is None:
                 return
             if len(path) == 1:
-                emit(path[0], None, s)
+                emit(path[0], None, s, elem)
             else:
-                emit(".".join(path[:-1]), path[-1], s)
+                emit(".".join(path[:-1]), path[-1], s, elem)
 
-    walk([], obj)
+    walk([], obj, None)
 
 
 def decode_json_records(
@@ -126,10 +130,14 @@ def decode_json_records(
             record_id = str(rec[id_field])
         occ: dict[tuple[str, str | None], int] = {}
 
-        def emit(field: str, sub: str | None, value: str) -> None:
+        def emit(field: str, sub: str | None, value: str, elem) -> None:
             key = (field, sub)
-            n = occ.get(key, 0)
-            occ[key] = n + 1
+            if elem is not None:  # array-of-objects: element index wins
+                n = int(elem)
+                occ[key] = max(occ.get(key, 0), n + 1)
+            else:
+                n = occ.get(key, 0)
+                occ[key] = n + 1
             rows.append(
                 {
                     "record_id": record_id,
@@ -157,27 +165,24 @@ def decode_batch(
     otherwise a blob is one JSON document. Fallback record ids are
     namespaced by a content hash of the blob, so id-less records from
     different blobs never collide (the MARC-XML decoder contract)."""
-    import hashlib
+    from .multiline import decode_blob_column
 
-    out: list[dict] = []
-    for blob in batch.column(blob_col).to_pylist():
-        if isinstance(blob, bytes):
-            blob = blob.decode("utf-8", "replace")
-        if not blob or not blob.strip():
-            continue
-        prefix = "record-" + hashlib.blake2b(
-            blob.encode(), digest_size=6
-        ).hexdigest()
-        if lines:
-            for li, line in enumerate(blob.splitlines()):
-                if line.strip():
-                    out.extend(
-                        decode_json_records(
-                            line, id_prefix=f"{prefix}-{li}", id_field=id_field
-                        )
-                    )
-        else:
-            out.extend(
-                decode_json_records(blob, id_prefix=prefix, id_field=id_field)
+    def parse(blob: str, *, id_prefix: str) -> list[dict]:
+        if not lines:
+            return decode_json_records(
+                blob, id_prefix=id_prefix, id_field=id_field
             )
-    return pa.Table.from_pylist(out, schema=ROW_SCHEMA)
+        rows: list[dict] = []
+        for li, line in enumerate(blob.splitlines()):
+            # strip comments BEFORE the emptiness check: a line that is
+            # only a comment is legal input (allowComments) and must be
+            # skipped, not parsed as empty JSON
+            if strip_json_comments(line).strip():
+                rows.extend(
+                    decode_json_records(
+                        line, id_prefix=f"{id_prefix}-{li}", id_field=id_field
+                    )
+                )
+        return rows
+
+    return decode_blob_column(batch, blob_col, parse)

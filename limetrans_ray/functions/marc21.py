@@ -78,9 +78,13 @@ def parse_marc21(text: str, *, id_prefix: str = "record") -> list[dict]:
     flat rows. ``id_prefix`` namespaces fallback ids of records without
     a 001 field, like the other decoders."""
     rows: list[dict] = []
-    chunks = [
-        c.strip("\n\r") for c in text.replace(RT, RT + "\n").split("\n")
-    ]
+    # RT-terminated stream → split on RT (field values may legally
+    # contain newlines); a blob with no RT at all is the reference's
+    # LineReader mode — one record per line
+    if RT in text:
+        chunks = [c.strip("\n\r") for c in text.split(RT)]
+    else:
+        chunks = text.splitlines()
     ri = 0
     for chunk in chunks:
         rec = chunk.rstrip(RT)
@@ -91,27 +95,34 @@ def parse_marc21(text: str, *, id_prefix: str = "record") -> list[dict]:
         bodies: list[str] = []
         dir_end = body.find(FT)
         directory = body[:dir_end] if dir_end >= 0 else ""
-        ok = len(directory) % 12 == 0 and directory[:3].isdigit() if directory else False
-        if ok:
+        parsed = False
+        if directory and len(directory) % 12 == 0:
+            # the directory is all digits by spec; entries that fail to
+            # parse mean this segment is NOT a directory → fall back
             try:
                 base = int(leader[12:17])
             except ValueError:
                 base = 24 + dir_end + 1
             data = rec[base:] if base > 24 else body[dir_end + 1 :]
-            for k in range(0, len(directory), 12):
-                tag = directory[k : k + 3]
-                flen = int(directory[k + 3 : k + 7])
-                start = int(directory[k + 7 : k + 12])
-                val = data[start : start + flen].rstrip(FT)
-                tags.append(tag)
-                bodies.append(val)
-        else:
+            try:
+                for k in range(0, len(directory), 12):
+                    tag = directory[k : k + 3]
+                    flen = int(directory[k + 3 : k + 7])
+                    start = int(directory[k + 7 : k + 12])
+                    tags.append(tag)
+                    bodies.append(data[start : start + flen].rstrip(FT))
+                parsed = True
+            except ValueError:
+                tags, bodies = [], []
+        if not parsed:
             # malformed/absent directory: walk FT-separated fields that
             # self-identify with a leading 3-char tag
             for f in body.split(FT):
                 if len(f) >= 3 and f[:3].isdigit():
                     tags.append(f[:3])
                     bodies.append(f[3:])
+        if not tags and FT not in rec:
+            continue  # junk line, not a record — don't emit a phantom
         rid = _emit_fields(tags, bodies, f"{id_prefix}-{ri}", rows)
         if leader.strip():
             # leader row carries the record's own id: patch the staged
@@ -133,15 +144,6 @@ def decode_batch(batch: pa.Table, blob_col: str = "marc") -> pa.Table:
     """map_batches body: explode a column of MARC21 blobs (string or
     binary; one or many records each) into the shared flat row schema,
     content-hash-namespaced fallback ids (the MARC-XML contract)."""
-    import hashlib
+    from .multiline import decode_blob_column
 
-    out: list[dict] = []
-    for blob in batch.column(blob_col).to_pylist():
-        if isinstance(blob, bytes):
-            blob = blob.decode("utf-8", "replace")
-        if blob and blob.strip():
-            prefix = "record-" + hashlib.blake2b(
-                blob.encode(), digest_size=6
-            ).hexdigest()
-            out.extend(parse_marc21(blob, id_prefix=prefix))
-    return pa.Table.from_pylist(out, schema=ROW_SCHEMA)
+    return decode_blob_column(batch, blob_col, parse_marc21)

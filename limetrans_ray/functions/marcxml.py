@@ -106,15 +106,6 @@ def decode_batch(batch: pa.Table, blob_col: str = "xml") -> pa.Table:
     binary) into the shared flat row schema. Fallback record ids are
     namespaced by a content hash of the blob, so id-less records from
     different blobs (in this or any other batch) never collide."""
-    import hashlib
+    from .multiline import decode_blob_column
 
-    out: list[dict] = []
-    for blob in batch.column(blob_col).to_pylist():
-        if isinstance(blob, bytes):
-            blob = blob.decode("utf-8", "replace")
-        if blob:
-            prefix = "record-" + hashlib.blake2b(
-                blob.encode(), digest_size=6
-            ).hexdigest()
-            out.extend(parse_marcxml(blob, id_prefix=prefix))
-    return pa.Table.from_pylist(out, schema=ROW_SCHEMA)
+    return decode_blob_column(batch, blob_col, parse_marcxml)

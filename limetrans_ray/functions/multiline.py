@@ -85,3 +85,24 @@ def decode_batch(batch: pa.Table, blob_col: str = "blob", **kwargs) -> pa.Table:
             blob = blob.decode("utf-8", "replace")
         out.extend(parse_multiline(blob or "", **kwargs))
     return pa.Table.from_pylist(out, schema=ROW_SCHEMA)
+
+
+def decode_blob_column(batch: pa.Table, blob_col: str, parse_fn) -> pa.Table:
+    """Shared decode_batch body for the per-blob record decoders
+    (MARC-XML, MARC21, JSON): explode a string/binary blob column into
+    flat rows via ``parse_fn(text, id_prefix=...)``, namespacing
+    fallback record ids by a content hash of each blob so id-less
+    records from different blobs never collide."""
+    import hashlib
+
+    out: list[dict] = []
+    for blob in batch.column(blob_col).to_pylist():
+        if isinstance(blob, bytes):
+            blob = blob.decode("utf-8", "replace")
+        if not blob or not blob.strip():
+            continue
+        prefix = "record-" + hashlib.blake2b(
+            blob.encode(), digest_size=6
+        ).hexdigest()
+        out.extend(parse_fn(blob, id_prefix=prefix))
+    return pa.Table.from_pylist(out, schema=ROW_SCHEMA)

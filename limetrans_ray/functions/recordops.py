@@ -298,11 +298,25 @@ class RecordOps:
         self._validate(ops)
         self.ops = list(ops)
 
+    _REQUIRED = {
+        "copy_field": ("src", "dst"), "move_field": ("src", "dst"),
+        "add_field": ("field", "value"), "remove_field": ("field",),
+        "replace_all": ("field", "pattern", "replacement"),
+        "lookup": ("field", "table"), "paste": ("dst", "srcs"),
+        "uniq": ("field",), "retain": ("fields",),
+        "reject_if": ("field", "pattern"), "add_array": ("field",),
+        "add_hash": ("field", "entries"), "vacuum": (),
+        "parse_text": ("field", "pattern"), "do_list": ("field", "ops"),
+    }
+
     @classmethod
     def _validate(cls, ops) -> None:
         for name, kw in ops:
             if name not in _KNOWN:
                 raise ValueError(f"unknown record op {name!r}")
+            missing = [k for k in cls._REQUIRED[name] if k not in kw]
+            if missing:
+                raise ValueError(f"record op {name!r} missing {missing}")
             if name in ("replace_all", "reject_if"):
                 re.compile(kw["pattern"])  # fail fast at build time
             elif name == "parse_text":

@@ -36,6 +36,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _vec_matrix(col) -> np.ndarray:
+    """(n, dim) matrix from an Arrow vector column (list, large_list,
+    fixed-size list, or a tensor-extension array)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack(col.to_numpy(zero_copy_only=False))
+
+
+def _plain_vec_column(col, mat: np.ndarray):
+    """The vector column as a PLAIN Arrow list array for parquet.
+
+    Index partitions must never carry pandas/tensor-extension schema
+    metadata: a pandas batch whose cells are np.ndarrays round-trips
+    through Ray as a tensor extension whose embedded pandas metadata
+    ("numpy.ndarray(shape=..)") intermittently crashes the read-side
+    Arrow→pandas conversion. Plain list input passes through zero-copy;
+    anything else is rebuilt from the already-extracted matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return col
+    return pa.array(list(mat), type=pa.list_(pa.from_numpy_dtype(mat.dtype)))
+
+
 def brute_force_topk(
     ds: rd.Dataset,
     queries: np.ndarray,
@@ -197,18 +222,28 @@ def build_lsh_index(
     planes = rng.standard_normal((probe_dim, n_planes))
     planes_ref = ray.put(planes)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[id_col, vec_col]].copy()
-        if len(batch) == 0:
-            batch["bucket"] = np.array([], dtype=np.int64)
-            return batch
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
         pl = ray.get(planes_ref)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        batch["bucket"] = _sig_ints(v @ pl > 0).astype(np.int64)
-        return batch
+        m = _vec_matrix(batch.column(vec_col))
+        bucket = pa.array(_sig_ints(_normalize(m) @ pl > 0).astype(np.int64))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: _plain_vec_column(batch.column(vec_col), m),
+                "bucket": bucket,
+            }
+        )
 
     vec_dir = os.path.join(index_dir, "vectors")
-    ds.map_batches(assign, batch_format="pandas").write_parquet(
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         vec_dir, partition_cols=["bucket"]
     )
     os.makedirs(index_dir, exist_ok=True)
@@ -276,12 +311,14 @@ def _scan_pruned_topk(
     assign_fn, assign_state = assign_fn
     qref = ray.put((qn, np.asarray(query_ids, dtype=np.int64), allow, assign_state))
 
-    def batch_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
+    def batch_topk(batch: pa.Table) -> pd.DataFrame:
+        # pyarrow in (never Arrow→pandas: written partitions may carry
+        # foreign pandas metadata — see _plain_vec_column), pandas out
+        if batch.num_rows == 0:
             return _typed_rows_frame([], id_col)
         q, qids, allow_tbl, state = ray.get(qref)
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _normalize(_vec_matrix(batch.column(vec_col)))
         part = assign_fn(v, state)
         mask = allow_tbl[:, part]
         rows = []
@@ -297,7 +334,7 @@ def _scan_pruned_topk(
 
     scanned = rd.read_parquet(files)
     n_scanned = scanned.count()
-    cand = scanned.map_batches(batch_topk, batch_format="pandas").to_pandas()
+    cand = scanned.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     return cand, int(n_scanned)
 
 
@@ -398,18 +435,30 @@ def build_ivf_index(
     cent = _kmeans(train, n_lists, seed=seed)
     cref = ray.put(cent)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[id_col, vec_col]].copy()
-        if len(batch) == 0:
-            batch["list_id"] = np.array([], dtype=np.int64)
-            return batch
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "list_id": pa.array([], pa.int64()),
+                }
+            )
         c = ray.get(cref)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()))
-        batch["list_id"] = (v @ c.T).argmax(axis=1).astype(np.int64)
-        return batch
+        m = _vec_matrix(batch.column(vec_col))
+        list_id = pa.array(
+            (_normalize(m) @ c.T).argmax(axis=1).astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: _plain_vec_column(batch.column(vec_col), m),
+                "list_id": list_id,
+            }
+        )
 
     vec_dir = os.path.join(index_dir, "vectors")
-    ds.map_batches(assign, batch_format="pandas").write_parquet(
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         vec_dir, partition_cols=["list_id"]
     )
     os.makedirs(index_dir, exist_ok=True)

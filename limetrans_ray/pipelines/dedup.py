@@ -481,7 +481,13 @@ def embedding_near_dups(
             for j in hits:
                 if ids[i] < ids_a[j]:
                     rows.append((int(ids[i]), int(ids_a[j]), float(sims[i, j])))
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "cosine"])
+        out = pd.DataFrame(rows, columns=["a_id", "b_id", "cosine"])
+        if not rows:  # typed even when a non-empty batch has no hits —
+            # an all-object empty frame mixes dtypes across blocks
+            out = out.astype(
+                {"a_id": np.int64, "b_id": np.int64, "cosine": np.float64}
+            )
+        return out
 
     pairs = ds.map_batches(batch_pairs, batch_format="pandas").to_pandas()
     if len(pairs) == 0:

@@ -239,3 +239,24 @@ def test_ivf_topk_recall_and_pruning(ray_session, emb_ds, tmp_path):
         a = set(out[out["query_id"] == qi]["vec_id"])
         hits += len(e & a)
     assert hits / 25 >= 0.8
+
+
+def test_lsh_index_files_carry_no_pandas_metadata(ray_session, emb_ds, tmp_path):
+    """Index partition files must be PLAIN Arrow: pandas/tensor-extension
+    schema metadata written by a pandas assign stage intermittently
+    crashed the read-side Arrow->pandas conversion (ValueError: format
+    number 1 of "numpy.ndarray(...)" is not recognized)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from limetrans_ray.pipelines.ann import build_lsh_index
+
+    ds, _ = emb_ds
+    idx_dir = str(tmp_path / "lsh_meta")
+    build_lsh_index(ds, idx_dir, n_planes=6, seed=7)
+    files = glob.glob(f"{idx_dir}/vectors/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        meta = pq.read_schema(f).metadata or {}
+        assert b"pandas" not in meta, f

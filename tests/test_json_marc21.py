@@ -166,3 +166,53 @@ class TestMarc21Decoder:
         out = ds.map_batches(decode_marc_batch, batch_format="pyarrow").to_pandas()
         assert set(out["record_id"]) == {"HT001"}
         assert (out["field"] == "24510").sum() == 4  # a+b per blob
+
+
+class TestDecoderRobustness:
+    def test_marc21_false_directory_falls_back(self):
+        # a 12-char first segment that is NOT a directory (e.g. a 001
+        # control field with a 9-char id) must fall back to the
+        # terminator-split walk, not crash on int('HT00')
+        body = f"001HT0090012{FT}24510{SF}aT{FT}{RT}"
+        rec = " " * 24 + body
+        rows = parse_marc21(rec)
+        m = _as_map(rows)
+        assert m[("HT0090012", "001", None, 0)] == "HT0090012"
+        assert m[("HT0090012", "24510", "a", 0)] == "T"
+
+    def test_marc21_junk_line_no_phantom_record(self):
+        rec = _build_iso2709([("001", "HT1"), ("245", f"10{SF}aT")])
+        rows = parse_marc21(rec + "END OF FILE\n")
+        assert {r["record_id"] for r in rows} == {"HT1"}
+
+    def test_marc21_newline_inside_value(self):
+        # RT-terminated stream: a field value containing a newline must
+        # not split the record
+        rec = _build_iso2709(
+            [("001", "HT2"), ("500", f"  {SF}aline1\nline2")]
+        )
+        m = _as_map(parse_marc21(rec))
+        assert m[("HT2", "500  ", "a", 0)] == "line1\nline2"
+        assert len({r[0] for r in m}) == 1
+
+    def test_jsonl_comment_only_line(self):
+        blob = '// header comment\n{"t": "a"}\n  /* block */\n{"t": "b"}'
+        tbl = pa.table({"json": pa.array([blob], pa.string())})
+        out = decode_json_batch(tbl, lines=True).to_pylist()
+        assert sorted(r["value"] for r in out) == ["a", "b"]
+
+    def test_json_heterogeneous_object_array_occurrences(self):
+        # element i = occurrence-i row set even with differing keys
+        blob = json.dumps({"freq": [{"a": "1"}, {"b": "2"}, {"a": "3"}]})
+        m = _as_map(decode_json_records(blob, id_prefix="r"))
+        assert m[("r-0", "freq", "a", 0)] == "1"
+        assert m[("r-0", "freq", "b", 1)] == "2"
+        assert m[("r-0", "freq", "a", 2)] == "3"
+
+    def test_recordops_required_keys_fail_fast(self):
+        from limetrans_ray.functions.recordops import RecordOps
+
+        with pytest.raises(ValueError, match="missing"):
+            RecordOps([("add_hash", {"field": "f"})])
+        with pytest.raises(ValueError, match="missing"):
+            RecordOps([("lookup", {"field": "f"})])
