@@ -66,6 +66,15 @@ Supported ops (name, kwargs):
   only (all occurrences — the flat-row analogue of per-element
   iteration; sub-ops reference field f directly where the reference
   references the loop variable), other fields untouched
+- ``("prepend", {"field": f, "value": v})`` / ``("append", ...)`` —
+  prefix/suffix every value of f (Metafix prepend/append)
+- ``("substring", {"field": f, "start": i, "length": n?})`` — slice
+  values of f (0-based start, to end when length omitted)
+- ``("trim", {"field": f})``, ``("upcase", {"field": f})``,
+  ``("downcase", {"field": f})`` — whitespace strip / case fold
+
+(Metafix ``flatten`` is inherent here: the flat-row model has no
+nesting to flatten.)
 
 Occurrences are renumbered per (record_id, field, subfield) after the
 program runs, in stable row order.
@@ -85,6 +94,7 @@ _KNOWN = {
     "copy_field", "move_field", "add_field", "remove_field", "replace_all",
     "lookup", "paste", "uniq", "retain", "reject_if",
     "add_array", "add_hash", "vacuum", "parse_text", "do_list",
+    "prepend", "append", "substring", "trim", "upcase", "downcase",
 }
 
 
@@ -278,6 +288,26 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             sel = df["field"] == kw["field"]
             sub = apply_ops(df[sel].copy(), list(kw["ops"]))
             df = pd.concat([df[~sel], sub], ignore_index=True)
+        elif name == "prepend":
+            sel = df["field"] == kw["field"]
+            df.loc[sel, "value"] = kw["value"] + df.loc[sel, "value"]
+        elif name == "append":
+            sel = df["field"] == kw["field"]
+            df.loc[sel, "value"] = df.loc[sel, "value"] + kw["value"]
+        elif name == "substring":
+            sel = df["field"] == kw["field"]
+            start = int(kw["start"])
+            stop = start + int(kw["length"]) if "length" in kw else None
+            df.loc[sel, "value"] = df.loc[sel, "value"].str.slice(start, stop)
+        elif name == "trim":
+            sel = df["field"] == kw["field"]
+            df.loc[sel, "value"] = df.loc[sel, "value"].str.strip()
+        elif name == "upcase":
+            sel = df["field"] == kw["field"]
+            df.loc[sel, "value"] = df.loc[sel, "value"].str.upper()
+        elif name == "downcase":
+            sel = df["field"] == kw["field"]
+            df.loc[sel, "value"] = df.loc[sel, "value"].str.lower()
         df = df.reset_index(drop=True)
     # renumber occurrences per (record, field, subfield), stable order
     df = df.reset_index(drop=True)
@@ -307,6 +337,9 @@ class RecordOps:
         "reject_if": ("field", "pattern"), "add_array": ("field",),
         "add_hash": ("field", "entries"), "vacuum": (),
         "parse_text": ("field", "pattern"), "do_list": ("field", "ops"),
+        "prepend": ("field", "value"), "append": ("field", "value"),
+        "substring": ("field", "start"), "trim": ("field",),
+        "upcase": ("field",), "downcase": ("field",),
     }
 
     @classmethod

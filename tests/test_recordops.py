@@ -240,3 +240,28 @@ def test_do_list_scopes_sub_program():
     # sub-program validation happens at compile time too
     with pytest.raises(ValueError, match="unknown record op"):
         RecordOps([("do_list", {"field": "x", "ops": [("bogus", {})]})])
+
+
+def test_scalar_ops():
+    out = apply_ops(
+        BASE.copy(),
+        [
+            ("prepend", {"field": "001", "value": "id:"}),
+            ("append", {"field": "041", "value": "-lang"}),
+            ("substring", {"field": "245", "start": 4, "length": 7}),
+            ("upcase", {"field": "700"}),
+        ],
+    )
+    m = _as_map(out)
+    assert m[("r1", "001", None, 0)] == "id:(DE-605)HT001"
+    assert m[("r1", "041", None, 0)] == "ger-lang"
+    assert m[("r1", "245", "a", 0)] == "Holzbau"
+    assert m[("r1", "700", "a", 0)] == "PERSON, ONE"
+    t = apply_ops(
+        _rows(("r1", "x", None, 0, "  pad  "), ("r1", "y", None, 0, "AbC")),
+        [("trim", {"field": "x"}), ("downcase", {"field": "y"}),
+         ("substring", {"field": "y", "start": 1})],
+    )
+    m = _as_map(t)
+    assert m[("r1", "x", None, 0)] == "pad"
+    assert m[("r1", "y", None, 0)] == "bc"
