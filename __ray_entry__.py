@@ -140,6 +140,80 @@ def _bm25_phrase_topk(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
+def _bm25_phrase_simple_topk(sf_dir: str, k: int = 10):
+    """Phrase flagship with a DRIVER-VERIFIABLE oracle: the positional
+    index uses the ``simple`` profile, so phrase filtering (contiguous
+    token runs) AND the BM25 arithmetic both mirror exactly in DuckDB
+    (substring containment over the space-joined token stream). Shares
+    the cached simple index build with ``bm25_simple_topk``."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir) + "-simple"
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    build_index_from_documents(
+        ds, root, analyzer="simple",
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}-s",
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in BM25_PHRASE_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
+FIELDED_SIMPLE_FIELDS = [
+    ("body", "text", "text"),
+    ("lang", "lang", "keyword"),
+    ("source", "source", "keyword"),
+]
+FIELDED_SIMPLE_QUERY_SET = [
+    "body:spark",
+    "spark lang:en",
+    "source:src3",
+    "body:query lang:de",
+    'body:"query join"',
+    "body:join source:src12",
+]
+
+
+def _fielded_simple_search(sf_dir: str, k: int = 10):
+    """Field-scoped search with a DRIVER-VERIFIABLE oracle: the
+    multi-field index (text body + keyword lang/source) is built under
+    the ``simple`` profile, so qualified-term postings, keyword
+    normalization, phrase filtering and BM25 all mirror exactly in
+    DuckDB. The full-analyzer variant (``fielded_search``) keeps its
+    pytest rank-identity oracle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir) + "-fsimple"
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text", "lang", "source"])
+    build_index_from_documents(
+        ds, root, analyzer="simple", fields=FIELDED_SIMPLE_FIELDS,
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}-fs",
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in FIELDED_SIMPLE_QUERY_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return _bm25_topk("/root/testdata/sf0.001")
@@ -419,8 +493,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "standard_numbers": _standard_numbers,
         "dedup_exact": _dedup_exact,
         "ann_topk": _ann_topk,
-        # fulltext flagship: SQL-mirrored simple-profile round trip…
+        # fulltext flagship: SQL-mirrored simple-profile round trips
+        # (term, phrase and fielded search each driver-verified)…
         "bm25_simple_topk": _bm25_simple_topk,
+        "bm25_phrase_simple_topk": _bm25_phrase_simple_topk,
+        "fielded_simple_search": _fielded_simple_search,
         # …+ the full-analyzer / non-SQL-expressible variants (rows-only)
         "bm25_topk": _bm25_topk,
         "bm25_phrase_topk": _bm25_phrase_topk,
@@ -501,6 +578,182 @@ def _bm25_simple_sql() -> str:
     """
 
 
+def _simple_clause_rows(query_set, field_analyzers=None):
+    """Parse each query with the ENGINE's own parse_simple_query (single
+    source of truth) and flatten to oracle VALUES rows:
+    ``(query, field_or_None, term)`` for every distinct scored term and
+    ``(query, ' t1 t2 … ')`` (space-padded unqualified token run) per
+    phrase clause."""
+    from limetrans_ray.functions.analyzer import FIELD_SEP, parse_simple_query
+
+    def split(term):
+        return term.split(FIELD_SEP, 1) if FIELD_SEP in term else (None, term)
+
+    term_rows, phrase_rows = [], []
+    for q in query_set:
+        clauses = parse_simple_query(q, field_analyzers=field_analyzers)
+        terms = sorted(
+            {
+                t
+                for c in clauses
+                for g in ([c["variants"]] if c["type"] == "term" else c["slots"])
+                for t in g
+            }
+        )
+        term_rows.extend((q, *split(t)) for t in terms)
+        for c in clauses:
+            if c["type"] == "phrase":
+                toks = [split(g[0])[1] for g in c["slots"]]
+                phrase_rows.append((q, " " + " ".join(toks) + " "))
+    return term_rows, phrase_rows
+
+
+_BM25_TAIL = """
+        SELECT query,
+               CAST(row_number() OVER (PARTITION BY query
+                    ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+               doc_id, round(score, 6) AS score
+        FROM anded
+        QUALIFY rank <= 10
+        ORDER BY query, rank
+    """
+
+
+def _bm25_phrase_simple_sql() -> str:
+    """DuckDB mirror of the simple-profile PHRASE round trip: BM25
+    arithmetic identical to ``_bm25_simple_sql``; each phrase clause
+    additionally requires the space-padded phrase token run to appear
+    contiguously in the doc's space-joined simple token stream (exactly
+    the engine's consecutive-raw-position semantics — one token per
+    position under the simple profile)."""
+    term_rows, phrase_rows = _simple_clause_rows(BM25_PHRASE_SET)
+    qrows = ", ".join(f"('{q}', '{t}')" for q, _f, t in term_rows)
+    prows = ", ".join(f"('{q}', '{p}')" for q, p in phrase_rows)
+    return f"""
+        WITH q(query, term) AS (VALUES {qrows}),
+        qp(query, phrase) AS (VALUES {prows}),
+        qn AS (SELECT query, count(*) AS n_terms FROM q GROUP BY query),
+        pn AS (SELECT query, count(*) AS n_ph FROM qp GROUP BY query),
+        toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        st AS (
+          SELECT count(*) AS n,
+                 CAST(sum(len({_TOKENS})) AS DOUBLE) / count(*) AS avgdl
+          FROM documents),
+        dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+        stream AS (
+          SELECT doc_id, ' ' || array_to_string({_TOKENS}, ' ') || ' ' AS s
+          FROM documents),
+        pmc AS (
+          SELECT qp.query, stream.doc_id, count(*) AS m
+          FROM qp JOIN stream ON position(qp.phrase IN stream.s) > 0
+          GROUP BY 1, 2),
+        hits AS (
+          SELECT q.query, tf.doc_id,
+                 sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))))
+                   AS score,
+                 count(*) AS matched
+          FROM q
+          JOIN tf ON tf.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id, st
+          GROUP BY q.query, tf.doc_id),
+        anded AS (
+          SELECT h.query, h.doc_id, h.score
+          FROM hits h
+          JOIN qn ON qn.query = h.query
+          JOIN pn ON pn.query = h.query
+          JOIN pmc ON pmc.query = h.query AND pmc.doc_id = h.doc_id
+          WHERE h.matched = qn.n_terms AND pmc.m = pn.n_ph)
+        {_BM25_TAIL}"""
+
+
+# keyword_normalize mirror for ASCII keyword columns (fold beyond
+# casefold is a no-op on the testdata's ASCII lang/source values)
+def _KW(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '[^0-9a-z]+', ' ', 'g'))"
+
+
+def _fielded_simple_sql() -> str:
+    """DuckDB mirror of the FIELDED simple-profile round trip. The
+    ``body`` text field is the only catch-all contributor, so
+    field-qualified body terms share tf/df/dl with the unqualified
+    token stream exactly; keyword fields post one normalized term per
+    doc with tf=1 (and contribute nothing to doclen) — all mirrored in
+    the unified ``post`` CTE below."""
+    fa = {f: a for f, _c, a in FIELDED_SIMPLE_FIELDS}
+    term_rows, phrase_rows = _simple_clause_rows(
+        FIELDED_SIMPLE_QUERY_SET, field_analyzers=fa
+    )
+    kinds = {None: "text", "body": "text", "lang": "lang", "source": "source"}
+    # a (kind, term) SQL key must identify exactly one engine term per
+    # query: `spark` and `body:spark` are DISTINCT engine terms (each
+    # scored) but both map to the text posting stream — such a query
+    # would dedupe wrongly in the mirror, so reject it at build time
+    for q in FIELDED_SIMPLE_QUERY_SET:
+        mine = [(kinds[f], t) for qq, f, t in term_rows if qq == q]
+        assert len(set(mine)) == len(mine), f"ambiguous mirror terms in {q!r}"
+    qrows = ", ".join(
+        f"('{q}', '{kinds[f]}', '{t}')" for q, f, t in term_rows
+    )
+    prows = ", ".join(f"('{q}', '{p}')" for q, p in phrase_rows)
+    return f"""
+        WITH q(query, kind, term) AS (VALUES {qrows}),
+        qp(query, phrase) AS (VALUES {prows}),
+        qn AS (SELECT query, count(*) AS n_terms FROM q GROUP BY query),
+        pn AS (SELECT query, count(*) AS n_ph FROM qp GROUP BY query),
+        toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        post AS (
+          SELECT doc_id, 'text' AS kind, term, count(*) AS tf
+          FROM toks GROUP BY doc_id, term
+          UNION ALL
+          SELECT doc_id, 'lang', {_KW('lang')}, 1
+          FROM documents WHERE {_KW('lang')} <> ''
+          UNION ALL
+          SELECT doc_id, 'source', {_KW('source')}, 1
+          FROM documents WHERE {_KW('source')} <> ''),
+        pdf AS (SELECT kind, term, count(*) AS df FROM post GROUP BY kind, term),
+        st AS (
+          SELECT count(*) AS n,
+                 CAST(sum(len({_TOKENS})) AS DOUBLE) / count(*) AS avgdl
+          FROM documents),
+        dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+        stream AS (
+          SELECT doc_id, ' ' || array_to_string({_TOKENS}, ' ') || ' ' AS s
+          FROM documents),
+        pmc AS (
+          SELECT qp.query, stream.doc_id, count(*) AS m
+          FROM qp JOIN stream ON position(qp.phrase IN stream.s) > 0
+          GROUP BY 1, 2),
+        hits AS (
+          SELECT q.query, p.doc_id,
+                 sum(ln(1 + (st.n - pdf.df + 0.5) / (pdf.df + 0.5))
+                     * (p.tf * 2.2)
+                     / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))))
+                   AS score,
+                 count(*) AS matched
+          FROM q
+          JOIN post p ON p.kind = q.kind AND p.term = q.term
+          JOIN pdf ON pdf.kind = q.kind AND pdf.term = q.term
+          JOIN dl ON dl.doc_id = p.doc_id, st
+          GROUP BY q.query, p.doc_id),
+        anded AS (
+          SELECT h.query, h.doc_id, h.score
+          FROM hits h
+          JOIN qn ON qn.query = h.query
+          LEFT JOIN pn ON pn.query = h.query
+          LEFT JOIN pmc ON pmc.query = h.query AND pmc.doc_id = h.doc_id
+          WHERE h.matched = qn.n_terms
+            AND coalesce(pmc.m, 0) = coalesce(pn.n_ph, 0))
+        {_BM25_TAIL}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from limetrans_ray.functions.textstats import _LANG_MARKERS, _QUALITY_STOPWORDS
 
@@ -510,6 +763,8 @@ def oracle_sql() -> dict[str, str]:
     stop = _sql_words(_QUALITY_STOPWORDS)
     return {
         "bm25_simple_topk": _bm25_simple_sql(),
+        "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
+        "fielded_simple_search": _fielded_simple_sql(),
         "doc_stats": """
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

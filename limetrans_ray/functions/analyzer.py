@@ -533,3 +533,97 @@ def simple_terms(text: str) -> list[str]:
     '[^0-9a-z]+')``) so relational oracle queries can mirror it exactly.
     Not used by the index path (which uses :func:`tokenize_index`)."""
     return [t for t in _SIMPLE_SPLIT_RE.split(text.lower()) if t]
+
+
+def tokenize_fields_simple(specs) -> tuple[dict[str, list[int]], int]:
+    """Multi-field positions under the ``simple`` analyzer profile —
+    the SQL-mirrorable twin of :func:`tokenize_fields` (reference
+    multi-field mapping, hbztitle-mapping-v8.json:27-88, with the
+    deliberately ANSI-expressible tokenizer so a DuckDB oracle can
+    mirror fielded search exactly).
+
+    ``specs``: iterable of ``(field_name, analyzer, text)`` with
+    analyzer ``"text"`` (catch-all + field-qualified
+    :func:`simple_terms` at shared positions), ``"keyword"`` (one
+    :func:`keyword_normalize` term, qualified only) or
+    ``"keyword_ocn"`` (one :func:`ocn_normalize` term, qualified only).
+
+    Returns ``(term → ascending positions, doclen)``; doclen counts
+    only catch-all text tokens (the BM25 document-length semantic,
+    same as :func:`tokenize_fields`)."""
+    out: dict[str, list[int]] = {}
+    base = 0
+    doclen = 0
+    for field, analyzer, text in specs:
+        if analyzer in ("keyword", "keyword_ocn"):
+            kw = (
+                keyword_normalize(text or "")
+                if analyzer == "keyword"
+                else ocn_normalize(text or "")
+            )
+            if kw:
+                out.setdefault(qualify(field, kw), []).append(base)
+                base += 1 + FIELD_GAP
+            continue
+        if analyzer != "text":
+            raise ValueError(
+                f"unsupported simple-profile field analyzer {analyzer!r}"
+            )
+        toks = simple_terms(text or "")
+        for p, t in enumerate(toks):
+            out.setdefault(t, []).append(p + base)  # catch-all
+            if field:
+                out.setdefault(qualify(field, t), []).append(p + base)
+        doclen += len(toks)
+        base += len(toks) + FIELD_GAP
+    for plist in out.values():
+        plist.sort()
+    return out, doclen
+
+
+def parse_simple_query(
+    text: str, *, field_analyzers: dict[str, str] | None = None
+) -> list[dict]:
+    """Simple-profile query parse — the SQL-mirrorable analogue of
+    :func:`parse_query`. Quoted segments become phrase clauses whose
+    slots are single-variant :func:`simple_terms` tokens; a ``field:``
+    prefix scopes a clause ONLY when the index declared that field
+    (``field_analyzers``) — an undeclared prefix stays literal text, so
+    a plain simple index tokenizes ``body:x`` exactly as
+    ``simple_terms`` would (``body``, ``x``). A clause scoped to a
+    keyword field matches the :func:`keyword_normalize`'d (or
+    :func:`ocn_normalize`'d) whole value.
+
+    Scoring contract is shared with :func:`parse_query`: phrases only
+    FILTER; BM25 sums over the distinct terms of all clauses."""
+    text = unicodedata.normalize("NFC", text)
+    clauses: list[dict] = []
+    for m in _CLAUSE_RE.finditer(text):
+        field = m.group("field")
+        body = m.group("body")
+        if field and not (field_analyzers and field in field_analyzers):
+            # undeclared field prefix: the whole clause is literal text
+            # (simple_terms splits the colon away, matching the
+            # field-free profile's historical tokenization)
+            field, body = None, m.group(0)
+        quoted = body.startswith('"')
+        if quoted:
+            body = body.strip('"')
+        if field and field_analyzers[field] in ("keyword", "keyword_ocn"):
+            kw = (
+                keyword_normalize(body)
+                if field_analyzers[field] == "keyword"
+                else ocn_normalize(body)
+            )
+            if kw:
+                clauses.append({"type": "term", "variants": (qualify(field, kw),)})
+            continue
+        slots = [(qualify(field, t),) for t in simple_terms(body)]
+        if len(slots) == 1:
+            clauses.append({"type": "term", "variants": slots[0]})
+        elif slots:
+            if quoted:
+                clauses.append({"type": "phrase", "slots": slots, "alt": ()})
+            else:
+                clauses.extend({"type": "term", "variants": g} for g in slots)
+    return clauses

@@ -61,7 +61,12 @@ from ray.data.aggregate import Max, Sum
 
 from .. import ANALYZER_VERSION, FORMAT_VERSION
 from ..functions import codec
-from ..functions.analyzer import BatchTokenizer, simple_terms, tokenize_fields
+from ..functions.analyzer import (
+    BatchTokenizer,
+    simple_terms,
+    tokenize_fields,
+    tokenize_fields_simple,
+)
 from ..stages.indexing import (
     ExtractTokenizeStage,
     InvertStage,
@@ -465,12 +470,13 @@ def build_index_from_documents(
     reference's index-then-query conformance discipline,
     ElasticsearchQueryTest.java:315-354, expressed in the driver's hard
     signal). The profile is recorded in stats.json and the query side
-    follows it. ``"simple"`` requires ``fields=None``."""
+    follows it. ``"simple"`` composes with ``fields=`` via
+    :func:`~limetrans_ray.functions.analyzer.tokenize_fields_simple`
+    (text/keyword/keyword_ocn field analyzers), giving fielded search a
+    fully SQL-mirrorable round trip too."""
     cfg = config or IndexBuildConfig()
     if analyzer not in ("full", "simple"):
         raise ValueError(f"unknown analyzer profile {analyzer!r}")
-    if analyzer == "simple" and fields is not None:
-        raise ValueError("analyzer='simple' does not support fields=")
     bdir = mf.build_dir(index_root, build_id)
     os.makedirs(bdir, exist_ok=True)
     fwd_dir = os.path.join(bdir, "fwd")
@@ -501,7 +507,15 @@ def build_index_from_documents(
                         "pos": pos_col,
                     }
                 )
-            if analyzer == "simple":
+            if analyzer == "simple" and fields is not None:
+                cols = {col: batch.column(col).to_pylist() for _f, col, _a in fields}
+                per_row = (
+                    tokenize_fields_simple(
+                        [(f, a, cols[col][i]) for f, col, a in fields]
+                    )
+                    for i in range(n)
+                )
+            elif analyzer == "simple":
                 def rows_simple():
                     for t in batch.column(text_col).to_pylist():
                         posmap: dict[str, list[int]] = {}

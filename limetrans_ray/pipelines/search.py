@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
-from ..functions.analyzer import parse_query, simple_terms
+from ..functions.analyzer import parse_query, parse_simple_query, simple_terms
 from ..state import bm25
 from ..state.manifest import build_dir, current_build
 
@@ -414,9 +414,23 @@ class SearchEngine:
         # to them directly scores the words as plain AND terms (use
         # search() / search_phrases for positional phrase semantics).
         if self.analyzer_profile == "simple":
-            # simple profile: one single-variant group per token (no
-            # hyphen multiplexing / stemming / stop words / phrases)
-            groups = [(t,) for t in simple_terms(query)]
+            if self.field_analyzers:
+                # fielded simple profile: field-scoped clauses qualify,
+                # keyword fields match their normalized whole value;
+                # phrase clauses degrade to their slot term groups here
+                # (same public-scorer contract as the full profile)
+                groups = []
+                for c in parse_simple_query(
+                    query, field_analyzers=self.field_analyzers
+                ):
+                    if c["type"] == "term":
+                        groups.append(c["variants"])
+                    else:
+                        groups.extend(tuple(g) for g in c["slots"])
+            else:
+                # simple profile: one single-variant group per token (no
+                # hyphen multiplexing / stemming / stop words)
+                groups = [(t,) for t in simple_terms(query)]
         else:
             groups = []
             for c in parse_query(query, field_analyzers=self.field_analyzers):
@@ -429,8 +443,12 @@ class SearchEngine:
         return groups, terms, idfs
 
     def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
-        if '"' in query and self.analyzer_profile != "simple":
-            clauses = parse_query(query, field_analyzers=self.field_analyzers)
+        if '"' in query:
+            clauses = (
+                parse_simple_query(query, field_analyzers=self.field_analyzers)
+                if self.analyzer_profile == "simple"
+                else parse_query(query, field_analyzers=self.field_analyzers)
+            )
             if any(c["type"] == "phrase" for c in clauses):
                 return self.search_phrases(clauses, k, mode)
         if pruned:
