@@ -754,6 +754,73 @@ def _fielded_simple_sql() -> str:
         {_BM25_TAIL}"""
 
 
+def _ann_lsh_sql() -> str:
+    """Exact DuckDB mirror of the partitioned-LSH ANN path
+    (``build_lsh_index`` + ``lsh_topk_indexed``; seed=42, n_planes=12,
+    probe_hamming=2 — the engine defaults). Every vector's bucket is
+    the packed sign pattern of its dot products with the seeded
+    hyperplane matrix, embedded below as exact float64 literals
+    (sign(v·H) is scale-invariant, so the engine's L2 normalization
+    drops out of the bucket computation); a query's candidates are
+    vectors within Hamming distance 2 of its own bucket
+    (``bit_count(xor(...))`` — no 2^n_planes enumeration needed);
+    candidates re-rank by exact cosine with the brute-force mirror's
+    arithmetic. ``scanned_rows`` mirrors the pruned-read IO
+    accounting: every vector living in a bucket probed by ANY query."""
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((64, 12))
+    pl_rows = ", ".join(
+        f"({i + 1}, {j}, {float(planes[i, j])!r})"
+        for i in range(64)
+        for j in range(12)
+    )
+    return f"""
+        WITH pl(i, j, w) AS (VALUES {pl_rows}),
+        dots AS (
+          SELECT e.vec_id, pl.j,
+                 sum(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+          FROM embeddings e, pl
+          GROUP BY e.vec_id, pl.j),
+        sig AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                      AS BIGINT) AS bucket
+          FROM dots GROUP BY vec_id),
+        qs AS (SELECT vec_id AS query_id, bucket FROM sig WHERE vec_id < 5),
+        cand AS (
+          SELECT qs.query_id, s.vec_id
+          FROM qs JOIN sig s ON bit_count(xor(qs.bucket, s.bucket)) <= 2),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        flat AS (
+          SELECT c.query_id, c.vec_id,
+                 sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                     * CAST(v.embedding[dims.i] AS DOUBLE)) AS dot,
+                 sqrt(sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                          * CAST(q.embedding[dims.i] AS DOUBLE))) AS nq,
+                 sqrt(sum(CAST(v.embedding[dims.i] AS DOUBLE)
+                          * CAST(v.embedding[dims.i] AS DOUBLE))) AS ne
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings v ON v.vec_id = c.vec_id, dims
+          GROUP BY c.query_id, c.vec_id),
+        io AS (
+          SELECT
+            (SELECT count(*) FROM sig s WHERE EXISTS (
+               SELECT 1 FROM qs
+               WHERE bit_count(xor(qs.bucket, s.bucket)) <= 2))
+              AS scanned_rows,
+            (SELECT count(*) FROM embeddings) AS total_rows)
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (nq * ne) DESC, vec_id)
+                 AS rank,
+               vec_id, round(dot / (nq * ne), 6) AS cosine,
+               io.scanned_rows, io.total_rows
+        FROM flat, io
+        QUALIFY rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from limetrans_ray.functions.textstats import _LANG_MARKERS, _QUALITY_STOPWORDS
 
@@ -765,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_topk": _bm25_simple_sql(),
         "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
         "fielded_simple_search": _fielded_simple_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "doc_stats": """
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
