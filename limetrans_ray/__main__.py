@@ -16,6 +16,9 @@ script submitted to a cluster::
         python -m limetrans_ray update --index-root /shared/index \\
             --add /data/delta --delete-urls https://old.example/page
 
+    ray job submit --working-dir . -- \\
+        python -m limetrans_ray run settings.json --env prod --var isil=DE-605
+
 Inside a submitted job the Ray runtime sets ``RAY_ADDRESS``; the
 guarded init below connects to the hosting cluster (and falls back to
 a local session for single-node runs, e.g. this sandbox). Every
@@ -141,6 +144,17 @@ def _cmd_update(args) -> dict:
     return out
 
 
+def _cmd_run(args) -> dict:
+    _ray_init()
+    from .pipelines.run import run_settings
+
+    variables = dict(v.split("=", 1) for v in args.var)
+    return {
+        "cmd": "run",
+        **run_settings(args.settings, env=args.env, variables=variables),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m limetrans_ray", description=__doc__.splitlines()[0]
@@ -179,6 +193,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("query", nargs="+")
     s.set_defaults(fn=_cmd_search)
+
+    r = sub.add_parser(
+        "run",
+        help="execute a settings-described pipeline "
+        "(queue → decode → fix → sink; the reference Main analogue)",
+    )
+    r.add_argument("settings", help="settings JSON path")
+    r.add_argument("--env", default=None, help="env profile (local/dev/prod)")
+    r.add_argument(
+        "--var",
+        action="append",
+        default=[],
+        help="placeholder variable k=v (repeatable)",
+    )
+    r.set_defaults(fn=_cmd_run)
 
     u = sub.add_parser("update", help="incremental add/delete")
     u.add_argument("--index-root", required=True)

@@ -1,0 +1,143 @@
+"""Settings-driven pipeline runner conformance (pipelines/run.py — the
+reference Main analogue: FileQueue → decoder → fix → writer, reference
+Main.java:33-105 / Limetrans.java:236-316)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from limetrans_ray.pipelines.run import _nest_record, run_settings
+
+
+class TestNestRecord:
+    def test_scalars_lists_and_subfields(self):
+        rows = [
+            dict(record_id="r", field="title", subfield="", occurrence=0, value="x"),
+            dict(record_id="r", field="lang", subfield="", occurrence=0, value="de"),
+            dict(record_id="r", field="lang", subfield="", occurrence=1, value="en"),
+            dict(record_id="r", field="person", subfield="name", occurrence=0, value="a"),
+            dict(record_id="r", field="person", subfield="role", occurrence=0, value="aut"),
+            dict(record_id="r", field="person", subfield="name", occurrence=1, value="b"),
+        ]
+        assert _nest_record(rows) == {
+            "title": "x",
+            "lang": ["de", "en"],
+            "person": [{"name": "a", "role": "aut"}, {"name": "b"}],
+        }
+
+    def test_json_decode_roundtrip(self):
+        # decoder conventions → nest inverse for representative shapes
+        from limetrans_ray.functions.jsonrec import decode_json_records
+
+        src = {"title": "x", "lang": ["de", "en"], "person": {"name": "a"}}
+        rows = decode_json_records(json.dumps(src), id_prefix="r")
+        assert _nest_record(rows) == src
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"id": 1, "lang": "de", "title": "Der Holzbau"}\n'
+        '{"id": 2, "lang": "xx", "title": "Unknown"}\n'
+    )
+    (d / "b.jsonl").write_text('{"id": 3, "lang": "en", "title": "Payment"}\n')
+    return str(d)
+
+
+def _settings(jsonl_dir, out):
+    return {
+        "input": {
+            "queue": {
+                "path": jsonl_dir, "pattern": "*.jsonl",
+                "processor": "JSONL", "sort_by": "name",
+            }
+        },
+        "transformation": {
+            "fix": [
+                ["lookup", {"field": "lang",
+                            "table": {"de": "German", "en": "English"},
+                            "default": "Other"}],
+                ["retain", {"fields": ["lang", "title"]}],
+            ]
+        },
+        "output": out,
+    }
+
+
+def test_jsonl_pipeline_end_to_end(ray_session, tmp_path, jsonl_dir):
+    out = str(tmp_path / "out.jsonl")
+    summary = run_settings(_settings(jsonl_dir, {"jsonl": out}))
+    assert summary["files"] == 2 and summary["records"] == 3
+    recs = [json.loads(line) for line in open(out)]
+    assert sorted((r["lang"], r["title"]) for r in recs) == [
+        ("English", "Payment"), ("German", "Der Holzbau"), ("Other", "Unknown"),
+    ]
+
+
+def test_formeta_sink_round_trips(ray_session, tmp_path, jsonl_dir):
+    from limetrans_ray.functions.formeta import decode_formeta
+
+    out = str(tmp_path / "out.formeta")
+    summary = run_settings(_settings(jsonl_dir, {"formeta": out}))
+    assert summary["records"] == 3
+    langs = set()
+    for line in open(out):
+        rows = decode_formeta(line.rstrip("\n"))
+        langs.update(r["value"] for r in rows if r["field"] == "lang")
+    assert langs == {"German", "English", "Other"}
+
+
+def test_parquet_sink_keeps_flat_rows(ray_session, tmp_path, jsonl_dir):
+    out = str(tmp_path / "rows")
+    run_settings(_settings(jsonl_dir, {"parquet": out}))
+    tbl = pq.read_table(out)
+    assert set(tbl.column_names) >= {"record_id", "field", "value"}
+    assert tbl.num_rows == 6  # 3 records × (lang, title)
+
+
+def test_parquet_index_output(ray_session, tmp_path):
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": ["alpha beta", "beta gamma"]}),
+        str(d / "docs.parquet"),
+    )
+    root = str(tmp_path / "idx")
+    summary = run_settings(
+        {
+            "input": {"queue": {"path": str(d), "pattern": "*.parquet",
+                                "processor": "PARQUET"}},
+            "output": {"index": {"root": root, "analyzer": "simple"}},
+        }
+    )
+    assert summary["n_docs"] == 2
+    assert {d_ for d_, _ in SearchEngine(root).search("beta", 10)} == {0, 1}
+
+
+def test_settings_file_with_vars_and_validation(ray_session, tmp_path, jsonl_dir):
+    cfg = tmp_path / "settings.json"
+    cfg.write_text(json.dumps(
+        _settings(jsonl_dir, {"jsonl": "${outdir}/records.jsonl"})
+    ))
+    out_dir = tmp_path / "o"
+    out_dir.mkdir()
+    summary = run_settings(str(cfg), variables={"outdir": str(out_dir)})
+    assert summary["records"] == 3
+
+    with pytest.raises(ValueError, match="exactly one"):
+        run_settings(_settings(jsonl_dir, {}))
+    with pytest.raises(ValueError, match="no files"):
+        bad = _settings(jsonl_dir, {"jsonl": "x"})
+        bad["input"]["queue"]["pattern"] = "*.nope"
+        run_settings(bad)
+    with pytest.raises(ValueError, match="record processors"):
+        cols = _settings(jsonl_dir, {"parquet": str(tmp_path / "p")})
+        cols["input"]["queue"]["pattern"] = "*.jsonl"
+        cols["input"]["queue"]["processor"] = "PARQUET"
+        run_settings(cols)
