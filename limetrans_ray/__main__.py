@@ -44,12 +44,17 @@ def _ray_init():
     import ray
 
     if not ray.is_initialized():
+        addr = os.environ.get("RAY_ADDRESS", "local")
         ncpu = os.environ.get("RAY_GRAFT_CPUS")
+        # num_cpus is only legal when STARTING a local session — Ray
+        # rejects it when connecting to an existing cluster (the
+        # ray-job-submit path, where RAY_ADDRESS names the cluster)
+        kw = {"num_cpus": int(ncpu)} if (ncpu and addr == "local") else {}
         ray.init(
-            address=os.environ.get("RAY_ADDRESS", "local"),
+            address=addr,
             include_dashboard=False,
             logging_level="ERROR",
-            num_cpus=int(ncpu) if ncpu else None,
+            **kw,
         )
     from ray.data import DataContext
 

@@ -601,14 +601,19 @@ def parse_simple_query(
     for m in _CLAUSE_RE.finditer(text):
         field = m.group("field")
         body = m.group("body")
-        if field and not (field_analyzers and field in field_analyzers):
-            # undeclared field prefix: the whole clause is literal text
-            # (simple_terms splits the colon away, matching the
-            # field-free profile's historical tokenization)
-            field, body = None, m.group(0)
         quoted = body.startswith('"')
         if quoted:
             body = body.strip('"')
+        if field and not (field_analyzers and field in field_analyzers):
+            # undeclared field prefix: the prefix is literal text (its
+            # own term clauses — simple_terms splits the colon away,
+            # matching the field-free profile's historical
+            # tokenization) while the body keeps its own semantics, so
+            # a quoted body still phrase-filters
+            clauses.extend(
+                {"type": "term", "variants": (t,)} for t in simple_terms(field)
+            )
+            field = None
         if field and field_analyzers[field] in ("keyword", "keyword_ocn"):
             kw = (
                 keyword_normalize(body)

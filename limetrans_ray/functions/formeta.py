@@ -65,13 +65,19 @@ def encode_record_strings(rows: list[dict]) -> list[str]:
                 parts.append(f"{_quote(r['field'])}:{_quote(r['value'])},")
                 i += 1
             else:
-                # consecutive same-field subfield rows form one entity
+                # consecutive same-field subfield rows WITH THE SAME
+                # occurrence form one entity — an occurrence change
+                # starts a new entity, so repeated subfielded groups
+                # (person[0], person[1], …) round-trip as distinct
+                # entities instead of collapsing into one
                 field = r["field"]
+                occ = r.get("occurrence")
                 subs = []
                 while (
                     i < len(items)
                     and items[i]["field"] == field
                     and items[i].get("subfield") is not None
+                    and items[i].get("occurrence") == occ
                 ):
                     subs.append(items[i])
                     i += 1

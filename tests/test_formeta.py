@@ -91,3 +91,22 @@ def test_round_trip_property(items):
         return out
 
     assert key_multiset(back) == key_multiset(rows)
+
+
+def test_repeated_subfield_groups_stay_distinct_entities():
+    """person[0]{a,b} person[1]{a,b}: an occurrence change starts a new
+    entity, so repeated subfielded groups round-trip as two entities
+    instead of collapsing into one {a,b,a,b} blob."""
+    rows = [
+        {"record_id": "R1", "field": "0100", "subfield": "a",
+         "occurrence": 0, "value": "p1a"},
+        {"record_id": "R1", "field": "0100", "subfield": "b",
+         "occurrence": 0, "value": "p1b"},
+        {"record_id": "R1", "field": "0100", "subfield": "a",
+         "occurrence": 1, "value": "p2a"},
+        {"record_id": "R1", "field": "0100", "subfield": "b",
+         "occurrence": 1, "value": "p2b"},
+    ]
+    enc = encode_records(rows)
+    assert enc.count("0100{") == 2
+    assert decode_formeta(enc) == rows

@@ -57,6 +57,14 @@ class TestParseSimpleQuery:
             {"type": "term", "variants": ("x",)},
         ]
 
+    def test_undeclared_field_prefix_keeps_quoted_body_as_phrase(self):
+        # the prefix becomes literal term clauses, but a quoted body
+        # keeps phrase semantics instead of degrading to bare terms
+        assert parse_simple_query('other:"slow fast"', field_analyzers=FA) == [
+            {"type": "term", "variants": ("other",)},
+            {"type": "phrase", "slots": [("slow",), ("fast",)], "alt": ()},
+        ]
+
     def test_text_field_scoped_term_and_phrase(self):
         assert parse_simple_query("body:Spark", field_analyzers=FA) == [
             {"type": "term", "variants": (qualify("body", "spark"),)}
