@@ -298,6 +298,36 @@ def _neardup_minhash(sf_dir: str):
     return out
 
 
+def _neardup_ngram(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the EXACT sketch-free sibling of neardup_minhash: same word-3-gram
+    # shingles and τ=0.8, but all-pairs via shingle co-grouping, so the
+    # brute-force SQL mirror is the literal definition, not a bound
+    out = ngram_jaccard_pairs(ds, threshold=0.8, shingle_k=3)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def _embedding_sim_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # pairwise cosine similarity join (near-dup when τ is high; the
+    # synthetic embeddings are well-spread, so the driver query uses
+    # τ=0.4 to exercise the pipeline on non-trivial output sizes)
+    out = embedding_near_dups(ds, threshold=0.4)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -504,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fielded_search": _fielded_search,
         "ann_lsh_topk": _ann_lsh_topk,
         "neardup_minhash": _neardup_minhash,
+        "neardup_ngram": _neardup_ngram,
+        "embedding_sim_pairs": _embedding_sim_pairs,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
@@ -516,6 +548,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _SIMPLE_SPLIT = "string_split_regex(lower(text), '[^0-9a-z]+')"
 _TOKENS = f"list_filter({_SIMPLE_SPLIT}, x -> x <> '')"
+
+# All-pairs word-3-gram Jaccard at τ=0.8 — the literal definition of
+# neardup_ngram, and the exact mirror the (probabilistically complete)
+# neardup_minhash is checked against.
+_NGRAM_JACCARD_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3
+               THEN list_transform(generate_series(1, len(tk) - 2),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE CAST([] AS VARCHAR[]) END) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cnt AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT a_id, b_id,
+           round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = a_id
+    JOIN cnt cb ON cb.doc_id = b_id
+    WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+"""
 
 
 def _sql_words(words) -> str:
@@ -941,31 +1000,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
         """,
-        # exact brute-force mirrors of the near-dup / textstat pipelines
-        # (the LSH banding's analytic miss rate ≈5e-8 at j≥0.8 is the
-        # only divergence channel for neardup_minhash)
-        "neardup_minhash": f"""
-            WITH toks AS (
-              SELECT doc_id, {_TOKENS} AS tk FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(tk) >= 3
-                       THEN list_transform(generate_series(1, len(tk) - 2),
-                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-                       ELSE CAST([] AS VARCHAR[]) END) AS shingles
-              FROM toks),
-            ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-            cnt AS (SELECT doc_id, len(shingles) AS n FROM sh),
-            inter AS (
-              SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT a_id, b_id,
-                   round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = a_id
-            JOIN cnt cb ON cb.doc_id = b_id
-            WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+        # exact brute-force mirrors of the near-dup / textstat pipelines.
+        # The SAME all-pairs word-3-gram Jaccard SQL backs two queries:
+        # for neardup_ngram it is the literal operator definition; for
+        # neardup_minhash the LSH banding's analytic miss rate ≈5e-8 at
+        # j≥0.8 is the only divergence channel.
+        "neardup_minhash": _NGRAM_JACCARD_SQL,
+        "neardup_ngram": _NGRAM_JACCARD_SQL,
+        # pairwise cosine-similarity join over the embedding column
+        # (double-precision mirror like ann_topk's)
+        "embedding_sim_pairs": """
+            WITH dims AS (SELECT unnest(generate_series(1,
+                        (SELECT max(len(embedding)) FROM embeddings))) AS i),
+            nrm AS (
+              SELECT vec_id,
+                     sqrt(sum(CAST(embedding[dims.i] AS DOUBLE)
+                              * CAST(embedding[dims.i] AS DOUBLE))) AS nv
+              FROM embeddings, dims GROUP BY vec_id),
+            dots AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     sum(CAST(a.embedding[dims.i] AS DOUBLE)
+                         * CAST(b.embedding[dims.i] AS DOUBLE)) AS dot
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id, dims
+              GROUP BY a.vec_id, b.vec_id)
+            SELECT d.a_id, d.b_id, round(d.dot / (na.nv * nb.nv), 6) AS cosine
+            FROM dots d
+            JOIN nrm na ON na.vec_id = d.a_id
+            JOIN nrm nb ON nb.vec_id = d.b_id
+            WHERE d.dot / (na.nv * nb.nv) >= 0.4
         """,
         "simhash_pairs": f"""
             WITH th AS (

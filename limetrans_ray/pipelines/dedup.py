@@ -9,6 +9,8 @@ dedup; each operator here is a Ray Data pipeline over a document table:
 - :func:`exact_dedup`            — hash-group keep-first (deterministic)
 - :func:`minhash_lsh_candidates` — shingle → MinHash → banded LSH
   buckets → candidate pairs → exact-Jaccard verification
+- :func:`ngram_jaccard_pairs`   — EXACT all-pairs word-k-gram Jaccard
+  (shingle co-group + distributed intersection counts; no sketching)
 - :func:`simhash_near_dups`     — 64-bit SimHash, 4-band blocking,
   Hamming-distance verification
 - :func:`embedding_near_dups`   — cosine ≥ τ against an embedding
@@ -33,6 +35,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -249,6 +252,156 @@ def minhash_lsh_candidates(
     out = cand[["a_id", "b_id"]].assign(jaccard=jac)
     out = out[out["jaccard"] >= threshold].sort_values(["a_id", "b_id"])
     return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> pd.DataFrame:
+    """EXACT all-pairs word-``k``-gram Jaccard near-dup — no sketching.
+
+    The sketch-free sibling of :func:`minhash_lsh_candidates` (which has
+    a nonzero analytic miss rate): every pair whose distinct k-shingle
+    sets overlap at Jaccard ≥ ``threshold`` is returned, which makes the
+    output mirrorable 1:1 by a brute-force SQL oracle.
+
+    Shape (one shuffle chain; neither texts nor shingle sets ever reach
+    the driver):
+
+    1. ``map_batches``: explode each doc to distinct
+       (doc_id, shingle-hash) rows  [vectorized, stateless]
+    2. ``groupby(shingle)`` → emit (a_id, b_id) for every in-group pair
+       plus one (doc_id, −1) membership row per member  [the shuffle;
+       a group's document frequency bounds its pair fan-out]
+    3. ``groupby(a_id, b_id)`` count → pair rows count |A∩B|, membership
+       rows count |A|; only candidate pairs and THEIR sizes are
+       collected (sizes filtered by a broadcast candidate-id set).
+
+    Cost is Σ_shingle df² — exact, and right up to mid-size corpora or
+    as a post-LSH verifier. At web scale set ``max_shingle_df``:
+    shingle groups with document frequency above the cap are dropped
+    from BOTH the intersection and the set sizes ("restricted Jaccard"
+    over rare-enough shingles — boilerplate shingles carry no dedup
+    signal), and the number of dropped shingles is logged, never silent;
+    or switch to :func:`minhash_lsh_candidates`.
+
+    Pairs sharing zero (kept) shingles are never emitted (their Jaccard
+    is 0, or 0/0 for two empty sets) — matching the SQL mirror's inner
+    join on shared shingles.
+    """
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        id_parts, sh_parts = [], []
+        for did, txt in zip(ids, texts):
+            sh = word_shingles(txt, shingle_k)
+            if len(sh):
+                id_parts.append(np.full(len(sh), did, dtype=np.int64))
+                sh_parts.append(sh.view(np.int64))
+        if not id_parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(id_parts)),
+                "shingle": pa.array(np.concatenate(sh_parts)),
+            }
+        )
+
+    _EMPTY = pd.DataFrame({"a_id": [], "b_id": []}).astype(
+        {"a_id": np.int64, "b_id": np.int64}
+    )
+
+    def group_rows(group: pd.DataFrame) -> pd.DataFrame:
+        """Rows for one shingle's doc group: all in-group pairs + one
+        (doc, −1) membership row per member; an over-cap group emits a
+        single (−2, df) sentinel counted into the overflow log."""
+        ids = np.sort(group[id_col].to_numpy().astype(np.int64))
+        n = len(ids)
+        if n == 0:
+            return _EMPTY
+        if max_shingle_df is not None and n > max_shingle_df:
+            return pd.DataFrame(
+                {"a_id": np.array([-2], dtype=np.int64),
+                 "b_id": np.array([n], dtype=np.int64)}
+            )
+        ai, bi = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate([ids[ai], ids]),
+                "b_id": np.concatenate([ids[bi], np.full(n, -1, dtype=np.int64)]),
+            }
+        )
+
+    counts = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(group_rows, batch_format="pandas")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="n"))
+        .materialize()  # consumed three times below; O(pairs + docs) rows
+    )
+
+    if max_shingle_df is not None:
+        dropped = counts.map_batches(
+            lambda t: t.filter(pc.equal(t.column("a_id"), -2)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        n_dropped = int(dropped["n"].sum()) if len(dropped) else 0
+        if n_dropped:
+            logger.warning(
+                "ngram jaccard: %d shingles with document frequency > %d "
+                "dropped from intersections AND set sizes (restricted "
+                "Jaccard over rare shingles)",
+                n_dropped,
+                max_shingle_df,
+            )
+
+    pairs = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("b_id"), 0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}).astype(
+            {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
+        )
+
+    needed_ref = ray.put(set(pairs["a_id"]).union(pairs["b_id"]))
+
+    def keep_needed_sizes(t: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        t = t.filter(pc.equal(t.column("b_id"), -1))
+        ids = t.column("a_id").to_numpy()
+        mask = np.fromiter(
+            (int(i) in want for i in ids), dtype=bool, count=len(ids)
+        )
+        return t.filter(pa.array(mask))
+
+    sizes_df = counts.map_batches(
+        keep_needed_sizes, batch_format="pyarrow"
+    ).to_pandas()
+    sizes = sizes_df.set_index("a_id")["n"]
+    na = sizes.reindex(pairs["a_id"]).to_numpy(dtype=np.float64)
+    nb = sizes.reindex(pairs["b_id"]).to_numpy(dtype=np.float64)
+    inter = pairs["n"].to_numpy(dtype=np.float64)
+    jac = inter / (na + nb - inter)
+    out = pairs[["a_id", "b_id"]].assign(jaccard=jac)
+    out = out[out["jaccard"] >= threshold].sort_values(["a_id", "b_id"])
+    return out.reset_index(drop=True).astype(
+        {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
+    )
 
 
 # ------------------------------------------------------------------- simhash
