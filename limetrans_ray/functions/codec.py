@@ -149,9 +149,67 @@ def segmented_delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.nda
     return csum - np.repeat(base, counts)
 
 
-def varint_decode(buf: bytes | memoryview, offset: int = 0, end: int | None = None) -> np.ndarray:
+def binary_concat_view(col) -> np.ndarray:
+    """Zero-copy uint8 view of the concatenation of a pyarrow binary
+    column's values, in element order.
+
+    The Arrow binary layout stores element i at
+    ``values[offsets[i]:offsets[i+1]]`` with non-decreasing offsets, so
+    the in-order concatenation IS ``values[offsets[0]:offsets[-1]]`` —
+    no per-element ``bytes`` allocation, no ``b"".join`` copy. Replaces
+    the former ``b"".join(col.to_pylist())`` on the bandwidth-bound
+    merge path (two full copies per call)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    dbuf = arr.buffers()[2]
+    if dbuf is None:
+        return np.zeros(0, dtype=np.uint8)
+    data = np.frombuffer(dbuf, dtype=np.uint8)
+    return data[int(offs[0]) : int(offs[-1])]
+
+
+def binary_from_slices(buf: bytes, bounds: np.ndarray):
+    """Build a pyarrow binary array whose element i is
+    ``buf[bounds[i]:bounds[i+1]]`` WITHOUT materializing per-element
+    ``bytes`` objects (the former list-comprehension-of-slices path
+    allocated one Python object per cell, then pa.array copied each).
+    ``bounds`` must be non-decreasing (contiguous in-order slices —
+    exactly what the batched varint encoders emit). Falls back to the
+    copying path only for >2 GiB buffers (int32 offset limit)."""
+    import pyarrow as pa
+
+    n = len(bounds) - 1
+    if len(buf) >= 2**31:  # pragma: no cover - >2GiB single-group buffer
+        return pa.array(
+            [buf[bounds[i] : bounds[i + 1]] for i in range(n)], pa.binary()
+        )
+    offs = np.ascontiguousarray(bounds, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+    )
+
+
+def list_from_offsets(values, offsets: np.ndarray, value_type=None):
+    """Build a pyarrow list array from a flat values array and an int
+    offsets array in one zero-copy call (replaces per-cell ``.tolist()``
+    + ``pa.array(list_of_lists)`` loops)."""
+    import pyarrow as pa
+
+    va = pa.array(values, value_type) if value_type is not None else pa.array(values)
+    return pa.ListArray.from_arrays(
+        pa.array(np.ascontiguousarray(offsets, dtype=np.int32), pa.int32()), va
+    )
+
+
+def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, end: int | None = None) -> np.ndarray:
     """Decode LEB128 bytes (or a slice) back to a uint64 array (vectorized)."""
-    b = np.frombuffer(buf, dtype=np.uint8)
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if end is not None or offset:
         b = b[offset : end if end is not None else len(b)]
     if len(b) == 0:

@@ -532,16 +532,18 @@ class InvertStage:
         tbuf, toffs = codec.varint_encode_all(
             t_s if t_s.dtype == np.int32 else t_s.astype(np.uint64)
         )
-        ids_enc = [ibuf[ioffs[s]:ioffs[e]] for s, e in zip(starts, ends)]
-        tfs_enc = [tbuf[toffs[s]:toffs[e]] for s, e in zip(starts, ends)]
+        # cell slices are contiguous in cell order — build the binary
+        # columns straight from the batch buffers + offset bounds (no
+        # per-cell bytes objects on this bandwidth-bound stage)
+        cell_bounds = np.append(starts, len(k_s))
+        ids_enc = codec.binary_from_slices(ibuf, ioffs[cell_bounds])
+        tfs_enc = codec.binary_from_slices(tbuf, toffs[cell_bounds])
         # positions: gather the per-posting position runs into posting-
         # sorted order, delta-encode within each posting, slice per cell
         pos_sorted, vstarts = codec.reorder_segments(pos_flat, flat_tfs, order)
         pdeltas = codec.segmented_delta_encode(pos_sorted, vstarts[:-1])
         pbuf, poffs = codec.varint_encode_all(pdeltas)
-        pos_enc = [
-            pbuf[poffs[vstarts[s]] : poffs[vstarts[e]]] for s, e in zip(starts, ends)
-        ]
+        pos_enc = codec.binary_from_slices(pbuf, poffs[vstarts[cell_bounds]])
         shards = self._shards_for(vocab)[cell_codes]
         if self.bg_bounds is not None:
             bgroups = (
@@ -564,9 +566,9 @@ class InvertStage:
                 "term": cell_terms,
                 "bucket": pa.array(cell_buckets),
                 "pdf": pa.array((ends - starts).astype(np.int64)),
-                "ids_enc": pa.array(ids_enc, pa.binary()),
-                "tfs_enc": pa.array(tfs_enc, pa.binary()),
-                "pos_enc": pa.array(pos_enc, pa.binary()),
+                "ids_enc": ids_enc,
+                "tfs_enc": tfs_enc,
+                "pos_enc": pos_enc,
             }
         )
 
@@ -627,14 +629,17 @@ class MergeShardGroup:
         pdf = group.column("pdf").to_numpy()
         seg_starts = np.zeros(len(pdf), dtype=np.int64)
         np.cumsum(pdf[:-1], out=seg_starts[1:])
-        # decode ALL partials in segmented passes
-        ibuf = b"".join(group.column("ids_enc").to_pylist())
-        tbuf = b"".join(group.column("tfs_enc").to_pylist())
+        # decode ALL partials in segmented passes; the encoded-partial
+        # columns are read as zero-copy Arrow buffer views (the former
+        # b"".join(to_pylist()) cost two full copies per column on this
+        # bandwidth-bound path)
+        ibuf = codec.binary_concat_view(group.column("ids_enc"))
+        tbuf = codec.binary_concat_view(group.column("tfs_enc"))
         deltas = codec.varint_decode(ibuf)
         ids = codec.segmented_delta_decode(deltas, seg_starts)
         tfs = codec.varint_decode(tbuf).astype(np.int64)
-        pbuf = b"".join(group.column("pos_enc").to_pylist())
-        pdeltas = codec.varint_decode(pbuf).astype(np.int64)
+        pbuf = codec.binary_concat_view(group.column("pos_enc"))
+        pdeltas = codec.varint_decode(pbuf)
         pvstarts = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=pvstarts[1:])
         pos_flat = codec.segmented_delta_decode(pdeltas, pvstarts[:-1])
@@ -670,7 +675,10 @@ class MergeShardGroup:
         # one batched encode; per-cell and per-block slices by byte offset
         enc_deltas = codec.segmented_delta_encode(id_s, cstarts)
         ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
-        tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint64))
+        # tf values fit 32 bits by construction (tf ≤ doclen): the
+        # 32-bit encode path is 5 masked passes over half the memory
+        # traffic and emits byte-identical varints for identical values
+        tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint32))
         pos_sorted, pvoffs = codec.reorder_segments(pos_flat, tfs, order)
         penc = codec.segmented_delta_encode(pos_sorted, pvoffs[:-1])
         pbuf2, poffs2 = codec.varint_encode_all(penc)
@@ -679,21 +687,27 @@ class MergeShardGroup:
         first_doc = id_s[cstarts]
         last_doc = id_s[cends - 1]
 
-        ids_enc, tfs_enc, pos_enc = [], [], []
-        bl_col, bm_col, ibo_col, tbo_col = [], [], [], []
+        # per-cell encoded slices are contiguous in cell order, so the
+        # binary columns are built straight from the batch buffers +
+        # offset bounds (no per-cell bytes objects); the block-metadata
+        # list columns likewise come from one flat array + the block
+        # cumsum (no per-cell .tolist())
         bcum = np.zeros(len(cstarts) + 1, dtype=np.int64)
         np.cumsum(nblocks, out=bcum[1:])
-        for c in range(len(cstarts)):
-            s, e = cstarts[c], cends[c]
-            ids_enc.append(ibuf2[ioffs[s]:ioffs[e]])
-            tfs_enc.append(tbuf2[toffs[s]:toffs[e]])
-            pos_enc.append(pbuf2[poffs2[pvoffs[s]] : poffs2[pvoffs[e]]])
-            blo, bhi = bcum[c], bcum[c + 1]
-            bl_col.append(block_last[blo:bhi].tolist())
-            bm_col.append(block_max[blo:bhi].tolist())
-            cell_bs = bs[blo:bhi]
-            ibo_col.append((ioffs[cell_bs] - ioffs[s]).tolist())
-            tbo_col.append((toffs[cell_bs] - toffs[s]).tolist())
+        cell_ends = np.append(cstarts, len(k_s))
+        ids_enc = codec.binary_from_slices(ibuf2, ioffs[cell_ends])
+        tfs_enc = codec.binary_from_slices(tbuf2, toffs[cell_ends])
+        pos_enc = codec.binary_from_slices(pbuf2, poffs2[pvoffs[cell_ends]])
+        bl_col = codec.list_from_offsets(
+            block_last.astype(np.int64), bcum, pa.int64()
+        )
+        bm_col = codec.list_from_offsets(
+            block_max.astype(np.float64), bcum, pa.float64()
+        )
+        cell_base_i = np.repeat(ioffs[cstarts], nblocks)
+        cell_base_t = np.repeat(toffs[cstarts], nblocks)
+        ibo_col = codec.list_from_offsets(ioffs[bs] - cell_base_i, bcum, pa.int64())
+        tbo_col = codec.list_from_offsets(toffs[bs] - cell_base_t, bcum, pa.int64())
 
         out_cols = {
                 "term": cell_terms,
@@ -703,13 +717,13 @@ class MergeShardGroup:
                 "cf": pa.array(cf.astype(np.int64)),
                 "first_doc": pa.array(first_doc.astype(np.int64)),
                 "last_doc": pa.array(last_doc.astype(np.int64)),
-                "ids_enc": pa.array(ids_enc, pa.binary()),
-                "tfs_enc": pa.array(tfs_enc, pa.binary()),
-                "pos_enc": pa.array(pos_enc, pa.binary()),
-                "block_last": pa.array(bl_col, pa.list_(pa.int64())),
-                "block_max": pa.array(bm_col, pa.list_(pa.float64())),
-                "ids_boff": pa.array(ibo_col, pa.list_(pa.int64())),
-                "tfs_boff": pa.array(tbo_col, pa.list_(pa.int64())),
+                "ids_enc": ids_enc,
+                "tfs_enc": tfs_enc,
+                "pos_enc": pos_enc,
+                "block_last": bl_col,
+                "block_max": bm_col,
+                "ids_boff": ibo_col,
+                "tfs_boff": tbo_col,
         }
         if self.slice_bounds is not None:
             out_cols["bslice"] = pa.array(
