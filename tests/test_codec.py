@@ -112,3 +112,45 @@ class TestNarrowDtypes:
             codec.varint_decode(codec.varint_encode(d32)), starts
         )
         assert np.array_equal(back, ids64)
+
+
+class TestArrowBufferHelpers:
+    """Zero-copy Arrow helpers used on the bandwidth-bound merge path:
+    each must equal the Python-object form it replaced exactly."""
+
+    def test_binary_concat_view_matches_join(self):
+        import pyarrow as pa
+
+        vals = [b"", b"a", b"long-cell-payload", b"\x00\xff", b""]
+        # chunked (post-concat shape) and sliced arrays both supported
+        col = pa.chunked_array([vals[:2], vals[2:]], pa.binary())
+        view = codec.binary_concat_view(col)
+        assert view.tobytes() == b"".join(vals)
+        arr = pa.array(vals, pa.binary()).slice(1, 3)
+        assert codec.binary_concat_view(arr).tobytes() == b"".join(vals[1:4])
+
+    def test_binary_concat_view_empty(self):
+        import pyarrow as pa
+
+        assert codec.binary_concat_view(pa.array([], pa.binary())).size == 0
+        assert (
+            codec.binary_concat_view(pa.array([b"", b""], pa.binary())).size
+            == 0
+        )
+
+    def test_binary_from_slices_matches_list(self):
+        buf = bytes(range(200))
+        bounds = np.array([0, 0, 3, 17, 17, 200], dtype=np.int64)
+        arr = codec.binary_from_slices(buf, bounds)
+        expect = [buf[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+        assert arr.to_pylist() == expect
+
+    def test_list_from_offsets_matches_tolist(self):
+        import pyarrow as pa
+
+        values = np.arange(10, dtype=np.int64) * 7
+        offsets = np.array([0, 0, 4, 4, 10], dtype=np.int64)
+        arr = codec.list_from_offsets(values, offsets, pa.int64())
+        expect = [values[offsets[i] : offsets[i + 1]].tolist() for i in range(4)]
+        assert arr.to_pylist() == expect
+        assert arr.type == pa.list_(pa.int64())
