@@ -53,20 +53,24 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+def varint_encode_all(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128-encode a uint64 array in one vectorized pass.
 
-    Returns ``(buf, offsets)`` where ``offsets`` has n+1 entries and
-    value i occupies ``buf[offsets[i]:offsets[i+1]]`` — slicing the
-    buffer at value boundaries yields valid standalone varint streams,
-    which is how per-cell / per-block encodings are produced without a
-    Python-level encode call per cell (the per-call numpy overhead
-    dominates otherwise; see BENCH notes).
+    Returns ``(buf, offsets)`` where ``buf`` is a uint8 array (NOT
+    ``bytes`` — the final ``tobytes()`` copy was pure overhead on the
+    bandwidth-bound invert path; :func:`binary_from_slices` and
+    :func:`varint_decode` take the array directly via the buffer
+    protocol), ``offsets`` has n+1 entries, and value i occupies
+    ``buf[offsets[i]:offsets[i+1]]`` — slicing the buffer at value
+    boundaries yields valid standalone varint streams, which is how
+    per-cell / per-block encodings are produced without a Python-level
+    encode call per cell (the per-call numpy overhead dominates
+    otherwise; see BENCH notes).
     """
     v, maxk = _as_unsigned(values)
     n = len(v)
     if n == 0:
-        return b"", np.zeros(1, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     nbytes = varint_lengths(v)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
@@ -80,12 +84,12 @@ def varint_encode_all(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         chunk = (v[mask] >> v.dtype.type(7 * k)) & seven_f
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[starts[mask] + k] = chunk.astype(np.uint8) | cont
-    return out.tobytes(), offsets
+    return out, offsets
 
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized)."""
-    return varint_encode_all(values)[0]
+    return varint_encode_all(values)[0].tobytes()
 
 
 def segmented_delta_encode(ids: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
@@ -129,11 +133,14 @@ def reorder_segments(
     total = int(new_offsets[-1])
     if total == 0:
         return np.zeros(0, dtype=values.dtype), new_offsets
-    idx = (
-        np.repeat(old_starts[:-1][order], lens_o)
-        + np.arange(total, dtype=np.int64)
-        - np.repeat(new_offsets[:-1], lens_o)
-    )
+    # gather index = arange + per-segment shift (old start − new start),
+    # repeated once — one wide repeat pass instead of two, and 32-bit
+    # index arithmetic when the array fits (this runs on the
+    # bandwidth-bound invert path where every temporary is wall time)
+    itype = np.int32 if len(values) < 2**31 and total < 2**31 else np.int64
+    shift = (old_starts[:-1][order] - new_offsets[:-1]).astype(itype)
+    idx = np.arange(total, dtype=itype)
+    idx += np.repeat(shift, lens_o)
     return values[idx], new_offsets
 
 
@@ -186,8 +193,9 @@ def binary_from_slices(buf: bytes, bounds: np.ndarray):
 
     n = len(bounds) - 1
     if len(buf) >= 2**31:  # pragma: no cover - >2GiB single-group buffer
+        raw = buf.tobytes() if isinstance(buf, np.ndarray) else buf
         return pa.array(
-            [buf[bounds[i] : bounds[i + 1]] for i in range(n)], pa.binary()
+            [raw[bounds[i] : bounds[i + 1]] for i in range(n)], pa.binary()
         )
     offs = np.ascontiguousarray(bounds, dtype=np.int32)
     return pa.BinaryArray.from_buffers(

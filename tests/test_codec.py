@@ -91,7 +91,7 @@ class TestNarrowDtypes:
         b32, o32 = codec.varint_encode_all(vals.astype(np.uint32))
         b32i, o32i = codec.varint_encode_all(vals.astype(np.int32))
         b64, o64 = codec.varint_encode_all(vals.astype(np.uint64))
-        assert b32 == b64 and b32i == b64
+        assert np.array_equal(b32, b64) and np.array_equal(b32i, b64)
         assert np.array_equal(o32, o64) and np.array_equal(o32i, o64)
         assert np.array_equal(
             codec.varint_decode(b32), vals.astype(np.uint64)
