@@ -383,6 +383,12 @@ def run_scaling() -> dict:
                 RAY_GRAFT_CPUS=str(ncpu),
                 GRAFT_BENCH_INDEX_ONLY="1",
                 GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+                # ONE build per level per rep: the interleave only
+                # samples the same load window if the 8- and 32-CPU
+                # builds run back-to-back; noise damping comes from the
+                # median across rep pairs, not from intra-rep resampling
+                GRAFT_BENCH_BUILD_REPS="1",
+                GRAFT_BENCH_BUILD_MAX_REPS="1",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
