@@ -224,35 +224,62 @@ class BatchTokenizer:
 
         if len(self._vocab) > self._VOCAB_MAX:
             self._reset()
+        import pyarrow.compute as pc
+
         n_docs = len(texts)
-        byte_parts: list[bytes] = []   # one per raw occurrence
-        kcounts: list[int] = []        # variants emitted per occurrence
         n_raws = np.empty(n_docs, dtype=np.int64)
-        # hot loop: locals + inlined memo hit (a function call per token
-        # would dominate), NFC check before the (usually no-op) normalize
+        all_raws: list[str] = []
+        # per-doc C-level regex + one list extend per doc; all
+        # per-OCCURRENCE work below is Arrow/numpy — the former Python
+        # loop paid a dict get + two appends for every one of the
+        # millions of occurrences in a batch, then fromiter/join over
+        # millions of small Python objects
         findall = _TOKEN_RE.findall
         is_norm = unicodedata.is_normalized
         norm = unicodedata.normalize
-        memo_get = self._raw.get
-        miss = self._ids_for_raw
-        bapp = byte_parts.append
-        kapp = kcounts.append
+        extend = all_raws.extend
         for di, text in enumerate(texts):
             t = text or ""
             if not is_norm("NFC", t):
                 t = norm("NFC", t)
             raws = findall(t)
             n_raws[di] = len(raws)
-            for raw in raws:
+            extend(raws)
+
+        total_raws = len(all_raws)
+        if total_raws:
+            # occurrences → distinct raws in C (zipfian streams make the
+            # dictionary tiny relative to the stream)
+            denc = pc.dictionary_encode(pa.array(all_raws, pa.string()))
+            codes = denc.indices.to_numpy().astype(np.int64)
+            memo_get = self._raw.get
+            miss = self._ids_for_raw
+            dflat_parts: list[bytes] = []
+            ndistinct = len(denc.dictionary)
+            dcounts = np.empty(ndistinct, dtype=np.int64)
+            # analyzer chain runs once per DISTINCT raw (memoized across
+            # batches) — the only remaining Python loop
+            for i, raw in enumerate(denc.dictionary.to_pylist()):
                 got = memo_get(raw)
                 if got is None:
                     got = miss(raw)
-                bapp(got[0])
-                kapp(got[1])
-
-        total_raws = int(n_raws.sum())
-        counts = np.fromiter(kcounts, dtype=np.int64, count=total_raws)
-        flat_ids = np.frombuffer(b"".join(byte_parts), dtype=np.int64)
+                dflat_parts.append(got[0])
+                dcounts[i] = got[1]
+            dflat = np.frombuffer(b"".join(dflat_parts), dtype=np.int64)
+            dstarts = np.zeros(ndistinct + 1, dtype=np.int64)
+            np.cumsum(dcounts, out=dstarts[1:])
+            # expand each occurrence's variant-id run with one gather
+            counts = dcounts[codes]
+            out_offs = np.zeros(total_raws + 1, dtype=np.int64)
+            np.cumsum(counts, out=out_offs[1:])
+            total = int(out_offs[-1])
+            shift = dstarts[:-1][codes] - out_offs[:-1]
+            idx = np.arange(total, dtype=np.int64)
+            idx += np.repeat(shift, counts)
+            flat_ids = dflat[idx]
+        else:
+            counts = np.zeros(0, dtype=np.int64)
+            flat_ids = np.zeros(0, dtype=np.int64)
         # per-doc totals of emitted variants = doclen (Σ tf) per doc
         raw_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_raws)
         doclens = np.bincount(raw_doc, weights=counts, minlength=n_docs).astype(
