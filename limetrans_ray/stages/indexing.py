@@ -538,12 +538,18 @@ class InvertStage:
         cell_bounds = np.append(starts, len(k_s))
         ids_enc = codec.binary_from_slices(ibuf, ioffs[cell_bounds])
         tfs_enc = codec.binary_from_slices(tbuf, toffs[cell_bounds])
-        # positions: gather the per-posting position runs into posting-
-        # sorted order, delta-encode within each posting, slice per cell
-        pos_sorted, vstarts = codec.reorder_segments(pos_flat, flat_tfs, order)
-        pdeltas = codec.segmented_delta_encode(pos_sorted, vstarts[:-1])
+        # positions: delta+varint encode the per-posting runs ONCE in
+        # original order (each run resets its delta, so a run's bytes
+        # are order-independent), then permute the ENCODED byte runs
+        # into posting-sorted order — moving ~1-2 encoded bytes/value
+        # through the gather instead of 8-byte ints
+        ovstarts = np.zeros(len(flat_tfs) + 1, dtype=np.int64)
+        np.cumsum(flat_tfs, out=ovstarts[1:])
+        pdeltas = codec.segmented_delta_encode(pos_flat, ovstarts[:-1])
         pbuf, poffs = codec.varint_encode_all(pdeltas)
-        pos_enc = codec.binary_from_slices(pbuf, poffs[vstarts[cell_bounds]])
+        run_blen = poffs[ovstarts[1:]] - poffs[ovstarts[:-1]]
+        pbuf_s, pboffs = codec.reorder_segments(pbuf, run_blen, order)
+        pos_enc = codec.binary_from_slices(pbuf_s, pboffs[cell_bounds])
         shards = self._shards_for(vocab)[cell_codes]
         if self.bg_bounds is not None:
             bgroups = (
@@ -638,11 +644,20 @@ class MergeShardGroup:
         deltas = codec.varint_decode(ibuf)
         ids = codec.segmented_delta_decode(deltas, seg_starts)
         tfs = codec.varint_decode(tbuf).astype(np.int64)
+        # positions are NEVER decoded here: each posting's delta+varint
+        # run is self-contained (delta resets per posting), so the merge
+        # only needs to permute the encoded byte runs into the merged
+        # posting order. One boundary scan (terminator bytes are <0x80)
+        # replaces decode + delta-decode + re-encode of the largest
+        # column in the exchange.
         pbuf = codec.binary_concat_view(group.column("pos_enc"))
-        pdeltas = codec.varint_decode(pbuf)
         pvstarts = np.zeros(len(tfs) + 1, dtype=np.int64)
         np.cumsum(tfs, out=pvstarts[1:])
-        pos_flat = codec.segmented_delta_decode(pdeltas, pvstarts[:-1])
+        vend = np.flatnonzero(pbuf < 128).astype(np.int64) + 1
+        post_bstart = np.zeros(len(tfs) + 1, dtype=np.int64)
+        if len(tfs):
+            post_bstart[1:] = vend[pvstarts[1:] - 1]
+        pos_run_blen = post_bstart[1:] - post_bstart[:-1]
 
         # (term, bucket) cell key per posting
         dict_arr = pc.dictionary_encode(group.column("term").combine_chunks())
@@ -679,9 +694,7 @@ class MergeShardGroup:
         # 32-bit encode path is 5 masked passes over half the memory
         # traffic and emits byte-identical varints for identical values
         tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint32))
-        pos_sorted, pvoffs = codec.reorder_segments(pos_flat, tfs, order)
-        penc = codec.segmented_delta_encode(pos_sorted, pvoffs[:-1])
-        pbuf2, poffs2 = codec.varint_encode_all(penc)
+        pbuf2, pboffs = codec.reorder_segments(pbuf, pos_run_blen, order)
 
         cf = np.add.reduceat(tf_s, cstarts) if len(cstarts) else np.zeros(0, dtype=np.int64)
         first_doc = id_s[cstarts]
@@ -697,7 +710,7 @@ class MergeShardGroup:
         cell_ends = np.append(cstarts, len(k_s))
         ids_enc = codec.binary_from_slices(ibuf2, ioffs[cell_ends])
         tfs_enc = codec.binary_from_slices(tbuf2, toffs[cell_ends])
-        pos_enc = codec.binary_from_slices(pbuf2, poffs2[pvoffs[cell_ends]])
+        pos_enc = codec.binary_from_slices(pbuf2, pboffs[cell_ends])
         bl_col = codec.list_from_offsets(
             block_last.astype(np.int64), bcum, pa.int64()
         )
