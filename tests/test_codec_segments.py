@@ -101,3 +101,44 @@ def test_audio_stub_stage(ray_session):
                  "payload": pa.array([b"ID3 not-wav"], pa.binary())}
             )
         )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=8),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_position_run_byte_permutation_matches_reencode(runs):
+    """The merge-side shortcut: permuting ENCODED per-posting position
+    runs must equal decode → permute → re-encode (each run's delta
+    resets at its start, so its bytes are order-independent)."""
+    rng = np.random.default_rng(3)
+    runs = [sorted(r) for r in runs]
+    tfs = np.array([len(r) for r in runs], dtype=np.int64)
+    flat = np.array([v for r in runs for v in r], dtype=np.int64)
+    starts = np.zeros(len(runs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts[1:])
+    deltas = codec.segmented_delta_encode(flat, starts[:-1])
+    pbuf, poffs = codec.varint_encode_all(deltas)
+    order = rng.permutation(len(runs))
+
+    # shortcut path (what MergeShardGroup does): terminator-byte scan
+    # for run boundaries, then byte-run permutation
+    vend = np.flatnonzero(np.asarray(pbuf) < 128).astype(np.int64) + 1
+    post_bstart = np.zeros(len(tfs) + 1, dtype=np.int64)
+    post_bstart[1:] = vend[starts[1:] - 1]
+    run_blen = post_bstart[1:] - post_bstart[:-1]
+    got, got_offs = codec.reorder_segments(np.asarray(pbuf), run_blen, order)
+
+    # reference path: decode, permute values, re-encode
+    dec = codec.segmented_delta_decode(codec.varint_decode(pbuf), starts[:-1])
+    vals_o, offs_o = codec.reorder_segments(dec, tfs, order)
+    ref_deltas = codec.segmented_delta_encode(vals_o, offs_o[:-1])
+    ref_buf, _ = codec.varint_encode_all(ref_deltas.astype(np.uint64))
+
+    assert np.array_equal(got, np.asarray(ref_buf))
+    # and the per-run byte offsets land on value boundaries
+    assert got_offs[-1] == len(pbuf)
