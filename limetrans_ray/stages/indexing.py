@@ -690,10 +690,12 @@ class MergeShardGroup:
         # one batched encode; per-cell and per-block slices by byte offset
         enc_deltas = codec.segmented_delta_encode(id_s, cstarts)
         ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
-        # tf values fit 32 bits by construction (tf ≤ doclen): the
-        # 32-bit encode path is 5 masked passes over half the memory
-        # traffic and emits byte-identical varints for identical values
-        tbuf2, toffs = codec.varint_encode_all(tf_s.astype(np.uint32))
+        # tfs are never re-encoded either: each tf is a one-value varint
+        # run whose byte length follows from its decoded value, so the
+        # encoded runs permute like the position runs (bytes identical
+        # to a re-encode by construction)
+        tf_blen = codec.varint_lengths(tfs.astype(np.uint32))
+        tbuf2, toffs = codec.reorder_segments(np.asarray(tbuf), tf_blen, order)
         pbuf2, pboffs = codec.reorder_segments(pbuf, pos_run_blen, order)
 
         cf = np.add.reduceat(tf_s, cstarts) if len(cstarts) else np.zeros(0, dtype=np.int64)
