@@ -68,6 +68,22 @@ Supported ops (name, kwargs):
   references the loop variable), other fields untouched
 - ``("prepend", {"field": f, "value": v})`` / ``("append", ...)`` —
   prefix/suffix every value of f (Metafix prepend/append)
+- ``("drop_local", {"member": code})`` — the reference's custom
+  ``drop_local()`` (main/.../function/DropLocal.java:19-58; alma.fix:23):
+  drop every field OCCURRENCE (entity) whose subfield ``9`` value is
+  ``LOCAL`` or matches ``[A-Z]:[0-9]+[a-z]?`` AND whose subfield ``M``
+  exists with a value ≠ this member's code; entities without a ``9``
+  hit, without an ``M``, or owned by this member survive
+- ``("drop_repeated", {"field": f, "index": n?})`` — the reference's
+  ``drop_repeated(field, index: n)`` (DropRepeated.java:13-32;
+  alma.fix:24): collapse a REPEATED field to its n-th occurrence
+  (1-based, default 1); a field with a single occurrence is untouched
+  (the reference only rewrites array values)
+- ``("if_member_local", {"field": f, "member": m, "ops": [..]})`` —
+  the reference's ``member_local(path)`` predicate
+  (MemberLocal.java:15-35; alma.fix:412,646) guarding a sub-program:
+  records where ``f.M`` is absent OR any ``f.M`` value equals the
+  member code run the sub-ops; other records pass through unchanged
 - ``("substring", {"field": f, "start": i, "length": n?})`` — slice
   values of f (0-based start, to end when length omitted)
 - ``("trim", {"field": f})``, ``("upcase", {"field": f})``,
@@ -95,7 +111,21 @@ _KNOWN = {
     "lookup", "paste", "uniq", "retain", "reject_if",
     "add_array", "add_hash", "vacuum", "parse_text", "do_list",
     "prepend", "append", "substring", "trim", "upcase", "downcase",
+    "drop_local", "drop_repeated", "if_member_local",
 }
+
+# DropLocal.java:23-25: LOCAL literal or [A-Z]:[0-9]+[a-z]? (full match)
+_LOCAL_RX = r"(?:LOCAL|[A-Z]:[0-9]+[a-z]?)\Z"
+
+
+def _entity_key(df: pd.DataFrame) -> pd.Series:
+    """(record_id, field, occurrence) composite key — one value per
+    entity (a repeated field's occurrence groups its subfield rows)."""
+    return (
+        df["record_id"].astype(str)
+        + "\x00" + df["field"].astype(str)
+        + "\x00" + df["occurrence"].astype(str)
+    )
 
 
 def _first_occurrence_values(df: pd.DataFrame, field: str) -> pd.Series:
@@ -308,6 +338,45 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
         elif name == "downcase":
             sel = df["field"] == kw["field"]
             df.loc[sel, "value"] = df.loc[sel, "value"].str.lower()
+        elif name == "drop_local":
+            # DropLocal.java:40-48: drop the entity iff (a) its "9"
+            # subfield matches the LOCAL predicate and (b) an "M"
+            # subfield exists with a value != this member's code.
+            # Entity = (record, field, occurrence): same-occurrence
+            # subfield rows form one element of a repeated field (the
+            # decoders emit one row per subfield per element, so the
+            # grouping is exact for MARC-style data).
+            member = str(kw["member"])
+            key = _entity_key(df)
+            is9 = (df["subfield"] == "9") & df["value"].str.match(
+                _LOCAL_RX, na=False
+            )
+            m_other = (df["subfield"] == "M") & (df["value"] != member)
+            drop_keys = set(key[is9]) & set(key[m_other])
+            if drop_keys:
+                df = df[~key.isin(drop_keys)]
+        elif name == "drop_repeated":
+            idx = int(kw.get("index", 1)) - 1  # DropRepeated.java:21
+            sel = df["field"] == kw["field"]
+            occ = df.loc[sel]
+            # repeated = >1 occurrence within a record (an array value);
+            # single-occurrence fields stay untouched, like the
+            # reference's ifArray guard (DropRepeated.java:27)
+            repeated = occ.groupby("record_id")["occurrence"].transform("max") > 0
+            drop = sel.copy()
+            drop.loc[occ.index] = repeated & (occ["occurrence"] != idx)
+            df = df[~drop]
+        elif name == "if_member_local":
+            # MemberLocal.java:24-34: predicate true when field.M is
+            # absent, or any field.M value equals the member code
+            member = str(kw["member"])
+            m_rows = df[(df["field"] == kw["field"]) & (df["subfield"] == "M")]
+            has_m = set(m_rows["record_id"])
+            m_eq = set(m_rows.loc[m_rows["value"] == member, "record_id"])
+            rec_ids = df["record_id"]
+            pred = ~rec_ids.isin(has_m) | rec_ids.isin(m_eq)
+            sub = apply_ops(df[pred].copy(), list(kw["ops"]))
+            df = pd.concat([sub, df[~pred]], ignore_index=True)
         df = df.reset_index(drop=True)
     # renumber occurrences per (record, field, subfield), stable order
     df = df.reset_index(drop=True)
@@ -340,6 +409,8 @@ class RecordOps:
         "prepend": ("field", "value"), "append": ("field", "value"),
         "substring": ("field", "start"), "trim": ("field",),
         "upcase": ("field",), "downcase": ("field",),
+        "drop_local": ("member",), "drop_repeated": ("field",),
+        "if_member_local": ("field", "member", "ops"),
     }
 
     @classmethod
@@ -358,7 +429,7 @@ class RecordOps:
                         "parse_text pattern needs named groups "
                         "(?P<field>...) — group names become fields"
                     )
-            elif name == "do_list":
+            elif name in ("do_list", "if_member_local"):
                 cls._validate(kw["ops"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -265,3 +265,117 @@ def test_scalar_ops():
     m = _as_map(t)
     assert m[("r1", "x", None, 0)] == "pad"
     assert m[("r1", "y", None, 0)] == "bc"
+
+
+def test_drop_local_entity_semantics():
+    """DropLocal.java:19-58 (alma.fix:23): a field occurrence whose
+    subfield 9 is LOCAL (or matches [A-Z]:[0-9]+[a-z]?) AND whose
+    subfield M names ANOTHER member is dropped; owned-by-us, no-9,
+    no-M and non-matching-9 entities all survive."""
+    rows = _rows(
+        # local marker + other member -> dropped
+        ("r1", "940", "a", 0, "note-a"),
+        ("r1", "940", "9", 0, "LOCAL"),
+        ("r1", "940", "M", 0, "DE-OTHER"),
+        # local marker + OUR member -> kept (DropLocal: only != member drops)
+        ("r1", "940", "a", 1, "note-b"),
+        ("r1", "940", "9", 1, "A:123a"),
+        ("r1", "940", "M", 1, "DE-605"),
+        # local marker, no M at all -> kept (memberField == null)
+        ("r1", "941", "9", 0, "LOCAL"),
+        ("r1", "941", "a", 0, "note-c"),
+        # 9 doesn't match the predicate -> kept even with foreign M
+        ("r1", "942", "9", 0, "X:12B"),  # lowercase-suffix rule: B fails
+        ("r1", "942", "M", 0, "DE-OTHER"),
+        # unrelated field
+        ("r1", "245", "a", 0, "Title"),
+    )
+    out = apply_ops(rows, [("drop_local", {"member": "DE-605"})])
+    m = _as_map(out)
+    assert ("r1", "940", "a", 0) in m and m[("r1", "940", "a", 0)] == "note-b"
+    assert len(out[out["field"] == "940"]) == 3  # only the kept entity
+    assert ("r1", "941", "a", 0) in m
+    assert ("r1", "942", "9", 0) in m
+    assert ("r1", "245", "a", 0) in m
+
+
+def test_drop_local_regex_full_match_only():
+    """The [A-Z]:[0-9]+[a-z]? pattern is a FULL match
+    (Matcher.matches(), DropLocal.java:23-25) — a superstring value
+    must not count as local."""
+    rows = _rows(
+        ("r1", "940", "9", 0, "A:123abc"),  # trailing junk -> not local
+        ("r1", "940", "M", 0, "DE-OTHER"),
+    )
+    out = apply_ops(rows, [("drop_local", {"member": "DE-605"})])
+    assert len(out) == 2
+
+
+def test_drop_repeated_keeps_nth_occurrence():
+    """DropRepeated.java:13-32 (alma.fix:24): a repeated field collapses
+    to its index-th element (1-based, default 1); single-occurrence
+    fields are untouched (the ifArray guard)."""
+    rows = _rows(
+        ("r1", "700", "a", 0, "First, Person"),
+        ("r1", "700", "a", 1, "Second, Person"),
+        ("r1", "700", "a", 2, "Third, Person"),
+        ("r1", "245", "a", 0, "only"),
+        ("r2", "700", "a", 0, "Solo, Person"),
+    )
+    out = apply_ops(rows, [("drop_repeated", {"field": "700"})])
+    m = _as_map(out)
+    assert m[("r1", "700", "a", 0)] == "First, Person"
+    assert len(out[(out["record_id"] == "r1") & (out["field"] == "700")]) == 1
+    assert m[("r2", "700", "a", 0)] == "Solo, Person"  # untouched
+    out2 = apply_ops(rows, [("drop_repeated", {"field": "700", "index": 2})])
+    m2 = _as_map(out2)
+    assert m2[("r1", "700", "a", 0)] == "Second, Person"
+
+
+def test_if_member_local_scopes_subprogram():
+    """MemberLocal.java:15-35 (alma.fix:412,646): the guarded sub-ops
+    run when field.M is absent OR any field.M equals the member var;
+    records failing the predicate pass through unchanged."""
+    rows = _rows(
+        # r1: M == member -> predicate true
+        ("r1", "940", "M", 0, "DE-605"),
+        ("r1", "940", "a", 0, "x"),
+        # r2: M exists, != member -> predicate false
+        ("r2", "940", "M", 0, "DE-OTHER"),
+        ("r2", "940", "a", 0, "x"),
+        # r3: no M at all -> predicate true (Exists false branch)
+        ("r3", "245", "a", 0, "x"),
+    )
+    out = apply_ops(
+        rows,
+        [("if_member_local", {
+            "field": "940", "member": "DE-605",
+            "ops": [("add_field", {"field": "flag", "value": "local"})],
+        })],
+    )
+    flagged = set(out.loc[out["field"] == "flag", "record_id"])
+    assert flagged == {"r1", "r3"}
+
+
+def test_drop_local_through_recordops_class():
+    """The new ops compile + validate through RecordOps (map_batches
+    form) like every other op."""
+    stage = RecordOps([
+        ("drop_local", {"member": "DE-605"}),
+        ("drop_repeated", {"field": "700", "index": 1}),
+    ])
+    tbl = pa.Table.from_pandas(
+        _rows(
+            ("r1", "940", "9", 0, "LOCAL"),
+            ("r1", "940", "M", 0, "DE-X"),
+            ("r1", "700", "a", 0, "A"),
+            ("r1", "700", "a", 1, "B"),
+        ),
+        schema=ROW_SCHEMA, preserve_index=False,
+    )
+    out = stage(tbl).to_pandas()
+    assert set(out["field"]) == {"700"}
+    assert out["value"].tolist() == ["A"]
+    with pytest.raises(ValueError):
+        RecordOps([("if_member_local", {"field": "f", "member": "m",
+                                        "ops": [("nope", {})]})])
