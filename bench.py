@@ -366,6 +366,59 @@ def _median(xs: list[float]) -> float:
     return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
+def _mini_probe() -> float:
+    """One quick 8-vs-32-process CPU probe (shortened hash loops, ~5 s):
+    the same shape as :func:`_hardware_ceiling` but cheap enough to poll.
+    Returns the normalized 8→32 efficiency of the box RIGHT NOW."""
+    code = (
+        "import hashlib,time\n"
+        "t0=time.time()\n"
+        "h=b'x'*1024\n"
+        "for i in range(400000): h=hashlib.blake2b(h,digest_size=64).digest()*16\n"
+        "print(time.time()-t0)\n"
+    )
+
+    def run_n(n: int) -> float:
+        t0 = time.time()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        for p in procs:
+            p.communicate()
+        return time.time() - t0
+
+    w8, w32 = run_n(8), run_n(32)
+    return ((32 / w32) / (8 / w8)) / 4
+
+
+def wait_quiet_window(
+    threshold: float, timeout_s: float, consecutive: int = 2
+) -> dict:
+    """Block until ``consecutive`` mini-probes in a row measure at least
+    ``threshold`` 8→32 efficiency, or ``timeout_s`` elapses (then run
+    anyway — the number published is always a real measured wall). This
+    is the probe-gating leg of the BASELINE.md §4c measurement protocol:
+    on a shared box whose load swings 2-3x minute-to-minute, starting a
+    scaling measurement inside a loaded window measures the co-tenants,
+    not the engine."""
+    t0 = time.time()
+    probes: list[float] = []
+    streak = 0
+    while True:
+        p = _mini_probe()
+        probes.append(round(p, 3))
+        streak = streak + 1 if p >= threshold else 0
+        if streak >= consecutive or time.time() - t0 > timeout_s:
+            return {
+                "gate_threshold": threshold,
+                "gate_probes": probes,
+                "gate_passed": streak >= consecutive,
+                "gate_wait_s": round(time.time() - t0, 1),
+            }
+        time.sleep(min(20, max(5, (time.time() - t0) / 4)))
+
+
 def run_scaling() -> dict:
     """8 vs 32 CPUs on the same input in fresh processes, interleaved
     ``SCALING_REPS`` rep pairs (8, 32, 8, 32, …) so both levels sample
@@ -373,7 +426,18 @@ def run_scaling() -> dict:
     efficiency across reps (not the best — shared-vCPU noise swings
     single reps up to 2.4×; see BASELINE.md §4a); per-rep detail is kept.
     Hardware ceilings (independent processes + Ray tasks) are calibrated
-    in the same window and both raw and normalized figures reported."""
+    in the same window and both raw and normalized figures reported.
+
+    Probe gate (default ON here, BASELINE.md §4c protocol): wait up to
+    ``GRAFT_GATE_TIMEOUT_S`` (default 480 s) for two consecutive quiet
+    CPU probes ≥ ``GRAFT_GATE`` (default 0.6) before the first rep; if
+    the box never quiets, run anyway and report the failed gate."""
+    gate = float(os.environ.get("GRAFT_GATE", "0.6"))
+    gate_info = (
+        wait_quiet_window(gate, float(os.environ.get("GRAFT_GATE_TIMEOUT_S", "480")))
+        if gate > 0
+        else {"gate_threshold": 0, "gate_probes": [], "gate_passed": None}
+    )
     reps: list[dict] = []
     for rep in range(SCALING_REPS):
         level: dict[int, dict] = {}
@@ -446,6 +510,7 @@ def run_scaling() -> dict:
         "result_identity": len(hashes) == 1,
         "result_hash": reps[-1]["hash_32"],
         "scaling_rows": SCALING_ROWS,
+        **gate_info,
         "queries": {
             "index_build_8cpu": _median([r["sec_8"] for r in reps]),
             "index_build_32cpu": _median([r["sec_32"] for r in reps]),

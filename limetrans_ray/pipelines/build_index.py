@@ -773,6 +773,8 @@ def _finish_from_fwd(
         else:
             segs.write_parquet(seg_dir)
         metrics["segments_s"] = time.perf_counter() - t0
+        if os.environ.get("GRAFT_DUMP_STAGE_STATS"):  # perf diagnostics only
+            print(segs.stats(), flush=True)
         mf.write_stage_manifest(
             bdir,
             "segments",
