@@ -71,6 +71,11 @@ def canonical_url_batch(urls) -> "list[str]":
                                    replacement="")
     s = pc.replace_substring_regex(s, pattern="(?s)" + UTM_QUERY_PATTERN,
                                    replacement="")
+    # The trailing-slash step is where Python-`$` (also matches before a
+    # final newline) and RE2-`$` (end-of-text only) diverge, so the
+    # fallback mask must test THIS value — fragment/utm stripping can
+    # expose a trailing newline the raw url did not end with.
+    pre_trail = s
     s = pc.replace_substring_regex(s, pattern=TRAILING_SLASH_PATTERN,
                                    replacement="")
     g = pc.extract_regex(
@@ -81,7 +86,7 @@ def canonical_url_batch(urls) -> "list[str]":
     joined = pc.binary_join_element_wise(pc.utf8_lower(sh), rest, "")
     out = pc.if_else(pc.is_valid(sh), joined, s)
     exact = pc.and_(
-        pc.invert(pc.match_substring_regex(arr, "(?s)\n$")),
+        pc.invert(pc.match_substring_regex(pre_trail, "(?s)\n$")),
         pc.if_else(pc.is_valid(sh), pc.string_is_ascii(sh), pa.scalar(True)),
     )
     result = out.to_pylist()
