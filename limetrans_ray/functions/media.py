@@ -111,6 +111,147 @@ def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+# -------------------------------------------------------------------- video
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _y4m_plane_shapes(cs: bytes, w: int, h: int) -> tuple[int, int, int]:
+    """(y_size, chroma_w, chroma_h) per Y4M colorspace tag."""
+    if cs.startswith(b"420"):
+        return w * h, (w + 1) // 2, (h + 1) // 2
+    if cs.startswith(b"422"):
+        return w * h, (w + 1) // 2, h
+    if cs.startswith(b"444"):
+        return w * h, w, h
+    if cs == b"mono":
+        return w * h, 0, 0
+    raise UnsupportedMediaFormat(f"Y4M colorspace C{cs.decode()} not supported")
+
+
+def decode_y4m(payload: bytes, *, rgb: bool = True) -> tuple[np.ndarray, dict]:
+    """YUV4MPEG2 (Y4M) uncompressed video → (frames, meta).
+
+    Y4M is the plain-text-headered raw-video interchange format of the
+    mjpegtools suite (public spec): a ``YUV4MPEG2`` stream header with
+    ``W``/``H``/``F``/``C`` parameters, then per frame a ``FRAME`` line
+    followed by raw planar YUV. No codec library needed — this is the
+    real decode path behind the video stage's ``decoder="auto"``.
+
+    Supports C420*, C422, C444 and Cmono. Returns frames as a
+    ``(n, h, w, 3)`` uint8 array — BT.601 limited-range RGB when
+    ``rgb=True``, else YUV with chroma nearest-upsampled to 4:4:4
+    (mono fills neutral chroma 128). ``meta`` carries width/height/
+    fps_num/fps_den/colorspace/n_frames."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise UnsupportedMediaFormat("not a YUV4MPEG2 stream")
+    try:
+        return _decode_y4m_body(payload, rgb)
+    except UnsupportedMediaFormat:
+        raise
+    except (ValueError, struct.error, IndexError) as e:
+        raise UnsupportedMediaFormat(f"malformed Y4M payload: {e}") from e
+
+
+def _decode_y4m_body(payload: bytes, rgb: bool) -> tuple[np.ndarray, dict]:
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_num, fps_den = 25, 1
+    cs = b"420jpeg"  # the spec's default when C is absent
+    for tok in payload[len(_Y4M_MAGIC):nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif key == b"C":
+            cs = val
+        # I (interlacing), A (aspect), X (comment) don't affect plane layout
+    if not w or not h:
+        raise UnsupportedMediaFormat("Y4M header missing W/H")
+    y_size, cw, ch = _y4m_plane_shapes(cs, w, h)
+    c_size = cw * ch
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise UnsupportedMediaFormat("expected FRAME marker")
+        pos = fnl + 1
+        if pos + y_size + 2 * c_size > len(payload):
+            raise UnsupportedMediaFormat("truncated Y4M frame")
+        y = np.frombuffer(payload, np.uint8, count=y_size, offset=pos).reshape(h, w)
+        pos += y_size
+        if c_size:
+            u = np.frombuffer(payload, np.uint8, count=c_size, offset=pos).reshape(ch, cw)
+            pos += c_size
+            v = np.frombuffer(payload, np.uint8, count=c_size, offset=pos).reshape(ch, cw)
+            pos += c_size
+            # nearest-neighbor chroma upsample to 4:4:4
+            if (ch, cw) != (h, w):
+                u = u[(np.arange(h) * ch // h)[:, None], (np.arange(w) * cw // w)[None, :]]
+                v = v[(np.arange(h) * ch // h)[:, None], (np.arange(w) * cw // w)[None, :]]
+        else:
+            u = v = np.full((h, w), 128, dtype=np.uint8)
+        frames.append(np.stack([y, u, v], axis=-1))
+    out = np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+    if rgb and len(out):
+        out = yuv_to_rgb(out)
+    meta = {
+        "width": w, "height": h, "fps_num": fps_num, "fps_den": fps_den,
+        "colorspace": "C" + cs.decode("ascii"), "n_frames": len(frames),
+    }
+    return out, meta
+
+
+def yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr → RGB (uint8 in, uint8 out), vectorized
+    over any leading shape ending in a channel axis of 3."""
+    f = yuv.astype(np.float64)
+    yp = (f[..., 0] - 16.0) * (255.0 / 219.0)
+    cb = f[..., 1] - 128.0
+    cr = f[..., 2] - 128.0
+    r = yp + 1.596 * cr
+    g = yp - 0.392 * cb - 0.813 * cr
+    b = yp + 2.017 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0).round().astype(np.uint8)
+
+
+def encode_y4m(
+    frames: np.ndarray, *, fps: tuple[int, int] = (25, 1), colorspace: str = "C444"
+) -> bytes:
+    """Y4M stream from ``(n, h, w, 3)`` uint8 YUV frames (fixture/test
+    helper, the inverse of ``decode_y4m(rgb=False)``; C444 round-trips
+    bit-exactly, C420 subsamples chroma by top-left-of-2x2 nearest)."""
+    n, h, w, _ = frames.shape
+    cs = colorspace.encode("ascii").lstrip(b"C")
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (w, h, fps[0], fps[1], cs)
+    parts = [head]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        f = np.ascontiguousarray(frames[i], dtype=np.uint8)
+        parts.append(f[:, :, 0].tobytes())
+        if cs.startswith(b"444"):
+            parts.append(f[:, :, 1].tobytes())
+            parts.append(f[:, :, 2].tobytes())
+        elif cs.startswith(b"420"):
+            parts.append(f[::2, ::2, 1].tobytes())
+            parts.append(f[::2, ::2, 2].tobytes())
+        elif cs.startswith(b"422"):
+            parts.append(f[:, ::2, 1].tobytes())
+            parts.append(f[:, ::2, 2].tobytes())
+        elif cs == b"mono":
+            pass
+        else:
+            raise UnsupportedMediaFormat(f"encode colorspace {colorspace} not supported")
+    return b"".join(parts)
+
+
 # -------------------------------------------------------------------- audio
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

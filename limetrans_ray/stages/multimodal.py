@@ -12,8 +12,11 @@ Decode paths per stage:
 - ``decoder="stub"`` (default) — deterministic fake seeded from the
   payload digest, for codec-free smoke pipelines.
 
-Video frame extraction stays a byte-window stub (no ffmpeg anywhere in
-scope); its explode contract (one row → n_frames rows) is real.
+Video frame extraction is REAL for YUV4MPEG2 (Y4M) payloads — the
+public uncompressed raw-video format, parsed in pure numpy — with
+sampled frames re-emitted as PPM payloads that feed straight into
+:class:`ImageDecodeStage`; compressed containers (MP4/WebM/…) raise or
+degrade to the byte-window stub exactly like the image/audio stages.
 
 Usage pattern (binary payloads dominate block size, so batches stay
 small and the batch format stays Arrow end-to-end):
@@ -37,6 +40,14 @@ from ..functions.media import (
     resample_linear,
     resize_nearest,
 )
+
+__all__ = [
+    "AudioDecodeStage",
+    "DecoderNotAvailable",
+    "FrameSampleStage",
+    "ImageDecodeStage",
+    "ImageFeatureStage",
+]
 
 
 class DecoderNotAvailable(NotImplementedError):
@@ -199,25 +210,75 @@ class AudioDecodeStage:
 
 
 class FrameSampleStage:
-    """binary "video" column → every k-th frame's payload slice (stub:
-    fixed-stride byte windows standing in for frame extraction; the
-    contract — one input row explodes into ``n_frames`` output rows
-    with ``frame_idx`` — is the real part)."""
+    """binary "video" column → ``n_frames`` evenly-spaced frames per row.
 
-    def __init__(self, video_col: str = "payload", n_frames: int = 4, frame_bytes: int = 256):
+    ``decoder="auto"``: REAL frame extraction for YUV4MPEG2 (Y4M)
+    payloads — the public uncompressed raw-video interchange format,
+    parsed in pure numpy (functions/media.py:decode_y4m). Sampled frames
+    are re-emitted as P6 PPM payloads in the ``frame`` binary column, so
+    the stage composes directly with ``ImageDecodeStage(decoder="auto")``
+    (video → frames → pixels → features, all real). Compressed
+    containers (MP4/WebM/…) still need external codecs: they raise
+    :class:`DecoderNotAvailable` (``fallback="error"``) or degrade to
+    the byte-window stub (``fallback="stub"``).
+
+    ``decoder="stub"`` (default): fixed-stride byte windows standing in
+    for frame extraction. Both modes share the explode contract — one
+    input row → ``n_frames`` output rows with ``frame_idx`` = sample
+    ordinal — and the same output schema."""
+
+    def __init__(
+        self,
+        video_col: str = "payload",
+        n_frames: int = 4,
+        frame_bytes: int = 256,
+        *,
+        decoder: str = "stub",
+        fallback: str = "error",
+    ):
+        if decoder not in ("stub", "auto"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if fallback not in ("stub", "error"):
+            raise ValueError(f"unknown fallback {fallback!r}")
         self.video_col = video_col
         self.n_frames = n_frames
         self.frame_bytes = frame_bytes
+        self.decoder = decoder
+        self.fallback = fallback
+
+    def _stub_frames(self, p: bytes) -> list[bytes]:
+        stride = max(1, len(p) // self.n_frames)
+        return [
+            p[min(f * stride, max(0, len(p) - 1)):][: self.frame_bytes]
+            for f in range(self.n_frames)
+        ]
+
+    def _frames(self, p: bytes) -> list[bytes]:
+        if self.decoder == "auto":
+            from ..functions.media import decode_y4m, encode_ppm
+
+            try:
+                frames, _meta = decode_y4m(p, rgb=True)
+                if len(frames) == 0:
+                    return [b""] * self.n_frames
+                # evenly-spaced source frames (first and last included)
+                pick = np.linspace(0, len(frames) - 1, self.n_frames).round().astype(int)
+                return [encode_ppm(frames[i]) for i in pick]
+            except UnsupportedMediaFormat as e:
+                if self.fallback == "error":
+                    raise DecoderNotAvailable(
+                        f"payload needs an external codec ({e}); pass "
+                        "fallback='stub' to degrade to byte windows"
+                    ) from e
+        return self._stub_frames(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.video_col).to_pylist()
         other_cols = [c for c in batch.column_names if c != self.video_col]
         out_idx, frames, frame_no = [], [], []
         for i, p in enumerate(payloads):
-            stride = max(1, len(p) // self.n_frames)
-            for f in range(self.n_frames):
-                start = min(f * stride, max(0, len(p) - 1))
-                frames.append(p[start : start + self.frame_bytes])
+            for f, payload in enumerate(self._frames(p)):
+                frames.append(payload)
                 frame_no.append(f)
                 out_idx.append(i)
         cols = {c: batch.column(c).take(pa.array(out_idx)) for c in other_cols}

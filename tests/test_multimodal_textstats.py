@@ -149,6 +149,63 @@ def test_frame_sample_explodes(ray_session, media_ds):
     assert out.groupby("media_id").size().eq(4).all()
 
 
+def test_frame_sample_real_y4m_chains_into_image_decode(ray_session):
+    """Real video path: Y4M payloads → evenly-spaced frames as PPM →
+    ImageDecodeStage(auto) — the full video→pixels pipeline with no stub
+    anywhere."""
+    import ray.data as rd
+
+    from limetrans_ray.functions.media import decode_ppm, encode_y4m, yuv_to_rgb
+
+    rng = np.random.default_rng(5)
+    clips = [
+        rng.integers(16, 236, size=(9, 6, 8, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(3), pa.int64()),
+                "payload": pa.array(
+                    [encode_y4m(c, colorspace="C444") for c in clips], pa.binary()
+                ),
+            }
+        )
+    )
+    frames = ds.map_batches(
+        FrameSampleStage("payload", n_frames=4, decoder="auto"),
+        batch_format="pyarrow",
+        batch_size=2,
+    )
+    tbl = frames.to_pandas().sort_values(["media_id", "frame_idx"])
+    assert len(tbl) == 3 * 4
+    # sample ordinal 0..3 maps to source frames 0, 3, 5, 8 of 9
+    row0 = tbl[(tbl.media_id == 0) & (tbl.frame_idx == 0)].iloc[0]
+    row3 = tbl[(tbl.media_id == 0) & (tbl.frame_idx == 3)].iloc[0]
+    assert np.array_equal(decode_ppm(row0["frame"]), yuv_to_rgb(clips[0][0]))
+    assert np.array_equal(decode_ppm(row3["frame"]), yuv_to_rgb(clips[0][8]))
+    # frames chain into the real image decode path
+    pixels = frames.map_batches(
+        ImageDecodeStage("frame", target=(6, 8), decoder="auto"),
+        batch_format="pyarrow",
+        batch_size=4,
+    ).to_pandas()
+    assert len(pixels) == 12 and all(len(p) == 6 * 8 * 3 for p in pixels["pixels"])
+
+
+def test_frame_sample_auto_rejects_compressed_containers(ray_session):
+    stage = FrameSampleStage("payload", n_frames=2, decoder="auto")
+    batch = pa.table(
+        {"payload": pa.array([b"\x1aE\xdf\xa3 webm-ish bytes"], pa.binary())}
+    )
+    with pytest.raises(DecoderNotAvailable):
+        stage(batch)
+    lenient = FrameSampleStage(
+        "payload", n_frames=2, decoder="auto", fallback="stub"
+    )
+    out = lenient(batch)
+    assert out.num_rows == 2  # byte-window stub keeps the explode contract
+
+
 def test_textstats_stages(ray_session):
     import ray.data as rd
 
