@@ -244,6 +244,184 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, end: in
     return out
 
 
+# ------------------------------------------------------- FOR / bit-packing
+# The PForDelta-family codec of the north rule ("delta-encoded and
+# varint/PForDelta-compressed"): doc-id gaps are frame-of-reference
+# bit-packed per block — each block stores one width byte (the max gap's
+# bit length) followed by byte-aligned LSB-first packed gaps. This is
+# the exception-free FOR/BP128 member of the family (the same layout
+# Lucene's PackedInts / FastPFOR's BP128 use as their fast path); our
+# (term, bucket) cells bound gaps to a bucket's doc range, so the
+# pathological outliers PFor's exception lists exist for cannot occur.
+# Opt-in per build via IndexBuildConfig.postings_codec="for"; each
+# segment row carries an ``ids_codec`` tag so varint and FOR rows
+# coexist (incremental update deltas stay varint).
+
+
+def for_encode_segmented(
+    values: np.ndarray, block_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bit-pack ``values`` (uint64-safe non-negative ints) in independent
+    blocks: block i covers ``values[block_starts[i]:block_starts[i+1]]``
+    (with an implicit final bound of ``len(values)``). Per block: one
+    width byte + ``ceil(n*w/8)`` bytes of LSB-first packed values.
+    Returns ``(buf uint8, byte_offsets int64 len nblocks+1)``.
+
+    Vectorized by width class: all blocks sharing a bit width scatter
+    their bits into one bool plane and pack with a single
+    ``np.packbits`` call — no per-block Python in the encode path."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.ascontiguousarray(block_starts, dtype=np.int64)
+    nblocks = len(starts)
+    if nblocks == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    ends = np.append(starts[1:], len(v))
+    counts = ends - starts
+    blk_max = np.maximum.reduceat(v, starts) if len(v) else np.zeros(nblocks, dtype=np.uint64)
+    blk_max = np.where(counts > 0, blk_max, 0)
+    widths = np.zeros(nblocks, dtype=np.int64)
+    nz = blk_max > 0
+    if nz.any():
+        # exact integer bit length (float log2 is unsafe near 2^53)
+        m = blk_max[nz].copy()
+        w = np.zeros(m.shape, dtype=np.int64)
+        while (m > 0).any():
+            w += (m > 0)
+            m >>= np.uint64(1)
+        widths[nz] = w
+    payload = (counts * widths + 7) // 8
+    offsets = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(1 + payload, out=offsets[1:])
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    buf[offsets[:-1]] = widths.astype(np.uint8)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        n_vals = counts[sel]
+        vals = v[_ranges_concat(starts[sel], ends[sel])]
+        # per-value bit base: block's (byte-padded) bit origin in the
+        # width class's bit plane + in-block position * w
+        pad_bits = payload[sel] * 8
+        bit_origin = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(pad_bits[:-1], out=bit_origin[1:])
+        val_base = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(n_vals[:-1], out=val_base[1:])
+        pos_in_blk = np.arange(len(vals), dtype=np.int64) - np.repeat(val_base, n_vals)
+        base_bits = np.repeat(bit_origin, n_vals) + pos_in_blk * w
+        bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+        plane = np.zeros(int(pad_bits.sum()), dtype=np.uint8)
+        plane[(base_bits[:, None] + np.arange(w, dtype=np.int64)).reshape(-1)] = bits.reshape(-1)
+        packed = np.packbits(plane, bitorder="little")
+        # scatter each block's packed bytes to its buffer slice
+        byte_base = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(payload[sel][:-1], out=byte_base[1:])
+        in_blk_byte = np.arange(len(packed), dtype=np.int64) - np.repeat(byte_base, payload[sel])
+        buf[np.repeat(offsets[sel] + 1, payload[sel]) + in_blk_byte] = packed
+    return buf, offsets
+
+
+def _ranges_concat(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(starts[i], ends[i])`` as one vectorized
+    gather index (no per-range Python allocation)."""
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.arange(total, dtype=np.int64)
+    base = np.zeros(len(starts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=base[1:])
+    out += np.repeat(starts - base, counts)
+    return out
+
+
+def for_decode_block(buf, offset: int, n: int) -> np.ndarray:
+    """Unpack one FOR block (``n`` values) starting at byte ``offset``
+    of ``buf`` → uint64 array."""
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[offset])
+    if w == 0:
+        return np.zeros(n, dtype=np.uint64)
+    nbytes = (n * w + 7) // 8
+    bits = np.unpackbits(
+        b[offset + 1 : offset + 1 + nbytes], count=n * w, bitorder="little"
+    )
+    return (
+        bits.reshape(n, w).astype(np.uint64) << np.arange(w, dtype=np.uint64)
+    ).sum(axis=1, dtype=np.uint64)
+
+
+def for_decode_segmented(
+    buf, n_values: int, block_size: int = BLOCK_SIZE
+) -> np.ndarray:
+    """Unpack every block of a FOR chunk (inverse of
+    :func:`for_encode_segmented` with a regular ``block_size`` grid)."""
+    out = np.empty(n_values, dtype=np.uint64)
+    b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
+    offset = 0
+    pos = 0
+    while pos < n_values:
+        n = min(block_size, n_values - pos)
+        out[pos : pos + n] = for_decode_block(b, offset, n)
+        w = int(b[offset])
+        offset += 1 + (n * w + 7) // 8
+        pos += n
+    return out
+
+
+def for_encode_chunk_ids(ids: np.ndarray, block_size: int = BLOCK_SIZE) -> tuple[bytes, np.ndarray]:
+    """FOR-encode one chunk's strictly-increasing doc ids: gaps vs the
+    previous id (first gap 0 — the chunk's ``first_doc`` is stored in
+    segment metadata). Returns ``(ids_enc bytes, ids_boff)`` with the
+    same block-offset semantics as the varint path."""
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    n = len(ids)
+    gaps = np.zeros(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = np.diff(ids).astype(np.uint64)
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    buf, offs = for_encode_segmented(gaps, starts)
+    return buf.tobytes(), offs[:-1]
+
+
+def for_decode_chunk_ids(
+    ids_enc, first_doc: int, n: int, block_size: int = BLOCK_SIZE
+) -> np.ndarray:
+    """Inverse of :func:`for_encode_chunk_ids` → absolute int64 doc ids."""
+    gaps = for_decode_segmented(ids_enc, n, block_size).astype(np.int64)
+    if n:
+        gaps[0] += first_doc
+    return np.cumsum(gaps)
+
+
+def for_decode_block_ids(
+    ids_enc,
+    ids_boff: np.ndarray,
+    block_last: np.ndarray,
+    first_doc: int,
+    df: int,
+    block_lo: int,
+    block_hi: int,
+    block_size: int = BLOCK_SIZE,
+) -> np.ndarray:
+    """Decode blocks ``block_lo:block_hi`` of a FOR chunk without
+    touching the rest (the partial-decode twin of :func:`decode_blocks`)."""
+    b = ids_enc if isinstance(ids_enc, np.ndarray) else np.frombuffer(ids_enc, dtype=np.uint8)
+    base = int(block_last[block_lo - 1]) if block_lo > 0 else int(first_doc)
+    parts = []
+    for blk in range(block_lo, block_hi):
+        n = min(block_size, df - blk * block_size)
+        if n <= 0:
+            break
+        parts.append(for_decode_block(b, int(ids_boff[blk]), n).astype(np.int64))
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    gaps = np.concatenate(parts)
+    gaps[0] += base
+    return np.cumsum(gaps)
+
+
 def delta_encode_ids(doc_ids: np.ndarray) -> bytes:
     """Encode strictly-increasing int64 doc ids as varint'd deltas."""
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)

@@ -119,6 +119,13 @@ class IndexBuildConfig:
                                     # distributed winner computation
                                     # (data-dependent split of the doc_key
                                     # space — never parallelism-dependent)
+    postings_codec: str = "varint"  # doc-id gap encoding of the final
+                                    # segments: "varint" (LEB128) or
+                                    # "for" (frame-of-reference
+                                    # bit-packing — the PForDelta-family
+                                    # codec the north rule names;
+                                    # ~2-4x smaller id streams on dense
+                                    # postings, branch-free block decode)
     merge_bucket_groups: int | None = None  # doc-range groups for the posting
                                     # merge: each merge task holds ONLY its
                                     # range's doclen slice (never the dense
@@ -681,6 +688,7 @@ def _finish_from_fwd(
             ).astype(int).tolist(),
             "analyzer_version": ANALYZER_VERSION,
             "analyzer_profile": analyzer_profile,
+            "postings_codec": cfg.postings_codec,
             # per-field SEARCH analyzer map (ES search_analyzer analogue)
             "fields": fields_map,
             "format_version": FORMAT_VERSION,
@@ -747,7 +755,7 @@ def _finish_from_fwd(
         )
         merger = MergeShardGroup(
             dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base,
-            slice_bounds=slice_bounds,
+            slice_bounds=slice_bounds, ids_codec=cfg.postings_codec,
         )
 
         def merge_shard_group(group: pa.Table) -> pa.Table:

@@ -99,6 +99,37 @@ class _Chunk:
     ids_boff: np.ndarray
     tfs_boff: np.ndarray
     pos_enc: bytes | None = None  # per-posting position runs (phrase support)
+    df: int = 0  # posting count (FOR block sizing needs it)
+    ids_codec: str = "varint"  # doc-id gap encoding: "varint" | "for"
+
+
+def _decode_chunk(c: _Chunk, block_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-chunk decode → (ids int64, tfs int64), dispatching on the
+    chunk's id codec (varint LEB128 or FOR bit-packing)."""
+    if c.ids_codec == "for":
+        ids = codec.for_decode_chunk_ids(c.ids_enc, c.first_doc, c.df, block_size)
+        return ids, codec.varint_decode(c.tfs_enc).astype(np.int64)
+    return codec.decode_chunk(c.ids_enc, c.tfs_enc)
+
+
+def _decode_chunk_blocks(
+    c: _Chunk, blo: int, bhi: int, block_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Partial decode of blocks ``blo:bhi`` only (block-max pruning path),
+    dispatching on the chunk's id codec."""
+    if c.ids_codec == "for":
+        ids = codec.for_decode_block_ids(
+            c.ids_enc, c.ids_boff, c.block_last, c.first_doc, c.df,
+            blo, bhi, block_size,
+        )
+        t_end = int(c.tfs_boff[bhi]) if bhi < len(c.tfs_boff) else len(c.tfs_enc)
+        tfs = codec.varint_decode(
+            memoryview(c.tfs_enc)[int(c.tfs_boff[blo]) : t_end]
+        ).astype(np.int64)
+        return ids, tfs
+    return codec.decode_blocks(
+        c.ids_enc, c.tfs_enc, c.ids_boff, c.tfs_boff, c.block_last, blo, bhi
+    )
 
 
 class SearchEngine:
@@ -132,6 +163,9 @@ class SearchEngine:
         # including per-field search analyzers (ES search_analyzer)
         self.analyzer_profile = self.stats.get("analyzer_profile", "full")
         self.field_analyzers = self.stats.get("fields") or None
+        self._block_size = int(
+            self.stats.get("config", {}).get("block_size", codec.BLOCK_SIZE)
+        )
 
         # doc-range-local state: a bucket_range shard holds ONLY its
         # range's doclen/tombstone slices and scores in range-local
@@ -258,11 +292,17 @@ class SearchEngine:
             tbl = tbl.append_column(
                 "pos_enc", pa.array([None] * tbl.num_rows, pa.binary())
             )
+        if "ids_codec" not in tbl.schema.names:
+            # pre-FOR builds and incremental update deltas are varint
+            tbl = tbl.append_column(
+                "ids_codec", pa.array(["varint"] * tbl.num_rows, pa.string())
+            )
         return tbl
 
     _SEG_COLS = [
-        "term", "first_doc", "last_doc", "ids_enc", "tfs_enc", "pos_enc",
+        "term", "first_doc", "last_doc", "df", "ids_enc", "tfs_enc", "pos_enc",
         "block_last", "block_max", "ids_boff", "tfs_boff", "enc_avgdl",
+        "ids_codec",
     ]
 
     _READ_THREADS = 16
@@ -356,6 +396,8 @@ class SearchEngine:
                     ids_boff=np.asarray(r.column("ids_boff")[0].as_py(), dtype=np.int64),
                     tfs_boff=np.asarray(r.column("tfs_boff")[0].as_py(), dtype=np.int64),
                     pos_enc=r.column("pos_enc")[0].as_py(),
+                    df=int(r.column("df")[0].as_py()),
+                    ids_codec=r.column("ids_codec")[0].as_py() or "varint",
                 )
             )
         chunks.sort(key=lambda c: c.first_doc)
@@ -370,7 +412,7 @@ class SearchEngine:
             # true LRU: refresh recency so hot terms survive eviction
             self._decoded_cache[term] = self._decoded_cache.pop(term)
             return cached
-        parts = [codec.decode_chunk(c.ids_enc, c.tfs_enc) for c in self._chunks(term)]
+        parts = [_decode_chunk(c, self._block_size) for c in self._chunks(term)]
         n = sum(len(p[0]) for p in parts)
         if n and self._decoded_postings + n > self._decoded_budget:
             while self._decoded_cache and self._decoded_postings + n > self._decoded_budget:
@@ -762,10 +804,7 @@ class SearchEngine:
                         ids_r = cached[ci][0][blo * bsz : bhi * bsz]
                         tfs_r = cached[ci][1][blo * bsz : bhi * bsz]
                     else:
-                        ids_r, tfs_r = codec.decode_blocks(
-                            c.ids_enc, c.tfs_enc, c.ids_boff, c.tfs_boff,
-                            c.block_last, blo, bhi,
-                        )
+                        ids_r, tfs_r = _decode_chunk_blocks(c, blo, bhi, bsz)
                     ids_all.append(ids_r)
                     tfs_all.append(tfs_r)
                 ids = np.concatenate(ids_all)

@@ -111,13 +111,27 @@ def compact_index(index_root: str, *, build_id: str | None = None, retain: int =
         dls = ray.get(doclens_ref)
         tbl = pq.read_table(path)
         has_pos = "pos_enc" in tbl.schema.names
+        has_codec = "ids_codec" in tbl.schema.names
         rows = {c: [] for c in tbl.schema.names}
         rows.setdefault("enc_avgdl", [])
         kept_rows = 0
         for i in range(tbl.num_rows):
-            ids, tfs = _codec.decode_chunk(
-                tbl.column("ids_enc")[i].as_py(), tbl.column("tfs_enc")[i].as_py()
-            )
+            if has_codec and tbl.column("ids_codec")[i].as_py() == "for":
+                # FOR-packed base rows decode via their own codec;
+                # compaction re-encodes varint and normalizes the tag
+                ids = _codec.for_decode_chunk_ids(
+                    tbl.column("ids_enc")[i].as_py(),
+                    int(tbl.column("first_doc")[i].as_py()),
+                    int(tbl.column("df")[i].as_py()),
+                    block_size,
+                )
+                tfs = _codec.varint_decode(
+                    tbl.column("tfs_enc")[i].as_py()
+                ).astype(np.int64)
+            else:
+                ids, tfs = _codec.decode_chunk(
+                    tbl.column("ids_enc")[i].as_py(), tbl.column("tfs_enc")[i].as_py()
+                )
             pos = None
             if has_pos and tbl.column("pos_enc")[i].as_py() is not None:
                 pdeltas = _codec.varint_decode(tbl.column("pos_enc")[i].as_py()).astype(np.int64)
@@ -170,6 +184,8 @@ def compact_index(index_root: str, *, build_id: str | None = None, retain: int =
                     rows[c].append(chunk["tfs_boff"].tolist())
                 elif c == "enc_avgdl":
                     rows[c].append(avgdl)
+                elif c == "ids_codec":
+                    rows[c].append("varint")  # compaction re-encodes varint
                 else:
                     rows[c].append(tbl.column(c)[i].as_py())
         if "enc_avgdl" not in tbl.schema.names:

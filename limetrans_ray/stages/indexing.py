@@ -604,12 +604,20 @@ class MergeShardGroup:
         *,
         bg_doc_base,
         slice_bounds=None,
+        ids_codec: str = "varint",
     ):
         self._refs = dl_refs
         self._slices: dict[int, np.ndarray] = {}
         self.bg_doc_base = np.asarray(bg_doc_base, dtype=np.int64)
         self.avgdl = float(avgdl)
         self.block_size = int(block_size)
+        # doc-id gap encoding of the emitted chunks: "varint" (LEB128,
+        # the default) or "for" (frame-of-reference bit-packing — the
+        # PForDelta-family codec, codec.py). Per-row ``ids_codec`` tags
+        # let both coexist within one index (update deltas stay varint).
+        if ids_codec not in ("varint", "for"):
+            raise ValueError(f"unknown postings codec {ids_codec!r}")
+        self.ids_codec = ids_codec
         # on-disk doc-range layout: chunks are tagged with the slice of
         # their bucket (hive ``bslice=`` partition key at write time)
         self.slice_bounds = (
@@ -689,7 +697,13 @@ class MergeShardGroup:
 
         # one batched encode; per-cell and per-block slices by byte offset
         enc_deltas = codec.segmented_delta_encode(id_s, cstarts)
-        ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
+        if self.ids_codec == "for":
+            # FOR bit-packing wants pure gaps: the cell's first value is
+            # recorded in first_doc metadata, so its slot packs as 0
+            gaps = enc_deltas.astype(np.uint64, copy=True)
+            gaps[cstarts] = 0
+        else:
+            ibuf2, ioffs = codec.varint_encode_all(enc_deltas)
         # tfs are never re-encoded either: each tf is a one-value varint
         # run whose byte length follows from its decoded value, so the
         # encoded runs permute like the position runs (bytes identical
@@ -710,7 +724,17 @@ class MergeShardGroup:
         bcum = np.zeros(len(cstarts) + 1, dtype=np.int64)
         np.cumsum(nblocks, out=bcum[1:])
         cell_ends = np.append(cstarts, len(k_s))
-        ids_enc = codec.binary_from_slices(ibuf2, ioffs[cell_ends])
+        if self.ids_codec == "for":
+            # one batched bit-pack over the whole group's block grid;
+            # byte bounds per cell come from the block-ordinal cumsum
+            fbuf, foffs = codec.for_encode_segmented(gaps, bs)
+            ids_enc = codec.binary_from_slices(fbuf, foffs[bcum])
+            blk_base_i = np.repeat(foffs[bcum[:-1]], nblocks)
+            ibo_col = codec.list_from_offsets(foffs[:-1] - blk_base_i, bcum, pa.int64())
+        else:
+            ids_enc = codec.binary_from_slices(ibuf2, ioffs[cell_ends])
+            cell_base_i = np.repeat(ioffs[cstarts], nblocks)
+            ibo_col = codec.list_from_offsets(ioffs[bs] - cell_base_i, bcum, pa.int64())
         tfs_enc = codec.binary_from_slices(tbuf2, toffs[cell_ends])
         pos_enc = codec.binary_from_slices(pbuf2, pboffs[cell_ends])
         bl_col = codec.list_from_offsets(
@@ -719,9 +743,7 @@ class MergeShardGroup:
         bm_col = codec.list_from_offsets(
             block_max.astype(np.float64), bcum, pa.float64()
         )
-        cell_base_i = np.repeat(ioffs[cstarts], nblocks)
         cell_base_t = np.repeat(toffs[cstarts], nblocks)
-        ibo_col = codec.list_from_offsets(ioffs[bs] - cell_base_i, bcum, pa.int64())
         tbo_col = codec.list_from_offsets(toffs[bs] - cell_base_t, bcum, pa.int64())
 
         out_cols = {
@@ -740,6 +762,12 @@ class MergeShardGroup:
                 "ids_boff": ibo_col,
                 "tfs_boff": tbo_col,
         }
+        if self.ids_codec != "varint":
+            # per-row codec tag; absent column = varint (old builds and
+            # incremental update deltas backfill on read)
+            out_cols["ids_codec"] = pa.array(
+                [self.ids_codec] * len(cstarts), pa.string()
+            )
         if self.slice_bounds is not None:
             out_cols["bslice"] = pa.array(
                 (
