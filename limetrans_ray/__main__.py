@@ -86,7 +86,7 @@ def _cmd_build(args) -> dict:
         build_index_from_documents,
     )
 
-    cfg = IndexBuildConfig()
+    cfg = IndexBuildConfig(postings_codec=args.postings_codec)
     if args.documents:
         fields = _parse_fields(args.field) or None  # validate before IO
         ds = rd.read_parquet(args.input)
@@ -178,6 +178,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--id-col", default="doc_id")
     b.add_argument("--text-col", default="text")
     b.add_argument("--analyzer", choices=["full", "simple"], default="full")
+    b.add_argument(
+        "--postings-codec",
+        choices=["varint", "for"],
+        default="varint",
+        help="doc-id gap encoding of the published segments "
+        "(for = frame-of-reference bit-packing)",
+    )
     b.add_argument(
         "--field",
         action="append",

@@ -36,7 +36,9 @@ Outputs: ``jsonl`` (nested-record debug sink, the reference
 JsonWriter), ``formeta`` (Metafacture serialization), ``parquet``
 (flat rows — the scale sink), ``index`` (inverted-index build; takes
 the build options of ``build_index_from_documents`` for PARQUET input
-or the flagship ``build_index`` for WEBTEXT).
+or the flagship ``build_index`` for WEBTEXT, plus the shared
+``postings-codec`` (varint|for) and ``retain`` IndexBuildConfig knobs;
+unknown options raise).
 
 Settings support ``${placeholder}`` expansion, env profiles and deep
 merge via :mod:`limetrans_ray.state.settings`. Blob decoding keeps one
@@ -201,22 +203,36 @@ def run_settings(
                 "input transforms are the relational/indexing pipelines"
             )
         if "index" in out_cfg:
+            from .build_index import IndexBuildConfig
+
             idx = dict(out_cfg["index"])
             root = idx.pop("root")
+            cfg = IndexBuildConfig(
+                postings_codec=idx.pop("postings-codec", "varint"),
+                retain=int(idx.pop("retain", IndexBuildConfig.retain)),
+            )
             if processor == "WEBTEXT":
                 from .build_index import build_index
 
-                stats = build_index(files, root)
+                if set(idx):
+                    raise ValueError(f"unknown index options {sorted(idx)}")
+                stats = build_index(files, root, config=cfg)
             else:
                 from .build_index import build_index_from_documents
 
                 fields = [tuple(f) for f in idx.pop("fields", [])] or None
+                id_col = idx.pop("id-col", "doc_id")
+                text_col = idx.pop("text-col", "text")
+                analyzer = idx.pop("analyzer", "full")
+                if set(idx):
+                    raise ValueError(f"unknown index options {sorted(idx)}")
                 stats = build_index_from_documents(
                     rd.read_parquet(files), root,
-                    id_col=idx.pop("id-col", "doc_id"),
-                    text_col=idx.pop("text-col", "text"),
-                    analyzer=idx.pop("analyzer", "full"),
+                    id_col=id_col,
+                    text_col=text_col,
+                    analyzer=analyzer,
                     fields=fields,
+                    config=cfg,
                 )
             summary.update(output=root, n_docs=int(stats["n_docs"]))
             return summary

@@ -120,6 +120,46 @@ def test_parquet_index_output(ray_session, tmp_path):
     assert {d_ for d_, _ in SearchEngine(root).search("beta", 10)} == {0, 1}
 
 
+def test_index_output_postings_codec_option(ray_session, tmp_path):
+    """The settings surface carries build options (postings-codec) to
+    IndexBuildConfig, and unknown options raise instead of being
+    silently dropped."""
+    import json as _json
+
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import build_dir, current_build
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2],
+                  "text": ["alpha beta", "beta gamma", "beta beta alpha"]}),
+        str(d / "docs.parquet"),
+    )
+    root = str(tmp_path / "idx")
+    settings = {
+        "input": {"queue": {"path": str(d), "pattern": "*.parquet",
+                            "processor": "PARQUET"}},
+        "output": {"index": {"root": root, "analyzer": "simple",
+                             "postings-codec": "for"}},
+    }
+    summary = run_settings(settings)
+    assert summary["n_docs"] == 3
+    import pathlib
+
+    stats = _json.loads(
+        (pathlib.Path(build_dir(root, current_build(root))) / "stats.json")
+        .read_text()
+    )
+    assert stats["postings_codec"] == "for"
+    hits = SearchEngine(root).search("beta", 10)
+    assert [d_ for d_, _ in hits][0] == 2  # tf=2 ranks first
+
+    bad = {**settings, "output": {"index": {"root": root, "nope": 1}}}
+    with pytest.raises(ValueError, match="unknown index options"):
+        run_settings(bad)
+
+
 def test_settings_file_with_vars_and_validation(ray_session, tmp_path, jsonl_dir):
     cfg = tmp_path / "settings.json"
     cfg.write_text(json.dumps(
