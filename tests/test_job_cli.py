@@ -73,6 +73,7 @@ def test_documents_build_with_fields(ray_session, capsys, tmp_path_factory):
             "build", "--input", str(d / "docs.parquet"), "--index-root", root,
             "--documents", "--analyzer", "simple",
             "--field", "body:text", "--field", "lang:lang:keyword",
+            "--postings-codec", "for",
         ],
     )
     assert out["n_docs"] == 3
