@@ -51,29 +51,68 @@ logger = logging.getLogger(__name__)
 BUCKET_PAIR_CAP = 64
 
 
-def _bucket_pairs_capped(ids: np.ndarray, cap: int) -> tuple[list, bool]:
-    ids = np.sort(ids)
-    if len(ids) <= cap:
-        return [(int(a), int(b)) for i, a in enumerate(ids) for b in ids[i + 1 :]], False
-    anchor = int(ids[0])
-    return [(anchor, int(b)) for b in ids[1:]], True
+# coarse co-location width for banded-bucket stages: ``map_groups``
+# costs ~tens of ms per GROUP CALL, so grouping by the raw (band, hash)
+# key — potentially billions of buckets at web scale — pays that
+# overhead per bucket. Grouping by ``band_hash % N_COARSE_GROUPS``
+# instead gives a few hundred large calls; exact per-bucket
+# segmentation happens vectorized inside (identical pair sets).
+N_COARSE_GROUPS = 256
+
+_EMPTY_PAIRS = pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
+    {"a_id": np.int64, "b_id": np.int64, "capped": bool}
+)
 
 
-def _capped_bucket_pairs_frame(id_col: str):
+def _segment_starts(keys: np.ndarray) -> np.ndarray:
+    """Start offsets of equal-key runs in a row-sorted 2-D key array."""
+    change = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    return np.flatnonzero(change)
+
+
+def _capped_bucket_pairs_frame(id_col: str, seg_cols: list[str]):
     """The shared map_groups body for every banded-bucket candidate
-    stage (MinHash / embedding LSH): capped pairs + the ``capped`` flag
-    the caller logs (the one place the cap semantics live)."""
+    stage (MinHash / embedding LSH), applied to a COARSE group holding
+    many buckets: rows are segmented by ``seg_cols`` (the exact bucket
+    key) and each multi-member segment emits its capped pairs + the
+    ``capped`` flag the caller logs (the one place the cap semantics
+    live). Singleton buckets — the vast majority — are skipped without
+    touching Python."""
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "capped": []}).astype(
-                {"a_id": np.int64, "b_id": np.int64, "capped": bool}
-            )
-        pairs, capped = _bucket_pairs_capped(ids, BUCKET_PAIR_CAP)
-        out = pd.DataFrame(pairs, columns=["a_id", "b_id"])
-        out["capped"] = capped
-        return out
+        g = group.sort_values([*seg_cols, id_col], kind="stable")
+        ids = g[id_col].to_numpy().astype(np.int64)
+        keys = g[seg_cols].to_numpy()
+        starts = _segment_starts(keys)
+        ends = np.append(starts[1:], len(g))
+        a_parts, b_parts, cap_parts = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            seg_ids = ids[s:e]  # ascending (sorted above)
+            if n <= BUCKET_PAIR_CAP:
+                ai, bi = np.triu_indices(n, k=1)
+                a_parts.append(seg_ids[ai])
+                b_parts.append(seg_ids[bi])
+                cap_parts.append(np.zeros(len(ai), dtype=bool))
+            else:
+                # star expansion vs the smallest id keeps the cluster
+                # connected at O(n) pairs; flagged for the overflow log
+                a_parts.append(np.full(n - 1, seg_ids[0], dtype=np.int64))
+                b_parts.append(seg_ids[1:])
+                cap_parts.append(np.ones(n - 1, dtype=bool))
+        if not a_parts:
+            return _EMPTY_PAIRS
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(a_parts),
+                "b_id": np.concatenate(b_parts),
+                "capped": np.concatenate(cap_parts),
+            }
+        )
 
     return bucket_pairs
 
@@ -114,6 +153,80 @@ def exact_dedup(ds: rd.Dataset, col: str = "text", id_col: str = "doc_id") -> rd
 
 # ------------------------------------------------------------------- minhash
 
+def _verify_counts_distributed(
+    sh: rd.Dataset, cand: pd.DataFrame, *, id_col: str, n_buckets: int = 256
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact-Jaccard verification counts WITHOUT a driver shingle frame.
+
+    ``sh`` is the exploded (doc_id, shingle) Dataset of candidate docs
+    (distinct shingles per doc); ``cand`` the candidate pairs. Shingles
+    co-locate by COARSE hash bucket (``shingle % n_buckets``) — a few
+    hundred large ``map_groups`` calls instead of one per distinct
+    shingle (per-group overhead dominated that shape) — and inside a
+    bucket everything is vectorized pandas:
+
+    1. self-merge on ``shingle`` → all co-occurring doc pairs, inner-
+       joined against the broadcast candidate frame (only candidate
+       pairs survive), grouped count → partial |A∩B|
+    2. per-doc row count → partial |A| (shingles are distinct per doc)
+    3. a final tiny ``groupby(a_id, b_id)`` Sum over the per-bucket
+       partials; membership partials ride along under b_id = −1.
+
+    Only O(pairs + candidate docs) count rows reach the driver. The
+    in-bucket self-merge costs Σ_shingle df² over CANDIDATE docs only —
+    the same exactness cost ngram_jaccard_pairs documents, bounded here
+    by the banding cap upstream. Returns (n_a, n_b, n_i) float arrays
+    aligned with ``cand`` rows — absent docs (zero shingles) count 0,
+    matching the merge path.
+    """
+    from ray.data.aggregate import Sum
+
+    cand_ref = ray.put(cand[["a_id", "b_id"]].reset_index(drop=True))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("shingle").to_numpy() % n_buckets).astype(np.int32)
+        return t.append_column("sbucket", pa.array(b))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        cpairs = ray.get(cand_ref)
+        left = g[[id_col, "shingle"]].rename(columns={id_col: "a_id"})
+        right = g[[id_col, "shingle"]].rename(columns={id_col: "b_id"})
+        m = left.merge(right, on="shingle")
+        m = m[m["a_id"] < m["b_id"]]
+        m = m.merge(cpairs, on=["a_id", "b_id"])
+        inter = m.groupby(["a_id", "b_id"], as_index=False).size()
+        inter = inter.rename(columns={"size": "n"})
+        per_doc = g.groupby(id_col, as_index=False).size()
+        sizes = pd.DataFrame(
+            {
+                "a_id": per_doc[id_col].astype(np.int64),
+                "b_id": np.int64(-1),
+                "n": per_doc["size"],
+            }
+        )
+        out = pd.concat([inter, sizes], ignore_index=True)
+        return out.astype({"a_id": np.int64, "b_id": np.int64, "n": np.int64})
+
+    counts = (
+        sh.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("sbucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sizes = counts.loc[counts["b_id"] == -1].set_index("a_id")["n"]
+    imap = counts.loc[counts["b_id"] >= 0].set_index(["a_id", "b_id"])["n"]
+    n_a = sizes.reindex(cand["a_id"]).fillna(0).to_numpy(dtype=np.float64)
+    n_b = sizes.reindex(cand["b_id"]).fillna(0).to_numpy(dtype=np.float64)
+    n_i = (
+        imap.reindex(pd.MultiIndex.from_frame(cand[["a_id", "b_id"]]))
+        .fillna(0)
+        .to_numpy(dtype=np.float64)
+    )
+    return n_a, n_b, n_i
+
+
 def minhash_lsh_candidates(
     ds: rd.Dataset,
     *,
@@ -124,6 +237,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 1,
     threshold: float = 0.8,
     seed: int = 42,
+    driver_verify_max: int = 4096,
 ) -> pd.DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ ``threshold``.
 
@@ -139,8 +253,18 @@ def minhash_lsh_candidates(
        deterministic mix rather than a true universal hash family;
        empirical recall is pinned by the planted-duplicate test).
 
+    Verification has two arithmetically identical forms, gated by
+    ``driver_verify_max``: up to that many candidate pairs, the
+    (doc_id, shingle) rows of candidate docs are collected and the
+    intersections computed as pandas merges (fastest for the common
+    tiny-candidate case); past it — a boilerplate-heavy crawl where
+    banding floods — the shingle rows STAY a Dataset and the counts
+    come from a per-shingle ``groupby().map_groups`` + grouped Count
+    (:func:`_verify_counts_distributed`), so driver memory is
+    O(pairs), never O(candidate shingles).
+
     Returns a pandas DataFrame (a_id, b_id, jaccard) sorted by ids —
-    candidate volume is tiny relative to the corpus.
+    the verified-pair volume is tiny relative to the corpus.
     """
     a_params, b_params = minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
@@ -158,10 +282,12 @@ def minhash_lsh_candidates(
                 band_ids.append(b)
                 band_hashes.append(stable_hash64(bh[b].tobytes()) & 0x7FFFFFFFFFFFFFFF)
                 doc_ids.append(int(ids[i]))
+        bh = np.asarray(band_hashes, dtype=np.int64)
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
+                "band_hash": pa.array(bh),
+                "cg": pa.array((bh % N_COARSE_GROUPS).astype(np.int32)),
                 id_col: pa.array(doc_ids, pa.int64()),
             }
         )
@@ -169,8 +295,11 @@ def minhash_lsh_candidates(
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
 
     cand = (
-        band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(_capped_bucket_pairs_frame(id_col), batch_format="pandas")
+        band_rows.groupby("cg")
+        .map_groups(
+            _capped_bucket_pairs_frame(id_col, ["band_id", "band_hash"]),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     if len(cand) == 0:
@@ -200,17 +329,15 @@ def minhash_lsh_candidates(
 
     # Verification: exact Jaccard over exploded (doc_id, shingle) rows.
     # Shingling runs inside map_batches (texts never reach the driver —
-    # only candidate docs' shingle hashes do) and the per-pair
-    # intersection is a vectorized double merge + grouped count, no
-    # per-row Python on the driver. Documented scale path for
-    # candidates ≫ driver memory: same two merges as Ray hash joins.
-    needed = set(cand["a_id"]).union(cand["b_id"])
+    # at most candidate docs' shingle hashes do, and above
+    # driver_verify_max not even those).
+    needed = np.unique(np.concatenate([cand["a_id"], cand["b_id"]])).astype(np.int64)
     needed_ref = ray.put(needed)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         want = ray.get(needed_ref)
         ids = batch.column(id_col).to_numpy()
-        mask = np.fromiter((int(i) in want for i in ids), dtype=bool, count=len(ids))
+        mask = np.isin(ids, want)
         sub = batch.filter(pa.array(mask))
         sids = sub.column(id_col).to_numpy()
         texts = sub.column(text_col).to_pylist()
@@ -233,19 +360,26 @@ def minhash_lsh_candidates(
             }
         )
 
-    sh_df = ds.map_batches(shingle_rows, batch_format="pyarrow").to_pandas()
-    sizes = sh_df.groupby(id_col).size()
-    cand = cand.assign(pair=np.arange(len(cand)))
-    ea = cand[["pair", "a_id"]].merge(
-        sh_df.rename(columns={id_col: "a_id"}), on="a_id"
-    )
-    eb = cand[["pair", "b_id"]].merge(
-        sh_df.rename(columns={id_col: "b_id"}), on="b_id"
-    )
-    inter = ea.merge(eb, on=["pair", "shingle"]).groupby("pair").size()
-    n_a = sizes.reindex(cand["a_id"]).fillna(0).to_numpy()
-    n_b = sizes.reindex(cand["b_id"]).fillna(0).to_numpy()
-    n_i = inter.reindex(cand["pair"]).fillna(0).to_numpy()
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    if len(cand) > driver_verify_max:
+        n_a, n_b, n_i = _verify_counts_distributed(sh, cand, id_col=id_col)
+    else:
+        # tiny-candidate fast path: vectorized double merge + grouped
+        # count on the driver (arithmetically identical to the
+        # distributed form — test_dedup_ann pins the parity)
+        sh_df = sh.to_pandas()
+        sizes = sh_df.groupby(id_col).size()
+        cand = cand.assign(pair=np.arange(len(cand)))
+        ea = cand[["pair", "a_id"]].merge(
+            sh_df.rename(columns={id_col: "a_id"}), on="a_id"
+        )
+        eb = cand[["pair", "b_id"]].merge(
+            sh_df.rename(columns={id_col: "b_id"}), on="b_id"
+        )
+        inter = ea.merge(eb, on=["pair", "shingle"]).groupby("pair").size()
+        n_a = sizes.reindex(cand["a_id"]).fillna(0).to_numpy()
+        n_b = sizes.reindex(cand["b_id"]).fillna(0).to_numpy()
+        n_i = inter.reindex(cand["pair"]).fillna(0).to_numpy()
     union = n_a + n_b - n_i
     # union == 0 ⇔ both shingle sets empty ⇔ Jaccard 1.0 (matches jaccard())
     jac = np.where(union > 0, n_i / np.maximum(union, 1), 1.0)
@@ -320,34 +454,57 @@ def ngram_jaccard_pairs(
             }
         )
 
-    _EMPTY = pd.DataFrame({"a_id": [], "b_id": []}).astype(
-        {"a_id": np.int64, "b_id": np.int64}
-    )
-
     def group_rows(group: pd.DataFrame) -> pd.DataFrame:
-        """Rows for one shingle's doc group: all in-group pairs + one
-        (doc, −1) membership row per member; an over-cap group emits a
-        single (−2, df) sentinel counted into the overflow log."""
-        ids = np.sort(group[id_col].to_numpy().astype(np.int64))
-        n = len(ids)
-        if n == 0:
-            return _EMPTY
-        if max_shingle_df is not None and n > max_shingle_df:
-            return pd.DataFrame(
-                {"a_id": np.array([-2], dtype=np.int64),
-                 "b_id": np.array([n], dtype=np.int64)}
-            )
-        ai, bi = np.triu_indices(n, k=1)
+        """One COARSE group = many shingles' doc groups (grouping by
+        the raw shingle would pay per-group-call overhead once per
+        DISTINCT shingle — untenable at web scale); segments emit all
+        in-group pairs + one (doc, −1) membership row per member; an
+        over-cap segment emits a single (−2, df) sentinel counted into
+        the overflow log."""
+        g = group.sort_values(["shingle", id_col], kind="stable")
+        ids = g[id_col].to_numpy().astype(np.int64)
+        keys = g[["shingle"]].to_numpy()
+        starts = _segment_starts(keys)
+        ends = np.append(starts[1:], len(g))
+        seg_len = ends - starts
+        # membership rows (doc, −1): one per row of a KEPT shingle —
+        # over-cap shingles leave sizes AND intersections (restricted
+        # Jaccard), exactly like the per-shingle form
+        row_len = np.repeat(seg_len, seg_len)
+        kept = (
+            row_len <= max_shingle_df
+            if max_shingle_df is not None
+            else np.ones(len(ids), dtype=bool)
+        )
+        a_parts = [ids[kept]]
+        b_parts = [np.full(int(kept.sum()), -1, dtype=np.int64)]
+        for s, e in zip(starts[seg_len >= 2], ends[seg_len >= 2]):
+            n = e - s
+            if max_shingle_df is not None and n > max_shingle_df:
+                a_parts.append(np.array([-2], dtype=np.int64))
+                b_parts.append(np.array([n], dtype=np.int64))
+                continue
+            ai, bi = np.triu_indices(n, k=1)
+            a_parts.append(ids[s:e][ai])
+            b_parts.append(ids[s:e][bi])
         return pd.DataFrame(
-            {
-                "a_id": np.concatenate([ids[ai], ids]),
-                "b_id": np.concatenate([ids[bi], np.full(n, -1, dtype=np.int64)]),
-            }
+            {"a_id": np.concatenate(a_parts), "b_id": np.concatenate(b_parts)}
         )
 
     counts = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("shingle")
+        .map_batches(
+            lambda t: t.append_column(
+                "cg",
+                pa.array(
+                    (t.column("shingle").to_numpy() % N_COARSE_GROUPS).astype(
+                        np.int32
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cg")
         .map_groups(group_rows, batch_format="pandas")
         .groupby(["a_id", "b_id"])
         .aggregate(Count(alias_name="n"))
@@ -378,15 +535,14 @@ def ngram_jaccard_pairs(
             {"a_id": np.int64, "b_id": np.int64, "jaccard": np.float64}
         )
 
-    needed_ref = ray.put(set(pairs["a_id"]).union(pairs["b_id"]))
+    needed_ref = ray.put(
+        np.unique(np.concatenate([pairs["a_id"], pairs["b_id"]])).astype(np.int64)
+    )
 
     def keep_needed_sizes(t: pa.Table) -> pa.Table:
         want = ray.get(needed_ref)
         t = t.filter(pc.equal(t.column("b_id"), -1))
-        ids = t.column("a_id").to_numpy()
-        mask = np.fromiter(
-            (int(i) in want for i in ids), dtype=bool, count=len(ids)
-        )
+        mask = np.isin(t.column("a_id").to_numpy(), want)
         return t.filter(pa.array(mask))
 
     sizes_df = counts.map_batches(
@@ -433,51 +589,78 @@ def simhash_near_dups(
             {
                 "band_id": pa.array(band_ids),
                 "band_val": pa.array(band_vals),
+                "cg": pa.array(
+                    ((band_vals + band_ids) % N_COARSE_GROUPS).astype(np.int32)
+                ),
                 id_col: pa.array(np.tile(ids, 4), pa.int64()),
                 "fp": pa.array(np.tile(fps.astype(np.int64), 4)),
             }
         )
 
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        d = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):
+            if not v.any():
+                break
+            d += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        return d
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
+        """One COARSE group = many (band_id, band_val) buckets;
+        segmented inside (see _capped_bucket_pairs_frame), Hamming
+        verified with vectorized XOR + popcount per segment."""
+        g = group.sort_values(["band_id", "band_val", id_col], kind="stable")
+        ids = g[id_col].to_numpy().astype(np.int64)
         fps = g["fp"].to_numpy().astype(np.uint64)
-        if len(ids) > BUCKET_PAIR_CAP:
-            # star expansion against the smallest id (vectorized XOR +
-            # popcount); logged downstream via the capped flag
-            x = fps[0] ^ fps[1:]
-            d = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            for _ in range(64):
-                d += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
-                if not v.any():
-                    break
+        keys = g[["band_id", "band_val"]].to_numpy()
+        starts = _segment_starts(keys)
+        ends = np.append(starts[1:], len(g))
+        frames = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            seg_ids, seg_fps = ids[s:e], fps[s:e]
+            if n > BUCKET_PAIR_CAP:
+                # star expansion against the smallest id; logged
+                # downstream via the capped flag
+                ai = np.zeros(n - 1, dtype=np.int64)
+                bi = np.arange(1, n, dtype=np.int64)
+                capped = True
+            else:
+                ai, bi = np.triu_indices(n, k=1)
+                capped = False
+            d = _popcount64(seg_fps[ai] ^ seg_fps[bi])
             keep = d <= max_hamming
-            out = pd.DataFrame(
+            if keep.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": seg_ids[ai[keep]],
+                            "b_id": seg_ids[bi[keep]],
+                            "hamming": d[keep],
+                            "capped": capped,
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"a_id": [], "b_id": [], "hamming": [], "capped": []}
+            ).astype(
                 {
-                    "a_id": np.full(int(keep.sum()), ids[0], dtype=np.int64),
-                    "b_id": ids[1:][keep].astype(np.int64),
-                    "hamming": d[keep],
+                    "a_id": np.int64,
+                    "b_id": np.int64,
+                    "hamming": np.int64,
+                    "capped": bool,
                 }
             )
-            out["capped"] = True
-            return out
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(fps[i]) ^ int(fps[j])).count("1")
-                if d <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[j]), d))
-        out = pd.DataFrame(rows, columns=["a_id", "b_id", "hamming"]).astype(
-            {"a_id": np.int64, "b_id": np.int64, "hamming": np.int64}
-        )
-        out["capped"] = False
-        return out
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
+        .groupby("cg")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
@@ -541,6 +724,7 @@ def embedding_near_dups_lsh(
                 {
                     "band_id": np.array([], dtype=np.int64),
                     "band_val": np.array([], dtype=np.int64),
+                    "cg": np.array([], dtype=np.int32),
                     id_col: np.array([], dtype=np.int64),
                 }
             )
@@ -551,14 +735,24 @@ def embedding_near_dups_lsh(
         for b in range(bands):
             val = _sig_ints(bits[:, b * r : (b + 1) * r]).astype(np.int64)
             frames.append(
-                pd.DataFrame({"band_id": b, "band_val": val, id_col: ids})
+                pd.DataFrame(
+                    {
+                        "band_id": b,
+                        "band_val": val,
+                        "cg": ((val + b) % N_COARSE_GROUPS).astype(np.int32),
+                        id_col: ids,
+                    }
+                )
             )
         return pd.concat(frames, ignore_index=True)
 
     cand = (
         ds.map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_val"])
-        .map_groups(_capped_bucket_pairs_frame(id_col), batch_format="pandas")
+        .groupby("cg")
+        .map_groups(
+            _capped_bucket_pairs_frame(id_col, ["band_id", "band_val"]),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(

@@ -55,6 +55,42 @@ def test_minhash_finds_planted_neardups(ray_session, doc_ds):
     assert (exact[exact["a_id"] % 2 == 1]["jaccard"] < 1.0).all()
 
 
+def test_minhash_distributed_verify_parity(ray_session, doc_ds):
+    """driver_verify_max=0 forces the join-based verify; output must be
+    row- and value-identical to the driver-merge fast path."""
+    fast = minhash_lsh_candidates(doc_ds, threshold=0.8)
+    dist = minhash_lsh_candidates(doc_ds, threshold=0.8, driver_verify_max=0)
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_minhash_scale_candidates_distributed(ray_session):
+    """>10k candidate pairs (above driver_verify_max) — the verify runs
+    distributed (shingle rows never collected on the driver) and the
+    planted clusters come back fully verified at exact Jaccard 1.0."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(4000)]
+    texts, ids = [], []
+    n_clusters, csize = 700, 6  # 700 * C(6,2) = 10,500 exact-dup pairs
+    for c in range(n_clusters):
+        base = " ".join(rng.choice(vocab, size=40))
+        for m in range(csize):
+            ids.append(c * csize + m)
+            texts.append(base)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    pairs = minhash_lsh_candidates(
+        ds, threshold=0.8, num_perm=32, bands=8, driver_verify_max=4096
+    )
+    assert len(pairs) >= 10_000
+    assert (pairs["jaccard"] == 1.0).all()
+    # spot-check one full cluster's pair closure
+    c0 = pairs[(pairs["a_id"] < csize) & (pairs["b_id"] < csize)]
+    assert len(c0) == csize * (csize - 1) // 2
+
+
 def test_simhash_finds_exact_dups(ray_session, doc_ds):
     pairs = simhash_near_dups(doc_ds, max_hamming=3)
     found = set(zip(pairs["a_id"], pairs["b_id"]))
