@@ -212,6 +212,20 @@ def _projected_dir_bytes(directory: str, columns: list[str]) -> int:
     return int(total * (proj / whole))
 
 
+def _fwd_row_digest(row: dict) -> bytes:
+    """Deterministic content digest that picks ONE representative among
+    fwd/ rows sharing a doc_id (min digest wins — data-dependent, never
+    scheduling-dependent)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(
+        repr((row["doclen"], row["url"], row["canon"], row["lang"],
+              row["terms"], row["tfs"], row["pos"])).encode()
+    )
+    return h.digest()
+
+
 def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
     """Collapse fwd/ rows that share a doc_id.
 
@@ -219,23 +233,28 @@ def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
     input rows — all satisfy the winner key (doc_key, win_ts, url_hash),
     so each copy reaches fwd/ with the SAME doc_id, which would inflate
     n_docs/avgdl/df and duplicate postings (the ES reference collapses
-    such rows via ``_id``). Repeated ids are rare by construction, so
-    this repair streams: find the few repeated ids from the pruned
-    doc_id column, pull only those rows to the driver, keep one per id
-    under a deterministic content digest, and rewrite fwd/ filtering the
-    rest. Returns the number of rows dropped.
+    such rows via ``_id``). The repair is fully distributed — it holds
+    even when MOST rows are crawl duplicates (the very input this path
+    exists for): repeated ids come from a pruned doc_id aggregation,
+    the duplicated rows go through a ``groupby("doc_id").map_groups``
+    keep-min-digest (each group is one doc_id's few copies; no
+    duplicated row ever visits the driver), and fwd/ is rewritten as
+    the union of the clean stream and the chosen representatives.
+    Returns the number of rows dropped.
     """
-    import hashlib
 
     def _dup_ids_pandas(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["doc_id"].value_counts()
-        return pd.DataFrame({"doc_id": vc[vc > 1].index.to_numpy()})
+        vc = vc[vc > 1]
+        return pd.DataFrame(
+            {"doc_id": vc.index.to_numpy(), "n": vc.to_numpy()}
+        )
 
     def _dup_ids_ray(ds: rd.Dataset):  # pragma: no cover — >SMALL_AGG_BYTES path
         from ray.data.aggregate import Count
 
         cnt = ds.groupby("doc_id").aggregate(Count(alias_name="n"))
-        return cnt.filter(lambda r: r["n"] > 1).to_pandas()[["doc_id"]]
+        return cnt.filter(lambda r: r["n"] > 1).to_pandas()[["doc_id", "n"]]
 
     dups = _small_groupby(fwd_dir, ["doc_id"], _dup_ids_pandas, _dup_ids_ray)
     if not isinstance(dups, pd.DataFrame):  # pragma: no cover
@@ -243,6 +262,7 @@ def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
     dup_ids = np.sort(dups["doc_id"].to_numpy().astype(np.int64))
     if len(dup_ids) == 0:
         return 0
+    n_dup_rows = int(dups["n"].sum())
     dup_ref = ray.put(dup_ids)
 
     def only_dups(batch: pa.Table) -> pa.Table:
@@ -253,41 +273,26 @@ def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
         d = ray.get(dup_ref)
         return batch.filter(pa.array(~np.isin(batch.column("doc_id").to_numpy(), d)))
 
-    cand_tbl = pa.concat_tables(
-        ray.get(
-            rd.read_parquet(fwd_dir)
-            .map_batches(only_dups, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-    )
+    def keep_min_digest(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        best = min(range(len(rows)), key=lambda i: _fwd_row_digest(rows[i]))
+        return group.slice(best, 1)
 
-    def row_digest(row: dict) -> bytes:
-        h = hashlib.blake2b(digest_size=16)
-        h.update(
-            repr((row["doclen"], row["url"], row["canon"], row["lang"],
-                  row["terms"], row["tfs"], row["pos"])).encode()
-        )
-        return h.digest()
-
-    best: dict[int, tuple[bytes, dict]] = {}
-    for row in cand_tbl.to_pylist():
-        key = (row_digest(row), )
-        cur = best.get(row["doc_id"])
-        if cur is None or key < cur[0:1]:
-            best[row["doc_id"]] = (key[0], row)
-    chosen = pa.Table.from_pylist(
-        [r for _d, r in (best[i] for i in sorted(best))], schema=cand_tbl.schema
+    chosen = (
+        rd.read_parquet(fwd_dir)
+        .map_batches(only_dups, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(keep_min_digest, batch_format="pyarrow")
     )
 
     tmp = fwd_dir + ".dedup"
     _clean_dir(tmp)
     rd.read_parquet(fwd_dir).map_batches(
         drop_dups, batch_format="pyarrow"
-    ).write_parquet(tmp)
-    pq.write_table(chosen, os.path.join(tmp, "dedup-chosen.parquet"))
+    ).union(chosen).write_parquet(tmp)
     _clean_dir(fwd_dir)
     os.replace(tmp, fwd_dir)
-    return int(cand_tbl.num_rows - len(best))
+    return int(n_dup_rows - len(dup_ids))
 
 
 def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):

@@ -133,3 +133,25 @@ def test_identical_rows_collapsed_distributed_winners(ray_session, tmp_path):
     sc = build_index([f], str(tmp_path / "idx_drv"))
     assert sd["n_docs"] == sc["n_docs"] == len(rows)
     assert sd["total_terms"] == sc["total_terms"]
+
+
+def test_all_rows_duplicated_distributed_repair(ray_session, tmp_path):
+    """EVERY input row duplicated (the crawl-flood case the repair
+    exists for): the keep-min-digest repair runs as a distributed
+    groupby — no duplicated row visits the driver — and the result
+    equals the clean build exactly (n_docs, stats, scores)."""
+    rows = _rows(25, seed=13)
+    dup_rows = rows + rows + rows  # 3 copies of everything
+    fd = str(tmp_path / "flood.parquet")
+    fc = str(tmp_path / "clean.parquet")
+    _write(fd, dup_rows)
+    _write(fc, rows)
+    sd = build_index([fd], str(tmp_path / "idx_flood"))
+    sc = build_index([fc], str(tmp_path / "idx_clean"))
+    assert sd["n_docs"] == sc["n_docs"] == len(rows)
+    assert sd["total_terms"] == sc["total_terms"]
+    assert sd["avgdl"] == sc["avgdl"]
+    ed = SearchEngine(str(tmp_path / "idx_flood"))
+    ec = SearchEngine(str(tmp_path / "idx_clean"))
+    for q in ("w1", "w7 w13"):
+        assert ed.search(q, 10) == ec.search(q, 10)
