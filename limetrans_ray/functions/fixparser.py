@@ -1,0 +1,759 @@
+"""Metafix ``.fix`` text parser + compiler onto the RecordOps vocabulary.
+
+The reference's transformation layer IS a Metafix program — ~20k lines
+of ``.fix`` rules selected per Limetrans job (reference
+main/src/main/java/hbz/limetrans/Limetrans.java:155-189 picks the
+engine, main/src/main/resources/transformation/alma.fix:1-1296 is the
+flagship program). :mod:`.recordops` implements the command
+*vocabulary* as vectorized batch ops; this module closes the surface
+gap: it parses fix TEXT (the artifact a real limetrans user owns) and
+compiles it to a RecordOps op-list, so a ``.fix`` file drives the same
+``map_batches`` pipeline.
+
+Grammar subset (everything alma.fix:1-300 exercises):
+
+- commands  ``name(arg, arg, key: value, ...)`` — args are
+  double/single-quoted strings or bare words; ``#`` line comments and
+  ``/* ... */`` block comments
+- blocks    ``do list(path: P, "var": V) ... end``,
+  ``do once(NAME) ... end``, ``do put_macro(NAME) ... end``
+- branches  ``if PRED(...) / elsif PRED(...) / else / end`` and
+  ``unless PRED(...) / end`` with predicates ``exists``,
+  ``any_match``, ``any_equal``, ``any_contain``, ``none_match``
+- includes  ``include("./other.fix")`` (paths relative to the
+  including file), cycle-checked
+- macros    ``do put_macro(NAME) body end`` stored as AST;
+  ``call_macro(NAME, key: value, ...)`` compiles the body with the
+  call's named args overlaid on the variable scope
+- variables ``$[name]`` substituted from the vars map (the reference's
+  Metafix vars, Limetrans.java:167-171) and macro parameters
+- maps      ``put_map(NAME, k: v, ...)`` inline;
+  ``put_filemap(PATH, NAME?, sep_char:, key_column:, value_column:,
+  expected_columns:)`` for TSV/CSV (gzip transparent);
+  ``put_rdfmap(PATH, NAME?, target: PREDICATE)`` for RDF Turtle
+  (select_, the reference's RDF lookup maps — SURVEY.md §2.3
+  put_rdfmap); ``lookup(path, MAP-NAME, delete/default)`` resolves
+  registered maps at compile time into broadcastable dicts
+
+Path selectors compile to (field, subfield) pairs of the flat-row
+model: ``035  .a`` → field ``"035  "`` subfield ``"a"`` (single-char
+trailing component = MARC subfield code), ``?`` wildcards match any
+character (``348??``), ``X[]``/``.$append``/``.$last`` array markers
+reduce to the bare field name (occurrence numbering makes them
+explicit), ``$last.key`` → subfield ``key``, and any other dotted name
+stays a literal flattened field (``introx.music``).
+
+KNOWN DEVIATION (documented contract): ``do list`` bodies see ONLY the
+current element's rows (each element runs as a synthetic record —
+recordops.do_list_elements), so predicates/ops inside a loop that
+reference fields outside the loop path raise at compile time where
+detectable. The reference's loop bodies can touch the whole record;
+the alma.fix:185-266 identifier-routing shape (predicates on the loop
+var, writes to new fields) is fully covered.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import re
+
+__all__ = [
+    "parse_fix",
+    "compile_fix",
+    "load_fix_file",
+    "load_filemap",
+    "load_rdfmap",
+    "FixSyntaxError",
+    "FixCompileError",
+]
+
+
+class FixSyntaxError(ValueError):
+    pass
+
+
+class FixCompileError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- tokenizer
+
+_TOKEN_RX = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*|//[^\n]*)
+  | (?P<block_comment>/\*.*?\*/)
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<punct>[(),:])
+  | (?P<bare>[^\s(),:\#]+)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            # unknown escapes (e.g. regex \d) keep the backslash — fix
+            # strings carry Java-regex patterns verbatim
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+            else:
+                out.append("\\")
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _tokenize(text: str) -> list[tuple[str, str, int]]:
+    """→ [(kind, value, line)]: kind ∈ {str, bare, punct}."""
+    toks, pos, line = [], 0, 1
+    while pos < len(text):
+        m = _TOKEN_RX.match(text, pos)
+        if m is None:
+            raise FixSyntaxError(f"line {line}: cannot tokenize at {text[pos:pos+20]!r}")
+        kind = m.lastgroup
+        val = m.group()
+        if kind == "string":
+            toks.append(("str", _unquote(val), line))
+        elif kind == "bare":
+            toks.append(("bare", val, line))
+        elif kind == "punct":
+            toks.append(("punct", val, line))
+        line += val.count("\n")
+        pos = m.end()
+    return toks
+
+
+# ------------------------------------------------------------------ parser
+#
+# AST: a statement is
+#   ("cmd", name, args, kwargs, line)
+#   ("do", head_cmd, body)                      do list(...)/once/put_macro
+#   ("if", [(pred_cmd, body), ...], else_body)  if/elsif chains
+#   ("unless", pred_cmd, body)
+
+_BLOCK_OPENERS = {"do", "if", "unless"}
+
+
+class _Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        t = self._peek()
+        if t is None:
+            raise FixSyntaxError("unexpected end of fix text")
+        self.i += 1
+        return t
+
+    def _expect_punct(self, p):
+        t = self._next()
+        if t[0] != "punct" or t[1] != p:
+            raise FixSyntaxError(f"line {t[2]}: expected {p!r}, got {t[1]!r}")
+
+    def parse_command(self) -> tuple:
+        """``name(args)`` — the cursor sits on the name token."""
+        name_t = self._next()
+        if name_t[0] != "bare":
+            raise FixSyntaxError(f"line {name_t[2]}: expected command name, got {name_t[1]!r}")
+        name, line = name_t[1], name_t[2]
+        args, kwargs = [], {}
+        self._expect_punct("(")
+        expecting_value = True
+        while True:
+            t = self._peek()
+            if t is None:
+                raise FixSyntaxError(f"line {line}: unterminated argument list for {name}")
+            if t[0] == "punct" and t[1] == ")":
+                self._next()
+                break
+            if t[0] == "punct" and t[1] == ",":
+                self._next()
+                expecting_value = True
+                continue
+            if not expecting_value:
+                raise FixSyntaxError(f"line {t[2]}: expected ',' or ')' in {name}(...)")
+            tok = self._next()
+            if tok[0] not in ("str", "bare"):
+                raise FixSyntaxError(f"line {tok[2]}: unexpected {tok[1]!r} in {name}(...)")
+            nxt = self._peek()
+            if nxt is not None and nxt[0] == "punct" and nxt[1] == ":":
+                self._next()
+                val_t = self._next()
+                if val_t[0] not in ("str", "bare"):
+                    raise FixSyntaxError(
+                        f"line {val_t[2]}: expected value after {tok[1]!r}:"
+                    )
+                kwargs[tok[1]] = val_t[1]
+            else:
+                args.append(tok[1])
+            expecting_value = False
+        return ("cmd", name, args, kwargs, line)
+
+    def parse_body(self, *, stop_at=("end",)) -> tuple[list, str]:
+        """Statements until one of ``stop_at`` keywords; returns
+        (statements, the keyword that ended the body)."""
+        stmts = []
+        while True:
+            t = self._peek()
+            if t is None:
+                if "<eof>" in stop_at:
+                    return stmts, "<eof>"
+                raise FixSyntaxError("unexpected end of fix text (missing 'end'?)")
+            if t[0] == "bare" and t[1] in stop_at:
+                self._next()
+                return stmts, t[1]
+            stmts.append(self.parse_statement())
+
+    def parse_statement(self):
+        t = self._peek()
+        if t[0] != "bare":
+            raise FixSyntaxError(f"line {t[2]}: expected statement, got {t[1]!r}")
+        kw = t[1]
+        if kw == "do":
+            self._next()
+            head = self.parse_command()
+            body, _ = self.parse_body()
+            return ("do", head, body)
+        if kw == "unless":
+            self._next()
+            pred = self.parse_command()
+            body, ended = self.parse_body(stop_at=("end", "else", "elsif"))
+            if ended != "end":
+                raise FixSyntaxError(
+                    f"line {t[2]}: 'unless' takes no elsif/else branches"
+                )
+            return ("unless", pred, body)
+        if kw == "if":
+            self._next()
+            branches, else_body = [], None
+            pred = self.parse_command()
+            while True:
+                body, ended = self.parse_body(stop_at=("end", "elsif", "else"))
+                branches.append((pred, body))
+                if ended == "end":
+                    break
+                if ended == "elsif":
+                    pred = self.parse_command()
+                    continue
+                # else
+                else_body, ended2 = self.parse_body(stop_at=("end",))
+                break
+            return ("if", branches, else_body)
+        return self.parse_command()
+
+
+def parse_fix(text: str) -> list:
+    """Fix text → statement AST (no compilation, no file access)."""
+    return _Parser(_tokenize(text)).parse_body(stop_at=("<eof>",))[0]
+
+
+# ---------------------------------------------------------------- file maps
+
+def _open_maybe_gz(path: str) -> io.TextIOBase:
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def load_filemap(
+    path: str,
+    *,
+    sep_char: str = "\t",
+    key_column: int = 0,
+    value_column: int = 1,
+) -> dict[str, str]:
+    """TSV/CSV two-column lookup table (Metafix ``put_filemap``;
+    reference alma.fix:14-16 loads hbz-to-zdb.tsv.gz with
+    sep_char/key_column/value_column options). Gzip transparent; rows
+    missing either column are skipped; first occurrence of a key wins
+    (stable under re-reads)."""
+    table: dict[str, str] = {}
+    with _open_maybe_gz(path) as fh:
+        for ln in fh:
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            parts = ln.split(sep_char)
+            if len(parts) <= max(key_column, value_column):
+                continue
+            k = parts[key_column]
+            if k not in table:
+                table[k] = parts[value_column]
+    return table
+
+
+_TTL_PREFIX_RX = re.compile(r"@prefix\s+(\S*):\s*<([^>]*)>\s*\.")
+_TTL_TRIPLE_RX = re.compile(
+    r"""^\s*
+    (?P<s><[^>]*>|\S+:\S+)\s+
+    (?P<p><[^>]*>|a|\S+:\S+)\s+
+    (?P<o><[^>]*>|"(?:\\.|[^"\\])*"(?:@[\w-]+|\^\^\S+)?|\S+:\S+)\s*
+    [;.]\s*$""",
+    re.VERBOSE,
+)
+
+
+def load_rdfmap(path: str, *, target: str | None = None) -> dict[str, str]:
+    """RDF Turtle subject→object lookup map (Metafix ``put_rdfmap``;
+    reference alma.fix:18-20 loads lobid-gnd.lmdb-style maps — the
+    lmdb binary form is environment-specific, the RDF source form is
+    the documented input). Supports the line-oriented Turtle subset:
+    ``@prefix`` declarations, one ``subject predicate object .``
+    triple per line (``;`` continuation lines reuse the last subject).
+    ``target`` filters by predicate (prefixed or full IRI); object
+    literals are unquoted, IRIs stripped of ``<>``; first object per
+    subject wins."""
+    prefixes: dict[str, str] = {}
+    table: dict[str, str] = {}
+    last_subject = None
+
+    def expand(term: str) -> str:
+        if term.startswith("<") and term.endswith(">"):
+            return term[1:-1]
+        if ":" in term:
+            p, local = term.split(":", 1)
+            if p in prefixes:
+                return prefixes[p] + local
+        return term
+
+    def literal(term: str) -> str:
+        if term.startswith('"'):
+            end = term.rfind('"')
+            return term[1:end].replace('\\"', '"').replace("\\\\", "\\")
+        return expand(term)
+
+    with _open_maybe_gz(path) as fh:
+        for ln in fh:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            pm = _TTL_PREFIX_RX.match(ln)
+            if pm:
+                prefixes[pm.group(1)] = pm.group(2)
+                continue
+            m = _TTL_TRIPLE_RX.match(ln)
+            if m:
+                s, p, o = m.group("s"), m.group("p"), m.group("o")
+                last_subject = expand(s)
+            elif last_subject is not None:
+                # "; predicate object ." continuation
+                m2 = re.match(
+                    r"^(?P<p><[^>]*>|a|\S+:\S+)\s+(?P<o>.+?)\s*[;.]\s*$", ln
+                )
+                if not m2:
+                    continue
+                p, o = m2.group("p"), m2.group("o")
+                s = None
+            else:
+                continue
+            pred = "rdf:type" if p == "a" else expand(p)
+            if target is not None and pred not in (target, expand(target)):
+                continue
+            subj = last_subject
+            if subj not in table:
+                table[subj] = literal(o)
+    return table
+
+
+# -------------------------------------------------------------- selectors
+
+_ARRAY_MARKER_RX = re.compile(r"\[\]")
+
+
+def _split_selector(path: str) -> tuple[str, str | None]:
+    """Fix path → (field, subfield) in the flat-row model (rules in the
+    module docstring)."""
+    p = _ARRAY_MARKER_RX.sub("", path)
+    # strip $append / $last / $first tails; "$last.key" keeps key
+    for marker in ("$append", "$last", "$first"):
+        tail = "." + marker
+        if p.endswith(tail):
+            return p[: -len(tail)], None
+        mid = tail + "."
+        idx = p.find(mid)
+        if idx >= 0:
+            key = p[idx + len(mid):]
+            return p[:idx], key or None
+    # single-character trailing component = MARC subfield code
+    if "." in p:
+        head, _, last = p.rpartition(".")
+        if len(last) == 1:
+            return head, last
+    return p, None
+
+
+# ---------------------------------------------------------------- compiler
+
+_VAR_RX = re.compile(r"\$\[([^\]]+)\]")
+
+_PRED_NAMES = {"exists", "any_match", "any_equal", "any_contain", "none_match"}
+
+# value transforms: (op name, required positional count beyond path)
+_SIMPLE_VALUE_OPS = {
+    "trim": 0, "upcase": 0, "downcase": 0, "vacuum": None,
+}
+
+
+class _Compiler:
+    def __init__(
+        self,
+        *,
+        vars: dict[str, str] | None = None,
+        base_dir: str | None = None,
+        maps: dict[str, dict] | None = None,
+        max_include_depth: int = 16,
+    ):
+        self.vars = dict(vars or {})
+        self.base_dir = base_dir
+        self.maps: dict[str, dict] = dict(maps or {})
+        self.macros: dict[str, list] = {}
+        self._include_stack: list[str] = []
+        self.max_include_depth = max_include_depth
+
+    # -- variable substitution --------------------------------------
+    def _sub(self, s: str, line: int) -> str:
+        def repl(m):
+            name = m.group(1)
+            if name not in self.vars:
+                raise FixCompileError(f"line {line}: undefined fix variable $[{name}]")
+            return str(self.vars[name])
+
+        return _VAR_RX.sub(repl, s)
+
+    # -- predicates ---------------------------------------------------
+    def _compile_pred(self, cmd, loopvar: str | None, loop_sel) -> tuple:
+        _tag, name, args, kwargs, line = cmd
+        if name not in _PRED_NAMES:
+            raise FixCompileError(f"line {line}: unsupported fix predicate {name!r}")
+        args = [self._sub(a, line) for a in args]
+        field, sub = self._resolve_path(args[0], loopvar, loop_sel, line)
+        kw: dict = {"field": field}
+        if sub is not None:
+            kw["subfield"] = sub
+        if name == "exists":
+            pred = ("exists", kw)
+        elif name in ("any_match", "none_match"):
+            if len(args) < 2:
+                raise FixCompileError(f"line {line}: {name} needs (path, pattern)")
+            kw["pattern"] = args[1]
+            pred = (name, kw)
+        else:  # any_equal / any_contain
+            if len(args) < 2:
+                raise FixCompileError(f"line {line}: {name} needs (path, value)")
+            kw["value"] = args[1]
+            pred = (name, kw)
+        return pred
+
+    # -- path resolution ----------------------------------------------
+    def _resolve_path(self, path, loopvar, loop_sel, line):
+        """A path arg → (field, subfield), mapping the loop variable."""
+        if loopvar is not None and (path == loopvar or path.startswith(loopvar + ".")):
+            lf, ls = loop_sel
+            if path == loopvar:
+                return lf, ls
+            suffix = path[len(loopvar) + 1:]
+            if ls is not None:
+                raise FixCompileError(
+                    f"line {line}: loop var {loopvar} is a value path; "
+                    f"{path!r} cannot select a subfield of it"
+                )
+            return lf, suffix
+        if loopvar is None and path.startswith("$") and not path.startswith("$["):
+            raise FixCompileError(
+                f"line {line}: loop variable reference {path!r} outside a do list(...) body"
+            )
+        return _split_selector(path)
+
+    # -- includes / maps / macros --------------------------------------
+    def _do_include(self, path: str, line: int, ops_out: list, loopvar, loop_sel):
+        if self.base_dir is None:
+            raise FixCompileError(f"line {line}: include() needs a base directory")
+        full = os.path.normpath(os.path.join(self.base_dir, path))
+        if full in self._include_stack:
+            raise FixCompileError(f"line {line}: include cycle via {full}")
+        if len(self._include_stack) >= self.max_include_depth:
+            raise FixCompileError(f"line {line}: include depth > {self.max_include_depth}")
+        with open(full, encoding="utf-8") as fh:
+            ast = parse_fix(fh.read())
+        old_base = self.base_dir
+        self._include_stack.append(full)
+        self.base_dir = os.path.dirname(full)
+        try:
+            self._compile_body(ast, ops_out, loopvar, loop_sel)
+        finally:
+            self.base_dir = old_base
+            self._include_stack.pop()
+
+    def _resolve_map(self, name: str, line: int) -> dict:
+        if name not in self.maps:
+            raise FixCompileError(f"line {line}: unknown lookup map {name!r}")
+        return self.maps[name]
+
+    # -- command compilation -------------------------------------------
+    def _compile_body(self, stmts, ops_out: list, loopvar=None, loop_sel=None):
+        for st in stmts:
+            tag = st[0]
+            if tag == "cmd":
+                self._compile_cmd(st, ops_out, loopvar, loop_sel)
+            elif tag == "do":
+                self._compile_do(st, ops_out, loopvar, loop_sel)
+            elif tag == "if":
+                _t, branches, else_body = st
+                (pred0, body0), *rest = branches
+                kw = {
+                    "pred": self._compile_pred(pred0, loopvar, loop_sel),
+                    "ops": self._sub_ops(body0, loopvar, loop_sel),
+                }
+                if rest:
+                    kw["elifs"] = [
+                        (
+                            self._compile_pred(p, loopvar, loop_sel),
+                            self._sub_ops(b, loopvar, loop_sel),
+                        )
+                        for p, b in rest
+                    ]
+                if else_body is not None:
+                    kw["else_ops"] = self._sub_ops(else_body, loopvar, loop_sel)
+                ops_out.append(("if", kw))
+            elif tag == "unless":
+                _t, pred, body = st
+                ops_out.append(
+                    (
+                        "if",
+                        {
+                            "pred": (
+                                "not",
+                                {"pred": self._compile_pred(pred, loopvar, loop_sel)},
+                            ),
+                            "ops": self._sub_ops(body, loopvar, loop_sel),
+                        },
+                    )
+                )
+            else:  # pragma: no cover — parser emits only the above
+                raise FixCompileError(f"unknown statement tag {tag!r}")
+
+    def _sub_ops(self, body, loopvar, loop_sel) -> list:
+        out: list = []
+        self._compile_body(body, out, loopvar, loop_sel)
+        return out
+
+    def _compile_do(self, st, ops_out, loopvar, loop_sel):
+        _t, head, body = st
+        _tag, name, args, kwargs, line = head
+        if name == "once":
+            # setup scope: runs its body once per program (includes, map
+            # loads); record ops inside compile in place
+            self._compile_body(body, ops_out, loopvar, loop_sel)
+            return
+        if name == "put_macro":
+            if not args:
+                raise FixCompileError(f"line {line}: put_macro needs a name")
+            self.macros[self._sub(args[0], line)] = body
+            return
+        if name == "list":
+            path = kwargs.get("path") or (args[0] if args else None)
+            var = kwargs.get("var") or (args[1] if len(args) > 1 else None)
+            if path is None or var is None:
+                raise FixCompileError(f"line {line}: do list needs path: and var:")
+            path = self._sub(path, line)
+            field, sub = self._resolve_path(path, loopvar, loop_sel, line)
+            inner: list = []
+            self._compile_body(body, inner, var, (field, sub))
+            kw = {"field": field, "ops": inner}
+            if sub is not None:
+                kw["subfield"] = sub
+            ops_out.append(("do_list_elements", kw))
+            return
+        raise FixCompileError(f"line {line}: unsupported do-block {name!r}")
+
+    def _compile_cmd(self, st, ops_out, loopvar, loop_sel):
+        _tag, name, args, kwargs, line = st
+        args = [self._sub(a, line) for a in args]
+        kwargs = {k: self._sub(v, line) for k, v in kwargs.items()}
+
+        def path_kw(p, key_field="field", key_sub="subfield"):
+            f, s = self._resolve_path(p, loopvar, loop_sel, line)
+            kw = {key_field: f}
+            if s is not None:
+                kw[key_sub] = s
+            return kw
+
+        if name == "include":
+            self._do_include(args[0], line, ops_out, loopvar, loop_sel)
+        elif name == "put_map":
+            mname, table = args[0], dict(kwargs)
+            self.maps[mname] = table
+        elif name == "put_filemap":
+            path = os.path.join(self.base_dir or ".", args[0])
+            mname = args[1] if len(args) > 1 else os.path.basename(args[0])
+            self.maps[mname] = load_filemap(
+                path,
+                sep_char=kwargs.get("sep_char", "\t"),
+                key_column=int(kwargs.get("key_column", 0)),
+                value_column=int(kwargs.get("value_column", 1)),
+            )
+        elif name == "put_rdfmap":
+            path = os.path.join(self.base_dir or ".", args[0])
+            mname = args[1] if len(args) > 1 else os.path.basename(args[0])
+            self.maps[mname] = load_rdfmap(path, target=kwargs.get("target"))
+        elif name == "call_macro":
+            mname = args[0]
+            if mname not in self.macros:
+                raise FixCompileError(f"line {line}: unknown macro {mname!r}")
+            saved = self.vars
+            self.vars = {**self.vars, **kwargs}
+            try:
+                self._compile_body(self.macros[mname], ops_out, loopvar, loop_sel)
+            finally:
+                self.vars = saved
+        elif name == "copy_field" or name == "move_field":
+            src_f, src_s = self._resolve_path(args[0], loopvar, loop_sel, line)
+            dst_f, dst_s = self._resolve_path(args[1], loopvar, loop_sel, line)
+            kw = {"src": src_f, "dst": dst_f, "dst_sub": dst_s}
+            if src_s is not None:
+                kw["src_sub"] = src_s
+            ops_out.append((name, kw))
+        elif name == "add_field":
+            kw = path_kw(args[0])
+            kw["value"] = args[1]
+            ops_out.append(("add_field", kw))
+        elif name == "remove_field":
+            ops_out.append(("remove_field", path_kw(args[0])))
+        elif name == "replace_all":
+            kw = path_kw(args[0])
+            kw["pattern"], kw["replacement"] = args[1], args[2]
+            ops_out.append(("replace_all", kw))
+        elif name == "lookup":
+            kw = path_kw(args[0])
+            if len(args) > 1:
+                kw["table"] = self._resolve_map(args[1], line)
+            else:
+                kw["table"] = {
+                    k: v for k, v in kwargs.items() if k not in ("delete", "default")
+                }
+            if str(kwargs.get("delete", "")).lower() == "true":
+                kw["delete"] = True
+            if "default" in kwargs:
+                kw["default"] = kwargs["default"]
+            ops_out.append(("lookup", kw))
+        elif name == "paste":
+            dst_f, dst_s = self._resolve_path(args[0], loopvar, loop_sel, line)
+            srcs = []
+            for a in args[1:]:
+                if a.startswith("~"):
+                    srcs.append({"lit": a[1:]})
+                else:
+                    f, s = self._resolve_path(a, loopvar, loop_sel, line)
+                    srcs.append({"field": f, "subfield": s} if s is not None else f)
+            kw = {"dst": dst_f, "dst_sub": dst_s, "srcs": srcs}
+            if "join_char" in kwargs:
+                kw["join_char"] = kwargs["join_char"]
+            ops_out.append(("paste", kw))
+        elif name == "uniq":
+            ops_out.append(("uniq", path_kw(args[0])))
+        elif name == "retain":
+            fields = [self._resolve_path(a, loopvar, loop_sel, line)[0] for a in args]
+            ops_out.append(("retain", {"fields": fields, "prefix": True}))
+        elif name == "reject":
+            ops_out.append(("reject", {}))
+        elif name == "add_array":
+            # bare add_array("X[]") is structural in the flat-row model
+            # (no empty containers) — only value-carrying forms compile
+            if len(args) > 1:
+                kw = path_kw(args[0])
+                kw["values"] = args[1:]
+                ops_out.append(("add_array", kw))
+        elif name == "add_hash":
+            if kwargs:
+                kw = path_kw(args[0])
+                kw["entries"] = dict(kwargs)
+                ops_out.append(("add_hash", kw))
+            # bare add_hash("X[].$append") is structural: the entity
+            # materializes when $last.* rows are written
+        elif name == "parse_text":
+            kw = path_kw(args[0])
+            kw["pattern"] = _java_groups_to_python(args[1])
+            ops_out.append(("parse_text", kw))
+        elif name in ("prepend", "append"):
+            kw = path_kw(args[0])
+            kw["value"] = args[1]
+            ops_out.append((name, kw))
+        elif name == "substring":
+            kw = path_kw(args[0])
+            kw["start"] = int(args[1]) if len(args) > 1 else int(kwargs.get("start", 0))
+            length = args[2] if len(args) > 2 else kwargs.get("length")
+            if length is not None:
+                kw["length"] = int(length)
+            ops_out.append(("substring", kw))
+        elif name in ("trim", "upcase", "downcase"):
+            ops_out.append((name, path_kw(args[0])))
+        elif name == "vacuum":
+            ops_out.append(("vacuum", {}))
+        elif name == "drop_local":
+            member = kwargs.get("member", self.vars.get("member"))
+            if member is None:
+                raise FixCompileError(
+                    f"line {line}: drop_local needs a member (vars['member'])"
+                )
+            ops_out.append(("drop_local", {"member": member}))
+        elif name == "drop_repeated":
+            kw = path_kw(args[0])
+            if "index" in kwargs:
+                kw["index"] = int(kwargs["index"])
+            ops_out.append(("drop_repeated", kw))
+        elif name == "nothing":
+            pass
+        else:
+            raise FixCompileError(f"line {line}: unsupported fix command {name!r}")
+
+
+def _java_groups_to_python(pattern: str) -> str:
+    """Java named groups ``(?<name>...)`` → Python ``(?P<name>...)``
+    (parse_text patterns in fix files use the Java form)."""
+    return re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+
+
+def compile_fix(
+    text: str,
+    *,
+    vars: dict[str, str] | None = None,
+    base_dir: str | None = None,
+    maps: dict[str, dict] | None = None,
+) -> list[tuple[str, dict]]:
+    """Fix text → RecordOps op-list (ready for
+    :class:`~limetrans_ray.functions.recordops.RecordOps`)."""
+    comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps)
+    ops: list = []
+    comp._compile_body(parse_fix(text), ops)
+    return ops
+
+
+def load_fix_file(
+    path: str,
+    *,
+    vars: dict[str, str] | None = None,
+    maps: dict[str, dict] | None = None,
+) -> list[tuple[str, dict]]:
+    """Read + compile a ``.fix`` file; includes resolve relative to it."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    return compile_fix(
+        text, vars=vars, base_dir=os.path.dirname(os.path.abspath(path)), maps=maps
+    )

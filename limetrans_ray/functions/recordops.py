@@ -112,10 +112,65 @@ _KNOWN = {
     "add_array", "add_hash", "vacuum", "parse_text", "do_list",
     "prepend", "append", "substring", "trim", "upcase", "downcase",
     "drop_local", "drop_repeated", "if_member_local",
+    "if", "reject", "do_list_elements",
+}
+
+# predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
+# conditional surface (reference alma.fix:44,177-216 if/elsif/unless
+# chains); "not" wraps any other predicate (Metafix ``unless``)
+_PREDICATES = {
+    "exists", "any_match", "any_equal", "any_contain", "none_match", "not",
 }
 
 # DropLocal.java:23-25: LOCAL literal or [A-Z]:[0-9]+[a-z]? (full match)
 _LOCAL_RX = r"(?:LOCAL|[A-Z]:[0-9]+[a-z]?)\Z"
+
+
+def _sel_mask(df: pd.DataFrame, field: str, subfield=None) -> pd.Series:
+    """Row-selection mask for a (field, subfield?) selector. A ``?`` in
+    the field name is a single-character wildcard (the Metafix path
+    convention for MARC indicators, e.g. ``348??`` — reference
+    alma.fix:43); subfield ``None`` selects every subfield."""
+    if "?" in field:
+        rx = "".join("." if c == "?" else re.escape(c) for c in field)
+        m = df["field"].str.fullmatch(rx, na=False)
+    else:
+        m = df["field"] == field
+    if subfield is not None:
+        m = m & (df["subfield"] == subfield)
+    return m
+
+
+def _pred_ids(df: pd.DataFrame, pred: tuple[str, dict]) -> set:
+    """Record ids (within ``df``) satisfying a Metafix predicate.
+
+    - ``exists(f)``       — any row of f
+    - ``any_match(f, p)`` — any value of f fully matches regex p
+      (Java ``matches()`` semantics — alma.fix patterns carry their
+      own ``.*`` wrappers)
+    - ``any_equal(f, v)`` / ``any_contain(f, v)`` — exact / substring
+    - ``none_match(f, p)`` — no value of f matches (records without f
+      qualify)
+    - ``not(pred)``       — complement (Metafix ``unless``)
+    """
+    name, kw = pred
+    if name not in _PREDICATES:
+        raise ValueError(f"unknown record predicate {name!r}")
+    all_ids = set(df["record_id"].unique())
+    if name == "not":
+        return all_ids - _pred_ids(df, kw["pred"])
+    if name == "none_match":
+        return all_ids - _pred_ids(df, ("any_match", kw))
+    sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+    if name == "exists":
+        hit = sel
+    elif name == "any_match":
+        hit = sel & df["value"].str.fullmatch(kw["pattern"], na=False)
+    elif name == "any_equal":
+        hit = sel & (df["value"] == kw["value"])
+    else:  # any_contain
+        hit = sel & df["value"].str.contains(kw["value"], regex=False, na=False)
+    return set(df.loc[hit, "record_id"])
 
 
 def _entity_key(df: pd.DataFrame) -> pd.Series:
@@ -128,9 +183,11 @@ def _entity_key(df: pd.DataFrame) -> pd.Series:
     )
 
 
-def _first_occurrence_values(df: pd.DataFrame, field: str) -> pd.Series:
-    """record_id → value of the field's first row (any subfield)."""
-    sub = df[df["field"] == field]
+def _first_occurrence_values(
+    df: pd.DataFrame, field: str, subfield=None
+) -> pd.Series:
+    """record_id → value of the selector's first row."""
+    sub = df[_sel_mask(df, field, subfield)]
     return sub.groupby("record_id", sort=False)["value"].first()
 
 
@@ -142,11 +199,16 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
         if name not in _KNOWN:
             raise ValueError(f"unknown record op {name!r}")
         if name == "copy_field":
-            rows = df[df["field"] == kw["src"]].copy()
+            rows = df[_sel_mask(df, kw["src"], kw.get("src_sub"))].copy()
             rows["field"] = kw["dst"]
+            if "dst_sub" in kw:  # explicit dst selector (fix-compiled);
+                rows["subfield"] = kw["dst_sub"]  # absent = keep src's
             df = pd.concat([df, rows], ignore_index=True)
         elif name == "move_field":
-            df.loc[df["field"] == kw["src"], "field"] = kw["dst"]
+            sel = _sel_mask(df, kw["src"], kw.get("src_sub"))
+            df.loc[sel, "field"] = kw["dst"]
+            if "dst_sub" in kw:
+                df.loc[sel, "subfield"] = kw["dst_sub"]
         elif name == "add_field":
             recs = df["record_id"].drop_duplicates()
             df = pd.concat(
@@ -165,17 +227,14 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 ignore_index=True,
             )
         elif name == "remove_field":
-            mask = df["field"] == kw["field"]
-            if kw.get("subfield") is not None:
-                mask &= df["subfield"] == kw["subfield"]
-            df = df[~mask]
+            df = df[~_sel_mask(df, kw["field"], kw.get("subfield"))]
         elif name == "replace_all":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"].str.replace(
                 kw["pattern"], kw["replacement"], regex=True
             )
         elif name == "lookup":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             mapped = df.loc[sel, "value"].map(kw["table"])
             if kw.get("delete"):
                 # reuse the computed mapping: assign hits, drop misses
@@ -192,11 +251,32 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
         elif name == "paste":
             # vectorized join-skipping-missing: align srcs, mark missing
             # cells with a sentinel, str.cat pairwise, then strip
-            # sentinel fields and their separators (no per-record loop)
+            # sentinel fields and their separators (no per-record loop).
+            # A src entry is a field name, a {"field": f, "subfield": s}
+            # selector, or a {"lit": s} literal (Metafix ``~literal``,
+            # reference macros/alma.fix:19 paste("~(", "@isil", ...)).
+            # Literal-only pastes attach to no record; records missing
+            # EVERY field src emit nothing (a row of bare literal
+            # punctuation carries no data).
             jc = kw.get("join_char", " ")
-            parts = pd.concat(
-                [_first_occurrence_values(df, s) for s in kw["srcs"]], axis=1
-            )
+            rec_index = pd.Index(df["record_id"].drop_duplicates())
+            series, field_cols = [], []
+            for s in kw["srcs"]:
+                if isinstance(s, dict) and "lit" in s:
+                    series.append(pd.Series(s["lit"], index=rec_index))
+                    continue
+                f, sub = (
+                    (s, None)
+                    if isinstance(s, str)
+                    else (s["field"], s.get("subfield"))
+                )
+                col = _first_occurrence_values(df, f, sub).reindex(rec_index)
+                series.append(col)
+                field_cols.append(col)
+            parts = pd.concat(series, axis=1)
+            if field_cols:
+                present = pd.concat(field_cols, axis=1).notna().any(axis=1)
+                parts = parts[present.to_numpy(dtype=bool)]
             cols = [
                 parts.iloc[:, i].astype("string").fillna("\x00")
                 for i in range(parts.shape[1])
@@ -219,7 +299,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                             {
                                 "record_id": joined.index,
                                 "field": kw["dst"],
-                                "subfield": None,
+                                "subfield": kw.get("dst_sub"),
                                 "occurrence": 0,
                                 "value": joined.to_numpy(),
                             }
@@ -228,13 +308,23 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                     ignore_index=True,
                 )
         elif name == "uniq":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             dup = df[sel].duplicated(["record_id", "subfield", "value"])
             drop = sel.copy()
             drop.loc[sel] = dup
             df = df[~drop]
         elif name == "retain":
-            df = df[df["field"].isin(set(kw["fields"]))]
+            if kw.get("prefix"):
+                # Metafix retain keeps whole subtrees; flattened nested
+                # paths are dotted field names here, so a retained name
+                # keeps itself plus its dotted descendants
+                names = list(kw["fields"])
+                keep = df["field"].isin(set(names))
+                for nm in names:
+                    keep |= df["field"].str.startswith(nm + ".")
+                df = df[keep]
+            else:
+                df = df[df["field"].isin(set(kw["fields"]))]
         elif name == "reject_if":
             hit = df[
                 (df["field"] == kw["field"])
@@ -287,7 +377,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
         elif name == "vacuum":
             df = df[df["value"].notna() & (df["value"] != "")]
         elif name == "parse_text":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             groups = df.loc[sel, "value"].str.extract(kw["pattern"])
             # only NAMED groups become fields (unnamed ones are grouping
             # aids and surface as integer columns from str.extract)
@@ -319,24 +409,24 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             sub = apply_ops(df[sel].copy(), list(kw["ops"]))
             df = pd.concat([df[~sel], sub], ignore_index=True)
         elif name == "prepend":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = kw["value"] + df.loc[sel, "value"]
         elif name == "append":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"] + kw["value"]
         elif name == "substring":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             start = int(kw["start"])
             stop = start + int(kw["length"]) if "length" in kw else None
             df.loc[sel, "value"] = df.loc[sel, "value"].str.slice(start, stop)
         elif name == "trim":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"].str.strip()
         elif name == "upcase":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"].str.upper()
         elif name == "downcase":
-            sel = df["field"] == kw["field"]
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"].str.lower()
         elif name == "drop_local":
             # DropLocal.java:40-48: drop the entity iff (a) its "9"
@@ -366,6 +456,72 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             drop = sel.copy()
             drop.loc[occ.index] = repeated & (occ["occurrence"] != idx)
             df = df[~drop]
+        elif name == "if":
+            # Metafix if/elsif/else over whole records: each record runs
+            # the FIRST branch whose predicate it satisfies (else branch
+            # or pass-through otherwise) — reference alma.fix:192-218
+            # identifier routing. Row order within a record is
+            # preserved; cross-branch record order is branch-major
+            # (occurrence renumbering is per record, so unaffected).
+            branches = [(kw["pred"], kw["ops"])] + [
+                (p, o) for p, o in kw.get("elifs", [])
+            ]
+            taken: set = set()
+            parts = []
+            for pred, bops in branches:
+                ids = _pred_ids(df, pred) - taken
+                taken |= ids
+                m = df["record_id"].isin(ids)
+                parts.append(apply_ops(df[m].copy(), list(bops)))
+            rest = df[~df["record_id"].isin(taken)]
+            if kw.get("else_ops") is not None:
+                parts.append(apply_ops(rest.copy(), list(kw["else_ops"])))
+            else:
+                parts.append(rest)
+            df = pd.concat(parts, ignore_index=True)
+        elif name == "reject":
+            # bare Metafix ``reject()`` — drops every record in the
+            # current scope (meaningful inside an ``if`` branch)
+            df = df.iloc[0:0]
+        elif name == "do_list_elements":
+            # Metafix ``do list(path, var)`` with per-ELEMENT semantics:
+            # each element of the path becomes a synthetic record (id =
+            # parent \x1e element ordinal) so predicates and ops inside
+            # the body see exactly the current element — the reference's
+            # loop-variable scoping (alma.fix:43-51, 191-252). Element =
+            # one occurrence (entity) for a field path, one row for a
+            # field.subfield path. Rows the body creates inherit the
+            # synthetic id and are re-parented on merge; fields OUTSIDE
+            # the path are not visible inside the body (documented
+            # parser limitation — fixparser rejects such references
+            # it can detect and the docs spell the contract out).
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            scoped = df[sel].copy()
+            rest = df[~sel]
+            if len(scoped):
+                if kw.get("subfield") is not None:
+                    elem = np.arange(len(scoped))
+                else:
+                    elem = scoped["occurrence"].to_numpy()
+                syn = (
+                    scoped["record_id"].astype(str)
+                    + "\x1e"
+                    + pd.Series(elem, index=scoped.index).astype(str)
+                )
+                parent = dict(zip(syn, scoped["record_id"]))
+                elem_no = dict(zip(syn, elem))
+                scoped["record_id"] = syn
+                sub = apply_ops(scoped, list(kw["ops"]))
+                # restore ELEMENT order before re-parenting: branch-major
+                # partitioning inside the body (the "if" op) must not
+                # leak into the parent's array order — the reference
+                # emits loop results in element order
+                sub = sub.assign(
+                    __elem=sub["record_id"].map(elem_no)
+                ).sort_values("__elem", kind="stable")
+                sub["record_id"] = sub["record_id"].map(parent)
+                sub = sub.drop(columns="__elem").reset_index(drop=True)
+                df = pd.concat([rest, sub], ignore_index=True)
         elif name == "if_member_local":
             # MemberLocal.java:24-34: predicate true when field.M is
             # absent, or any field.M value equals the member code
@@ -411,7 +567,24 @@ class RecordOps:
         "upcase": ("field",), "downcase": ("field",),
         "drop_local": ("member",), "drop_repeated": ("field",),
         "if_member_local": ("field", "member", "ops"),
+        "if": ("pred", "ops"), "reject": (),
+        "do_list_elements": ("field", "ops"),
     }
+
+    @classmethod
+    def _validate_pred(cls, pred) -> None:
+        name, kw = pred
+        if name not in _PREDICATES:
+            raise ValueError(f"unknown record predicate {name!r}")
+        if name == "not":
+            cls._validate_pred(kw["pred"])
+            return
+        if "field" not in kw:
+            raise ValueError(f"record predicate {name!r} missing field")
+        if name in ("any_match", "none_match"):
+            re.compile(kw["pattern"])
+        elif name in ("any_equal", "any_contain") and "value" not in kw:
+            raise ValueError(f"record predicate {name!r} missing value")
 
     @classmethod
     def _validate(cls, ops) -> None:
@@ -429,8 +602,16 @@ class RecordOps:
                         "parse_text pattern needs named groups "
                         "(?P<field>...) — group names become fields"
                     )
-            elif name in ("do_list", "if_member_local"):
+            elif name in ("do_list", "if_member_local", "do_list_elements"):
                 cls._validate(kw["ops"])
+            elif name == "if":
+                cls._validate_pred(kw["pred"])
+                cls._validate(kw["ops"])
+                for p, o in kw.get("elifs", []):
+                    cls._validate_pred(p)
+                    cls._validate(o)
+                if kw.get("else_ops") is not None:
+                    cls._validate(kw["else_ops"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = apply_ops(batch.to_pandas(), self.ops)

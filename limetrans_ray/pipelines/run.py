@@ -185,7 +185,17 @@ def run_settings(
     )
     if not files:
         raise ValueError(f"input queue matched no files: {q}")
-    fix = (settings.get("transformation") or {}).get("fix")
+    tr = settings.get("transformation") or {}
+    fix = tr.get("fix")
+    if tr.get("fix-file"):
+        # a Metafix ``.fix`` program file — the reference's native
+        # transformation artifact (Limetrans.java:155-189 engine
+        # selection); compiled once here, broadcast as the op-list
+        if fix:
+            raise ValueError("transformation: give fix OR fix-file, not both")
+        from ..functions.fixparser import load_fix_file
+
+        fix = load_fix_file(tr["fix-file"], vars=tr.get("vars"))
     out_cfg = settings.get("output") or {}
     if len(out_cfg) != 1:
         raise ValueError(

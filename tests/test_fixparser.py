@@ -1,0 +1,377 @@
+"""Metafix ``.fix`` parser/compiler tests.
+
+Model: the reference's TransformationTestCase discipline (fix program +
+input records → expected records, reference
+main/src/test/java/hbz/limetrans/TransformationTest.java) — golden
+fixtures built on the alma.fix:185-266 identifier-routing shape, plus
+grammar/selector/map-loader unit coverage. No Ray needed: compiled
+programs run through recordops.apply_ops directly (RecordOps wraps the
+same function for map_batches).
+"""
+
+import textwrap
+
+import pandas as pd
+import pytest
+
+from limetrans_ray.functions.fixparser import (
+    FixCompileError,
+    FixSyntaxError,
+    _split_selector,
+    compile_fix,
+    load_filemap,
+    load_fix_file,
+    load_rdfmap,
+    parse_fix,
+)
+from limetrans_ray.functions.recordops import RecordOps, apply_ops
+
+
+def rows(*tuples):
+    return pd.DataFrame(
+        tuples, columns=["record_id", "field", "subfield", "occurrence", "value"]
+    )
+
+
+def got(df):
+    """(record, field, subfield, occurrence, value) tuples, sorted."""
+    return sorted(
+        df[["record_id", "field", "subfield", "occurrence", "value"]]
+        .fillna("")
+        .itertuples(index=False, name=None)
+    )
+
+
+# ------------------------------------------------------------------ grammar
+
+def test_parse_commands_comments_strings():
+    ast = parse_fix(
+        textwrap.dedent(
+            """
+            # line comment
+            /* block
+               comment */
+            copy_field("a", "b")  // trailing comment style
+            add_field("x", "hello \\"quoted\\" world")
+            lookup("f", "map-name", delete: "true")
+            """
+        )
+    )
+    assert [s[1] for s in ast] == ["copy_field", "add_field", "lookup"]
+    assert ast[1][2] == ["x", 'hello "quoted" world']
+    assert ast[2][3] == {"delete": "true"}
+
+
+def test_parse_if_elsif_else_and_do():
+    ast = parse_fix(
+        """
+        do list(path: "035  .a", "var": "$i")
+          if any_match("$i", "x.*")
+            copy_field("$i", "X")
+          elsif any_match("$i", "y.*")
+            copy_field("$i", "Y")
+          else
+            copy_field("$i", "Z")
+          end
+        end
+        """
+    )
+    assert ast[0][0] == "do"
+    inner = ast[0][2]
+    assert inner[0][0] == "if"
+    branches, else_body = inner[0][1], inner[0][2]
+    assert len(branches) == 2 and else_body is not None
+
+
+def test_syntax_errors():
+    with pytest.raises(FixSyntaxError):
+        parse_fix('copy_field("a", "b"')  # unterminated args
+    with pytest.raises(FixSyntaxError):
+        parse_fix('do list(path: "x", "var": "$i")\ncopy_field("a","b")')  # no end
+
+
+# ---------------------------------------------------------------- selectors
+
+@pytest.mark.parametrize(
+    "path,expected",
+    [
+        ("035  .a", ("035  ", "a")),
+        ("348??", ("348??", None)),
+        ("@hbzid", ("@hbzid", None)),
+        ("IdentifierHBZ[].$append", ("IdentifierHBZ", None)),
+        ("IdentifierHBZ[].$last.identifierHBZ", ("IdentifierHBZ", "identifierHBZ")),
+        ("introx.music[]", ("introx.music", None)),
+        ("RecordIdentifier.identifierForTheIndex",
+         ("RecordIdentifier.identifierForTheIndex", None)),
+        ("leader", ("leader", None)),
+        ("008.0", ("008", "0")),
+    ],
+)
+def test_split_selector(path, expected):
+    assert _split_selector(path) == expected
+
+
+# ----------------------------------------------------------------- compile
+
+def test_compile_basic_program():
+    ops = compile_fix(
+        """
+        copy_field("245??.a", "Title")
+        remove_field("999")
+        replace_all("Title", "\\\\s+$", "")
+        """
+    )
+    assert ops[0] == (
+        "copy_field",
+        {"src": "245??", "src_sub": "a", "dst": "Title", "dst_sub": None},
+    )
+    assert ops[1] == ("remove_field", {"field": "999"})
+    assert ops[2][1]["pattern"] == "\\s+$"
+
+
+def test_compile_vars_and_undefined_var():
+    ops = compile_fix(
+        'add_field("x", "$[suffix]")', vars={"suffix": "049"}
+    )
+    assert ops[0][1]["value"] == "049"
+    with pytest.raises(FixCompileError):
+        compile_fix('add_field("x", "$[nope]")')
+
+
+def test_compile_unknown_command_and_map():
+    with pytest.raises(FixCompileError):
+        compile_fix('frobnicate("x")')
+    with pytest.raises(FixCompileError):
+        compile_fix('lookup("f", "no-such-map")')
+
+
+def test_put_map_and_lookup_roundtrip():
+    ops = compile_fix(
+        """
+        put_map("colors", "r": "red", "g": "green")
+        lookup("c", "colors", default: "unknown")
+        """
+    )
+    out = apply_ops(
+        rows(("r1", "c", None, 0, "r"), ("r2", "c", None, 0, "x")), ops
+    )
+    assert got(out) == [("r1", "c", "", 0, "red"), ("r2", "c", "", 0, "unknown")]
+
+
+def test_include_and_macro(tmp_path):
+    (tmp_path / "inc.fix").write_text('add_field("from_include", "yes")\n')
+    (tmp_path / "main.fix").write_text(
+        """
+        do put_macro("tag")
+          add_field("tagged", "$[name]")
+        end
+        include("./inc.fix")
+        call_macro("tag", name: "n1")
+        call_macro("tag", name: "n2")
+        """
+    )
+    ops = load_fix_file(str(tmp_path / "main.fix"))
+    out = apply_ops(rows(("r1", "seed", None, 0, "s")), ops)
+    vals = {(f, v) for _r, f, _s, _o, v in got(out)}
+    assert ("from_include", "yes") in vals
+    assert ("tagged", "n1") in vals and ("tagged", "n2") in vals
+
+
+def test_include_cycle_detected(tmp_path):
+    (tmp_path / "a.fix").write_text('include("./b.fix")\n')
+    (tmp_path / "b.fix").write_text('include("./a.fix")\n')
+    with pytest.raises(FixCompileError, match="cycle"):
+        load_fix_file(str(tmp_path / "a.fix"))
+
+
+def test_filemap_loader(tmp_path):
+    import gzip
+
+    p = tmp_path / "map.tsv.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("HT001 0001-1\nHT002 0002-2\nbad\n")
+    # reversed key/value columns like alma.fix:14 zdb-to-hbz
+    table = load_filemap(str(p), sep_char=" ", key_column=1, value_column=0)
+    assert table == {"0001-1": "HT001", "0002-2": "HT002"}
+
+
+def test_rdfmap_loader(tmp_path):
+    p = tmp_path / "m.ttl"
+    p.write_text(
+        textwrap.dedent(
+            """
+            @prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+            @prefix ex: <http://example.org/> .
+            # a comment
+            ex:n1 skos:prefLabel "Label One" .
+            ex:n2 skos:prefLabel "Label Two"@de .
+            ex:n3 skos:altLabel "Alt Only" .
+            """
+        )
+    )
+    table = load_rdfmap(str(p), target="skos:prefLabel")
+    assert table == {
+        "http://example.org/n1": "Label One",
+        "http://example.org/n2": "Label Two",
+    }
+
+
+def test_unless_exists():
+    ops = compile_fix(
+        """
+        unless exists("id")
+          add_field("id", "generated")
+        end
+        """
+    )
+    out = apply_ops(
+        rows(("r1", "id", None, 0, "real"), ("r2", "x", None, 0, "v")), ops
+    )
+    t = got(out)
+    assert ("r1", "id", "", 0, "real") in t
+    assert ("r2", "id", "", 0, "generated") in t
+    assert not any(r == "r1" and f == "id" and v == "generated" for r, f, _s, _o, v in t)
+
+
+def test_reject_inside_if():
+    ops = compile_fix(
+        """
+        if any_equal("status", "deleted")
+          reject()
+        end
+        """
+    )
+    out = apply_ops(
+        rows(
+            ("r1", "status", None, 0, "deleted"),
+            ("r1", "x", None, 0, "gone"),
+            ("r2", "status", None, 0, "live"),
+        ),
+        ops,
+    )
+    assert set(out["record_id"]) == {"r2"}
+
+
+# ------------------------------------------------ golden: identifier routing
+
+_GOLDEN_FIX = """
+do once("setup")
+  put_map("zdb-to-hbz", "0001-1": "HT000001", "0002-2": "HT000002")
+end
+
+do list(path: "035  .a", "var": "$i")
+  if any_match("$i", "\\\\(DE-600\\\\).*")
+    replace_all("$i", "^\\\\(DE-600\\\\)", "")
+    copy_field("$i", "IdentifierZDB[].$last.identifierZDB")
+    lookup("$i", "zdb-to-hbz", delete: "true")
+    if exists("$i")
+      paste("IdentifierHBZ[].$last.identifierHBZFull", "~(DE-605)", "$i", join_char: "")
+      copy_field("$i", "IdentifierHBZ[].$last.identifierHBZ")
+    end
+  elsif any_match("$i", "\\\\(DE-605\\\\).*")
+    copy_field("$i", "IdentifierHBZ[].$last.identifierHBZFull")
+    replace_all("$i", "^\\\\(DE-605\\\\)", "")
+    copy_field("$i", "IdentifierHBZ[].$last.identifierHBZ")
+  elsif any_match("$i", "\\\\(OCoLC\\\\).*")
+    replace_all("$i", "^\\\\(OCoLC\\\\)", "")
+    copy_field("$i", "IdentifierOCLC[].$last.identifierOCLC")
+  end
+end
+uniq("IdentifierHBZ[]")
+retain("IdentifierHBZ", "IdentifierZDB", "IdentifierOCLC")
+"""
+
+
+def _input_035(rid, values):
+    return [(rid, "035  ", "a", i, v) for i, v in enumerate(values)]
+
+
+def test_golden_identifier_routing():
+    """The alma.fix:185-266 shape end-to-end: repeated 035.a values
+    routed per element by prefix, ZDB ids translated through a lookup
+    map with delete-on-miss, HBZ full/short pairs pasted with literal
+    prefixes — expected records hand-derived."""
+    ops = compile_fix(_GOLDEN_FIX)
+    df = rows(
+        *_input_035(
+            "r1",
+            ["(DE-600)0001-1", "(DE-605)HT999", "(OCoLC)4711", "(DE-599)skip"],
+        ),
+        ("r1", "leader", None, 0, "xxxxx"),
+        *_input_035("r2", ["(DE-600)9999-9"]),  # ZDB id missing from map
+    )
+    out = apply_ops(df, ops)
+    assert got(out) == [
+        ("r1", "IdentifierHBZ", "identifierHBZ", 0, "HT000001"),
+        ("r1", "IdentifierHBZ", "identifierHBZ", 1, "HT999"),
+        ("r1", "IdentifierHBZ", "identifierHBZFull", 0, "(DE-605)HT000001"),
+        ("r1", "IdentifierHBZ", "identifierHBZFull", 1, "(DE-605)HT999"),
+        ("r1", "IdentifierOCLC", "identifierOCLC", 0, "4711"),
+        ("r1", "IdentifierZDB", "identifierZDB", 0, "0001-1"),
+        # r2: lookup miss deleted the value → no HBZ rows, but the ZDB
+        # copy happened before the lookup
+        ("r2", "IdentifierZDB", "identifierZDB", 0, "9999-9"),
+    ]
+
+
+def test_golden_through_recordops_batch(ray_session):
+    """The compiled program as the map_batches callable (RecordOps) —
+    identical output through the Ray batch path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ops = compile_fix(_GOLDEN_FIX)
+    df = rows(*_input_035("r1", ["(DE-605)HT1", "(OCoLC)77"]))
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).map_batches(RecordOps(ops), batch_format="pyarrow")
+    out = ds.to_pandas()
+    assert got(out) == got(apply_ops(df, ops))
+
+
+def test_do_list_element_isolation():
+    """Each element sees only itself: two 035 values where only the
+    second matches must not leak the first into the branch."""
+    ops = compile_fix(
+        """
+        do list(path: "035  .a", "var": "$i")
+          if any_match("$i", "KEEP.*")
+            copy_field("$i", "kept")
+          end
+        end
+        """
+    )
+    out = apply_ops(
+        rows(*_input_035("r1", ["drop-me", "KEEP-1", "drop-too", "KEEP-2"])), ops
+    )
+    kept = out[out["field"] == "kept"].sort_values("occurrence")
+    assert list(kept["value"]) == ["KEEP-1", "KEEP-2"]
+    assert list(kept["occurrence"]) == [0, 1]
+
+
+def test_loop_var_outside_loop_rejected():
+    with pytest.raises(FixCompileError, match="outside"):
+        compile_fix('copy_field("$i", "X")')
+
+
+def test_entity_loop_subfield_access():
+    """Entity path loop (``MBD  `` with var subfield access) — the
+    macros/alma.fix:11-15 shape."""
+    ops = compile_fix(
+        """
+        do list(path: "MBD  ", "var": "$i")
+          if any_equal("$i.M", "49HBZ_X")
+            copy_field("$i.i", "@mmsiz")
+          end
+        end
+        """
+    )
+    df = rows(
+        ("r1", "MBD  ", "M", 0, "49HBZ_Y"),
+        ("r1", "MBD  ", "i", 0, "id-y"),
+        ("r1", "MBD  ", "M", 1, "49HBZ_X"),
+        ("r1", "MBD  ", "i", 1, "id-x"),
+    )
+    out = apply_ops(df, ops)
+    hit = out[out["field"] == "@mmsiz"]
+    assert list(hit["value"]) == ["id-x"]

@@ -181,3 +181,32 @@ def test_settings_file_with_vars_and_validation(ray_session, tmp_path, jsonl_dir
         cols["input"]["queue"]["pattern"] = "*.jsonl"
         cols["input"]["queue"]["processor"] = "PARQUET"
         run_settings(cols)
+
+
+def test_fix_file_transformation(ray_session, tmp_path, jsonl_dir):
+    """A Metafix .fix text file as the transformation — compiled by
+    fixparser into the same RecordOps program the inline form uses."""
+    fix_path = tmp_path / "prog.fix"
+    fix_path.write_text(
+        'put_map("langs", "de": "German", "en": "English")\n'
+        'lookup("lang", "langs", default: "$[fallback]")\n'
+        'retain("lang", "title")\n'
+    )
+    out = str(tmp_path / "out_fix.jsonl")
+    settings = _settings(jsonl_dir, {"jsonl": out})
+    settings["transformation"] = {
+        "fix-file": str(fix_path), "vars": {"fallback": "Other"}
+    }
+    summary = run_settings(settings)
+    assert summary["records"] == 3
+    recs = [json.loads(line) for line in open(out)]
+    assert sorted((r["lang"], r["title"]) for r in recs) == [
+        ("English", "Payment"), ("German", "Der Holzbau"), ("Other", "Unknown"),
+    ]
+
+
+def test_fix_and_fix_file_mutually_exclusive(ray_session, tmp_path, jsonl_dir):
+    settings = _settings(jsonl_dir, {"jsonl": str(tmp_path / "x.jsonl")})
+    settings["transformation"]["fix-file"] = str(tmp_path / "nope.fix")
+    with pytest.raises(ValueError, match="fix OR fix-file"):
+        run_settings(settings)
