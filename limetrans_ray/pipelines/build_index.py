@@ -761,6 +761,7 @@ def _finish_from_fwd(
         merger = MergeShardGroup(
             dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base,
             slice_bounds=slice_bounds, ids_codec=cfg.postings_codec,
+            bucket_width=w,
         )
 
         def merge_shard_group(group: pa.Table) -> pa.Table:

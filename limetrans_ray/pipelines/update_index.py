@@ -413,7 +413,8 @@ def add_documents(
     # delta batches are incremental-update-sized: one doclen group
     # (a 100 TB base build range-shards this — see build_index stage 3)
     merger = MergeShardGroup(
-        {0: doclens_ref}, stats["avgdl"], block_size, bg_doc_base=np.array([0])
+        {0: doclens_ref}, stats["avgdl"], block_size, bg_doc_base=np.array([0]),
+        bucket_width=w,
     )
 
     def merge_shard_group(group: pa.Table) -> pa.Table:

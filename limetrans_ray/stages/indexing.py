@@ -515,11 +515,21 @@ class InvertStage:
         vocab = dict_arr.dictionary
         bucket = doc_rep // self.w
         limit = int(bucket.max()) + 1  # per-batch key packing base
-        if (len(vocab) - 1) * limit + limit - 1 < 2**31:
+        key_max = (len(vocab) - 1) * limit + limit - 1
+        if key_max < 2**31:
             key = (codes * limit).astype(np.int32) + bucket.astype(np.int32)
         else:
             key = codes * limit + bucket.astype(np.int64)
-        order = np.lexsort((doc_rep, key))
+        # (key, doc) composite keys are UNIQUE (one posting per
+        # (term, doc), doc-in-bucket offset preserves doc order within
+        # a key), so packing them into one int64 lets a single unstable
+        # argsort replace the two-pass lexsort — ~4x less sort wall on
+        # the bandwidth-bound path (see BASELINE.md). Data-dependent
+        # fallback when the packed key would overflow.
+        if (key_max + 1) * self.w < 2**63:
+            order = np.argsort(key.astype(np.int64) * self.w + (doc_rep % self.w))
+        else:  # pragma: no cover — >2^50 distinct (term,bucket) cells
+            order = np.lexsort((doc_rep, key))
         k_s, d_s, t_s = key[order], doc_rep[order], flat_tfs[order]
         starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
         ends = np.append(starts[1:], len(k_s))
@@ -605,12 +615,17 @@ class MergeShardGroup:
         bg_doc_base,
         slice_bounds=None,
         ids_codec: str = "varint",
+        bucket_width: int | None = None,
     ):
         self._refs = dl_refs
         self._slices: dict[int, np.ndarray] = {}
         self.bg_doc_base = np.asarray(bg_doc_base, dtype=np.int64)
         self.avgdl = float(avgdl)
         self.block_size = int(block_size)
+        # enables the packed-key single-argsort posting sort (doc offset
+        # within a cell's bucket is < bucket_width); None falls back to
+        # the two-pass lexsort
+        self.bucket_width = int(bucket_width) if bucket_width else None
         # doc-id gap encoding of the emitted chunks: "varint" (LEB128,
         # the default) or "for" (frame-of-reference bit-packing — the
         # PForDelta-family codec, codec.py). Per-row ``ids_codec`` tags
@@ -675,7 +690,16 @@ class MergeShardGroup:
         limit = int(buckets.max()) + 1
         cell_key_per_partial = codes * limit + buckets
         key_p = np.repeat(cell_key_per_partial, pdf)
-        order = np.lexsort((ids, key_p))
+        # composite (cell, doc) keys are unique across partials (a doc
+        # lives in exactly one invert batch), so one packed-int64
+        # unstable argsort replaces the lexsort where the in-bucket doc
+        # offset fits (same trick as InvertStage — ~4x less sort wall)
+        w = self.bucket_width
+        key_p_max = (len(vocab) - 1) * limit + limit - 1
+        if w is not None and (key_p_max + 1) * w < 2**63:
+            order = np.argsort(key_p * w + (ids % w))
+        else:
+            order = np.lexsort((ids, key_p))
         k_s, id_s, tf_s = key_p[order], ids[order], tfs[order]
 
         # cell boundaries
