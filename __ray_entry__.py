@@ -328,6 +328,64 @@ def _embedding_sim_pairs(sf_dir: str):
     return out
 
 
+def _embedding_lsh_pairs(sf_dir: str):
+    """The banded-hyperplane SCALE path of embedding_sim_pairs: no
+    corpus matrix on the driver, no O(n²) matmul. Same τ=0.4 as the
+    brute sibling; the SQL mirror reproduces the LSH banding itself
+    (seeded planes as literals), so banding misses match exactly —
+    the oracle checks the algorithm, not the ideal recall."""
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.dedup import embedding_near_dups_lsh
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embedding_near_dups_lsh(ds, threshold=0.4)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _ivf_topk(sf_dir: str):
+    """IVF ANN: k-means coarse quantizer (seeded, deterministic), hive
+    ``list_id=`` partitions, queries probe their nprobe nearest lists
+    and read ONLY those partitions — pruned-read IO accounting carried
+    in the result like ann_lsh_topk. Index cached per fingerprint."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.ann import build_ivf_index, ivf_topk
+    from limetrans_ray.state.manifest import fingerprint_paths
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(emb_path).to_pandas()
+    qdf = tbl[tbl["vec_id"] < 5].sort_values("vec_id")
+
+    idx_dir = _index_root(sf_dir) + "-ivf"
+    fp = fingerprint_paths([emb_path])
+    marker = os.path.join(idx_dir, "fingerprint.json")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            fresh = json.load(fh).get("fp") == fp
+    if not fresh:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ds = rd.read_parquet(emb_path)
+        build_ivf_index(ds, idx_dir)
+        with open(marker, "w") as fh:
+            json.dump({"fp": fp}, fh)
+    out, io_stats = ivf_topk(
+        idx_dir, np.stack(qdf["embedding"].to_numpy()), qdf["vec_id"].tolist(), k=10
+    )
+    out["cosine"] = out["cosine"].round(6)
+    out["scanned_rows"] = np.int64(io_stats["scanned_rows"])
+    out["total_rows"] = np.int64(io_stats["total_rows"])
+    return out
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -536,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_minhash": _neardup_minhash,
         "neardup_ngram": _neardup_ngram,
         "embedding_sim_pairs": _embedding_sim_pairs,
+        "embedding_lsh_pairs": _embedding_lsh_pairs,
+        "ivf_topk": _ivf_topk,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
@@ -880,6 +940,147 @@ def _ann_lsh_sql() -> str:
     """
 
 
+def _embedding_lsh_sql() -> str:
+    """Exact DuckDB mirror of embedding_near_dups_lsh (defaults:
+    seed=42, n_planes=24, bands=4, τ=0.4): the seeded hyperplanes are
+    embedded as float64 literals, each vector's four 6-bit band values
+    are the packed sign patterns (sign(v·H) is scale-invariant, so the
+    engine's normalization drops out), candidate pairs share ≥1 band
+    value, and survivors re-rank by exact double cosine. The mirror
+    reproduces the BANDING itself, so LSH misses match exactly. Valid
+    while no band bucket exceeds BUCKET_PAIR_CAP=64 (sf0.01 max bucket:
+    23) — past the cap the engine star-expands, which this plain
+    pair-join does not model."""
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((64, 24))
+    pl_rows = ", ".join(
+        f"({i + 1}, {j}, {float(planes[i, j])!r})"
+        for i in range(64)
+        for j in range(24)
+    )
+    return f"""
+        WITH pl(i, j, w) AS (VALUES {pl_rows}),
+        dots AS (
+          SELECT e.vec_id, pl.j,
+                 sum(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+          FROM embeddings e, pl
+          GROUP BY e.vec_id, pl.j),
+        bands AS (
+          SELECT vec_id, j // 6 AS band_id,
+                 CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << (j % 6))
+                          ELSE 0 END) AS BIGINT) AS band_val
+          FROM dots GROUP BY vec_id, j // 6),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM bands a
+          JOIN bands b ON a.band_id = b.band_id
+                      AND a.band_val = b.band_val
+                      AND a.vec_id < b.vec_id),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        nrm AS (
+          SELECT vec_id,
+                 sqrt(sum(CAST(embedding[dims.i] AS DOUBLE)
+                          * CAST(embedding[dims.i] AS DOUBLE))) AS nv
+          FROM embeddings, dims GROUP BY vec_id),
+        flat AS (
+          SELECT c.a_id, c.b_id,
+                 sum(CAST(va.embedding[dims.i] AS DOUBLE)
+                     * CAST(vb.embedding[dims.i] AS DOUBLE)) AS dot
+          FROM cand c
+          JOIN embeddings va ON va.vec_id = c.a_id
+          JOIN embeddings vb ON vb.vec_id = c.b_id, dims
+          GROUP BY c.a_id, c.b_id)
+        SELECT f.a_id, f.b_id, round(f.dot / (na.nv * nb.nv), 6) AS cosine
+        FROM flat f
+        JOIN nrm na ON na.vec_id = f.a_id
+        JOIN nrm nb ON nb.vec_id = f.b_id
+        WHERE f.dot / (na.nv * nb.nv) >= 0.4
+    """
+
+
+def _ivf_sql() -> str:
+    """Exact DuckDB mirror of the IVF ANN path (build_ivf_index +
+    ivf_topk; defaults n_lists=16, nprobe=4, seed=42). The coarse
+    quantizer is ITERATIVE k-means, not SQL-expressible, so the mirror
+    embeds the centroids as float64 literals — derived HERE by the same
+    seeded, deterministic _kmeans over the same ≤10k-row sample (file
+    order) of the embeddings table the driver registers as the
+    ``embeddings`` view (the driver compares at sf0.01 —
+    ``GRAFT_ORACLE_SF_DIR`` overrides for the sf0.001 pytest mirror).
+    Given those centroids the oracle RE-DERIVES everything downstream
+    in SQL: per-vector list assignment (argmax dot, ties to the lower
+    list — the engine's argmax/stable-argsort contract), per-query
+    nprobe probing, candidate re-rank by exact double cosine, and the
+    pruned-read IO accounting."""
+    import pyarrow.parquet as pq
+
+    from limetrans_ray.pipelines.ann import _kmeans
+
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sample = np.stack(
+        tbl.column("embedding").to_pandas().to_numpy()[:10_000]
+    ).astype(np.float64)
+    cent = _kmeans(sample, 16, seed=42)
+    c_rows = ", ".join(
+        f"({c}, {i + 1}, {float(cent[c, i])!r})"
+        for c in range(cent.shape[0])
+        for i in range(cent.shape[1])
+    )
+    return f"""
+        WITH cent(c, i, w) AS (VALUES {c_rows}),
+        cdots AS (
+          SELECT e.vec_id, cent.c,
+                 sum(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) AS d
+          FROM embeddings e, cent
+          GROUP BY e.vec_id, cent.c),
+        assign AS (
+          SELECT vec_id, c AS list_id
+          FROM (SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, c) AS rn
+                FROM cdots)
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS query_id, c AS list_id
+          FROM (SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, c) AS rn
+                FROM cdots WHERE vec_id < 5)
+          WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probe p JOIN assign a ON a.list_id = p.list_id),
+        dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        flat AS (
+          SELECT c.query_id, c.vec_id,
+                 sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                     * CAST(v.embedding[dims.i] AS DOUBLE)) AS dot,
+                 sqrt(sum(CAST(q.embedding[dims.i] AS DOUBLE)
+                          * CAST(q.embedding[dims.i] AS DOUBLE))) AS nq,
+                 sqrt(sum(CAST(v.embedding[dims.i] AS DOUBLE)
+                          * CAST(v.embedding[dims.i] AS DOUBLE))) AS ne
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings v ON v.vec_id = c.vec_id, dims
+          GROUP BY c.query_id, c.vec_id),
+        io AS (
+          SELECT
+            (SELECT count(*) FROM assign a WHERE EXISTS (
+               SELECT 1 FROM probe p WHERE p.list_id = a.list_id))
+              AS scanned_rows,
+            (SELECT count(*) FROM embeddings) AS total_rows)
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (nq * ne) DESC, vec_id)
+                 AS rank,
+               vec_id, round(dot / (nq * ne), 6) AS cosine,
+               io.scanned_rows, io.total_rows
+        FROM flat, io
+        QUALIFY rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from limetrans_ray.functions.textstats import _LANG_MARKERS, _QUALITY_STOPWORDS
 
@@ -892,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
         "fielded_simple_search": _fielded_simple_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_lsh_pairs": _embedding_lsh_sql(),
+        "ivf_topk": _ivf_sql(),
         "doc_stats": """
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -491,7 +491,10 @@ def ivf_topk(
     qn = _normalize(np.asarray(queries))
     sims = qn @ cent.T                       # (n_q, n_lists)
     nprobe = min(nprobe, sims.shape[1])
-    probe = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+    # stable sort (not argpartition): similarity ties probe the LOWER
+    # list index — deterministic and SQL-mirrorable (ORDER BY sim DESC,
+    # list ASC); n_lists is small, the sort cost is noise
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     allow = np.zeros((len(qn), len(cent)), dtype=bool)
     allow[np.arange(len(qn))[:, None], probe] = True
     vec_dir = os.path.join(index_dir, "vectors")

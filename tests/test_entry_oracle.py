@@ -11,7 +11,12 @@ import pytest
 
 import __ray_entry__ as entry_mod
 
+import os
+
 SF_DIR = "/root/testdata/sf0.001"
+# data-derived oracles (ivf_topk centroid literals) must derive from
+# the SAME tier this mirror compares at
+os.environ["GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
