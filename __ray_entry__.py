@@ -328,6 +328,80 @@ def _embedding_sim_pairs(sf_dir: str):
     return out
 
 
+_VERIFY_KEYS = frozenset({"src1", "src3", "src5", "de", "en"})
+_VERIFY_SKIP = frozenset({"src5"})
+
+
+def _verify_links_docs(sf_dir: str):
+    """The reference's verify_links record contract as a driver query
+    (VerifyLinks.java:112-197): documents rows become records whose
+    HostItemEntry / PrecedingEntry entities carry link identifiers
+    (source / lang values), the verify_links op annotates each with
+    verifying*/verified* rows against a key set + skip set, and the
+    output is the grouped (field, subfield, value) counts over the
+    annotation rows — the aggregated form of the reference's per-path
+    LongAdder counters, membership-mirrorable in DuckDB."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from limetrans_ray.functions.recordops import RecordOps
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "record_id": pa.array(ids + ids, pa.string()),
+                "field": pa.array(
+                    ["HostItemEntry"] * n + ["PrecedingEntry"] * n, pa.string()
+                ),
+                "subfield": pa.array(
+                    ["identifierForLinkingEntry"] * (2 * n), pa.string()
+                ),
+                "occurrence": pa.array([0] * (2 * n), pa.int32()),
+                "value": pa.array(srcs + langs, pa.string()),
+            }
+        )
+
+    ops = RecordOps(
+        [
+            (
+                "verify_links",
+                {
+                    "entries": ["HostItemEntry", "PrecedingEntry"],
+                    "source": "identifierForLinkingEntry",
+                    "suffix": "IdentifierForLinkingEntry",
+                    "keys": _VERIFY_KEYS,
+                    "skip": _VERIFY_SKIP,
+                },
+            ),
+            (
+                "remove_field",
+                {"field": "HostItemEntry", "subfield": "identifierForLinkingEntry"},
+            ),
+            (
+                "remove_field",
+                {"field": "PrecedingEntry", "subfield": "identifierForLinkingEntry"},
+            ),
+        ]
+    )
+    rows = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        ops, batch_format="pyarrow"
+    )
+    return (
+        rows.groupby(["field", "subfield", "value"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["field", "subfield", "value", "n"])
+    )
+
+
 def _embedding_lsh_pairs(sf_dir: str):
     """The banded-hyperplane SCALE path of embedding_sim_pairs: no
     corpus matrix on the driver, no O(n²) matmul. Same τ=0.4 as the
@@ -596,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sim_pairs": _embedding_sim_pairs,
         "embedding_lsh_pairs": _embedding_lsh_pairs,
         "ivf_topk": _ivf_topk,
+        "verify_links_docs": _verify_links_docs,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
@@ -1095,6 +1170,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_lsh_pairs": _embedding_lsh_sql(),
         "ivf_topk": _ivf_sql(),
+        # verify_links membership mirror: annotation rows re-derived as
+        # a UNION of the verifying (all values) and verified (keys minus
+        # skip) populations, grouped like the Ray side
+        "verify_links_docs": """
+            WITH base AS (
+              SELECT 'HostItemEntry' AS field, source AS value FROM documents
+              UNION ALL
+              SELECT 'PrecedingEntry', lang FROM documents),
+            ann AS (
+              SELECT field,
+                     'verifyingIdentifierForLinkingEntry' AS subfield, value
+              FROM base
+              UNION ALL
+              SELECT field, 'verifiedIdentifierForLinkingEntry', value
+              FROM base
+              WHERE value IN ('src1', 'src3', 'de', 'en'))
+            SELECT field, subfield, value, count(*) AS n
+            FROM ann GROUP BY field, subfield, value
+        """,
         "doc_stats": """
             SELECT lang, source, count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars

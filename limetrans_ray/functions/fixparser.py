@@ -718,6 +718,37 @@ class _Compiler:
             if "index" in kwargs:
                 kw["index"] = int(kwargs["index"])
             ops_out.append(("drop_repeated", kw))
+        elif name == "verify_links":
+            # kwarg-driven form of the reference's verify_links()
+            # (VerifyLinks.java configures via setup(isil-path) + bgzf
+            # set files; here key/skip sets come from registered maps —
+            # their KEY sets — so put_filemap/put_map/put_rdfmap are the
+            # loaders): entries: "A,B", source: SUBFIELD (or
+            # record_source/record_source_sub), suffix:, keys: MAP,
+            # skip: MAP?
+            if "entries" not in kwargs or "suffix" not in kwargs:
+                raise FixCompileError(
+                    f"line {line}: verify_links needs entries: and suffix:"
+                )
+            kw = {
+                "entries": [e.strip() for e in kwargs["entries"].split(",")],
+                "suffix": kwargs["suffix"],
+                "keys": set(self._resolve_map(kwargs["keys"], line)),
+            }
+            if "skip" in kwargs:
+                kw["skip"] = set(self._resolve_map(kwargs["skip"], line))
+            if "source" in kwargs:
+                kw["source"] = kwargs["source"]
+            elif "record_source" in kwargs:
+                f, s = _split_selector(kwargs["record_source"])
+                kw["record_source"] = f
+                if s is not None:
+                    kw["record_source_sub"] = s
+            else:
+                raise FixCompileError(
+                    f"line {line}: verify_links needs source: or record_source:"
+                )
+            ops_out.append(("verify_links", kw))
         elif name == "nothing":
             pass
         else:

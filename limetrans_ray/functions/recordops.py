@@ -112,7 +112,7 @@ _KNOWN = {
     "add_array", "add_hash", "vacuum", "parse_text", "do_list",
     "prepend", "append", "substring", "trim", "upcase", "downcase",
     "drop_local", "drop_repeated", "if_member_local",
-    "if", "reject", "do_list_elements",
+    "if", "reject", "do_list_elements", "verify_links",
 }
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
@@ -522,6 +522,58 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 sub["record_id"] = sub["record_id"].map(parent)
                 sub = sub.drop(columns="__elem").reset_index(drop=True)
                 df = pd.concat([rest, sub], ignore_index=True)
+        elif name == "verify_links":
+            # The reference's verify_links record contract
+            # (VerifyLinks.java:112-197): for each linking-entry field,
+            # every source value becomes a ``verifying<Suffix>`` row on
+            # its entity, and values passing the key-set predicate
+            # (in keys AND not in skip) additionally a
+            # ``verified<Suffix>`` row. Annotation rows are appended in
+            # source-row order, so the final occurrence renumbering
+            # aligns annotation k with source value k of the record.
+            # Per-path counters are grouped counts over the verified
+            # rows (:func:`verify_links_counters`) — the LongAdder
+            # analogue, aggregated instead of mutated.
+            keys = np.asarray(sorted(kw["keys"]), dtype=object)
+            skip = np.asarray(sorted(kw.get("skip", ())), dtype=object)
+            suffix = kw["suffix"]
+            new_frames = []
+            for entry in kw["entries"]:
+                if kw.get("record_source") is not None:
+                    # SUPER form (VerifyLinks.java SUPER_SOURCE): the
+                    # tested values live at RECORD level; annotations
+                    # attach to each entity of the entry field
+                    src = df[
+                        _sel_mask(
+                            df,
+                            kw["record_source"],
+                            kw.get("record_source_sub"),
+                        )
+                    ][["record_id", "value"]]
+                    ent = df.loc[
+                        _sel_mask(df, entry), ["record_id", "occurrence"]
+                    ].drop_duplicates()
+                    rows = ent.merge(src, on="record_id")
+                    rows["field"] = entry
+                else:
+                    sel = _sel_mask(df, entry, kw["source"])
+                    rows = df.loc[
+                        sel, ["record_id", "field", "occurrence", "value"]
+                    ].copy()
+                if not len(rows):
+                    continue
+                vals = rows["value"].to_numpy()
+                ok = np.isin(vals, keys)
+                if len(skip):
+                    ok &= ~np.isin(vals, skip)
+                ver = rows.assign(subfield="verifying" + suffix)
+                new_frames.append(ver)
+                if ok.any():
+                    new_frames.append(
+                        rows[ok].assign(subfield="verified" + suffix)
+                    )
+            if new_frames:
+                df = pd.concat([df, *new_frames], ignore_index=True)
         elif name == "if_member_local":
             # MemberLocal.java:24-34: predicate true when field.M is
             # absent, or any field.M value equals the member code
@@ -569,6 +621,7 @@ class RecordOps:
         "if_member_local": ("field", "member", "ops"),
         "if": ("pred", "ops"), "reject": (),
         "do_list_elements": ("field", "ops"),
+        "verify_links": ("entries", "suffix", "keys"),
     }
 
     @classmethod
@@ -604,6 +657,12 @@ class RecordOps:
                     )
             elif name in ("do_list", "if_member_local", "do_list_elements"):
                 cls._validate(kw["ops"])
+            elif name == "verify_links":
+                if kw.get("source") is None and kw.get("record_source") is None:
+                    raise ValueError(
+                        "verify_links needs source (entity subfield) or "
+                        "record_source (record-level field)"
+                    )
             elif name == "if":
                 cls._validate_pred(kw["pred"])
                 cls._validate(kw["ops"])
@@ -620,3 +679,25 @@ class RecordOps:
             schema=ROW_SCHEMA,
             preserve_index=False,
         )
+
+
+def verify_links_counters(ds, suffix: str):
+    """Per-path verified-link counters over a flat-row record Dataset —
+    the aggregated analogue of the reference's LongAdder counter map
+    (VerifyLinks.java:54,166-169, logged per path on reset): one row
+    per entry field with its ``verified<suffix>`` row count. Returns a
+    pandas DataFrame (field, n_verified) sorted by field."""
+    import pyarrow.compute as pc
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("subfield"), "verified" + suffix))
+
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("field")
+        .aggregate(Count(alias_name="n_verified"))
+        .to_pandas()
+    )
+    return out.sort_values("field").reset_index(drop=True)

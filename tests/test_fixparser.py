@@ -375,3 +375,38 @@ def test_entity_loop_subfield_access():
     out = apply_ops(df, ops)
     hit = out[out["field"] == "@mmsiz"]
     assert list(hit["value"]) == ["id-x"]
+
+
+def test_verify_links_command_compiles():
+    """verify_links as a fix command: key/skip sets come from the
+    registered maps' key sets (the reference loads bgzf set files via
+    setup(isil-path); filemaps are the loader here)."""
+    ops = compile_fix(
+        """
+        put_map("links", "HT001": "x", "HT003": "x")
+        put_map("skips", "HT003": "x")
+        verify_links(entries: "HostItemEntry,PrecedingEntry",
+                     source: "identifierForLinkingEntry",
+                     suffix: "IdentifierForLinkingEntry",
+                     keys: "links", skip: "skips")
+        """
+    )
+    assert ops == [
+        (
+            "verify_links",
+            {
+                "entries": ["HostItemEntry", "PrecedingEntry"],
+                "suffix": "IdentifierForLinkingEntry",
+                "keys": {"HT001", "HT003"},
+                "skip": {"HT003"},
+                "source": "identifierForLinkingEntry",
+            },
+        )
+    ]
+    out = apply_ops(
+        rows(("r1", "HostItemEntry", "identifierForLinkingEntry", 0, "HT001"),
+             ("r1", "HostItemEntry", "identifierForLinkingEntry", 1, "HT003")),
+        ops,
+    )
+    ok = out[out["subfield"] == "verifiedIdentifierForLinkingEntry"]
+    assert list(ok["value"]) == ["HT001"]  # HT003 in skip set

@@ -379,3 +379,111 @@ def test_drop_local_through_recordops_class():
     with pytest.raises(ValueError):
         RecordOps([("if_member_local", {"field": "f", "member": "m",
                                         "ops": [("nope", {})]})])
+
+
+def test_verify_links_annotations():
+    """VerifyLinks.java:112-197 contract: every source value of an
+    entry entity gets a verifying<Suffix> row; values in the key set
+    and not in the skip set also a verified<Suffix> row."""
+    df = _rows(
+        ("r1", "HostItemEntry", "identifierForLinkingEntry", 0, "HT001"),
+        ("r1", "HostItemEntry", "identifierForLinkingEntry", 1, "HT002"),
+        ("r1", "PrecedingEntry", "identifierForLinkingEntry", 0, "HT003"),
+        ("r1", "Other", "x", 0, "HT001"),
+        ("r2", "HostItemEntry", "identifierForLinkingEntry", 0, "HTSKIP"),
+    )
+    out = apply_ops(
+        df,
+        [
+            (
+                "verify_links",
+                {
+                    "entries": ["HostItemEntry", "PrecedingEntry"],
+                    "source": "identifierForLinkingEntry",
+                    "suffix": "IdentifierForLinkingEntry",
+                    "keys": {"HT001", "HT003", "HTSKIP"},
+                    "skip": {"HTSKIP"},
+                },
+            )
+        ],
+    )
+    ver = out[out["subfield"] == "verifyingIdentifierForLinkingEntry"]
+    assert sorted(zip(ver["record_id"], ver["field"], ver["value"])) == [
+        ("r1", "HostItemEntry", "HT001"),
+        ("r1", "HostItemEntry", "HT002"),
+        ("r1", "PrecedingEntry", "HT003"),
+        ("r2", "HostItemEntry", "HTSKIP"),
+    ]
+    ok = out[out["subfield"] == "verifiedIdentifierForLinkingEntry"]
+    assert sorted(zip(ok["record_id"], ok["field"], ok["value"])) == [
+        ("r1", "HostItemEntry", "HT001"),
+        ("r1", "PrecedingEntry", "HT003"),
+    ]
+
+
+def test_verify_links_record_source_super():
+    """The SUPER form: record-level xbib.uid values tested against the
+    superid set, annotations attached to each RecordIdentifier entity
+    (VerifyLinks.java SUPER_SOURCE/SUPER_MAP)."""
+    df = _rows(
+        ("r1", "xbib", "uid", 0, "S1"),
+        ("r1", "xbib", "uid", 1, "S9"),
+        ("r1", "RecordIdentifier", None, 0, "rec-1"),
+        ("r2", "xbib", "uid", 0, "S2"),
+        ("r2", "RecordIdentifier", None, 0, "rec-2"),
+    )
+    out = apply_ops(
+        df,
+        [
+            (
+                "verify_links",
+                {
+                    "entries": ["RecordIdentifier"],
+                    "record_source": "xbib",
+                    "record_source_sub": "uid",
+                    "suffix": "SuperIdentifier",
+                    "keys": {"S1"},
+                },
+            )
+        ],
+    )
+    ver = out[out["subfield"] == "verifyingSuperIdentifier"]
+    assert sorted(zip(ver["record_id"], ver["value"])) == [
+        ("r1", "S1"), ("r1", "S9"), ("r2", "S2"),
+    ]
+    ok = out[out["subfield"] == "verifiedSuperIdentifier"]
+    assert list(zip(ok["record_id"], ok["field"], ok["value"])) == [
+        ("r1", "RecordIdentifier", "S1")
+    ]
+
+
+def test_verify_links_counters(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from limetrans_ray.functions.recordops import verify_links_counters
+
+    df = _rows(
+        ("r1", "HostItemEntry", "identifierForLinkingEntry", 0, "HT001"),
+        ("r1", "PrecedingEntry", "identifierForLinkingEntry", 0, "HT001"),
+        ("r2", "HostItemEntry", "identifierForLinkingEntry", 0, "nope"),
+    )
+    out = apply_ops(
+        df,
+        [
+            (
+                "verify_links",
+                {
+                    "entries": ["HostItemEntry", "PrecedingEntry"],
+                    "source": "identifierForLinkingEntry",
+                    "suffix": "Id",
+                    "keys": {"HT001"},
+                },
+            )
+        ],
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    counters = verify_links_counters(ds, "Id")
+    assert list(zip(counters["field"], counters["n_verified"])) == [
+        ("HostItemEntry", 1), ("PrecedingEntry", 1),
+    ]
