@@ -328,6 +328,66 @@ def _embedding_sim_pairs(sf_dir: str):
     return out
 
 
+# the Metafix text program behind fix_pipeline — parsed and compiled by
+# fixparser at query time (this IS the artifact a limetrans user owns;
+# if/elsif routing + map lookup + paste, the alma.fix shape in miniature)
+_FIX_PROGRAM = """
+put_map("langs", "de": "German", "en": "English")
+if any_match("source", "src1[02468]")
+  add_field("bucket", "even-teens")
+elsif any_match("source", "src[0-9]")
+  add_field("bucket", "single")
+else
+  add_field("bucket", "other")
+end
+lookup("lang", "langs", default: "Other")
+paste("label", "bucket", "lang", join_char: "-")
+retain("label")
+"""
+
+
+def _fix_pipeline(sf_dir: str):
+    """A Metafix TEXT program end-to-end: documents rows → flat records
+    → fixparser.compile_fix(_FIX_PROGRAM) → RecordOps → grouped counts,
+    CASE-mirrored in DuckDB. The sibling of recordops_pipeline with the
+    program as fix text instead of Python op tuples."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from limetrans_ray.functions.fixparser import compile_fix
+    from limetrans_ray.functions.recordops import RecordOps
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "record_id": pa.array(ids + ids, pa.string()),
+                "field": pa.array(["lang"] * n + ["source"] * n, pa.string()),
+                "subfield": pa.array([None] * (2 * n), pa.string()),
+                "occurrence": pa.array([0] * (2 * n), pa.int32()),
+                "value": pa.array(langs + srcs, pa.string()),
+            }
+        )
+
+    ops = RecordOps(compile_fix(_FIX_PROGRAM))
+    rows = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        ops, batch_format="pyarrow"
+    )
+    return (
+        rows.groupby(["field", "value"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["field", "value", "n"])
+    )
+
+
 _VERIFY_KEYS = frozenset({"src1", "src3", "src5", "de", "en"})
 _VERIFY_SKIP = frozenset({"src5"})
 
@@ -671,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": _embedding_lsh_pairs,
         "ivf_topk": _ivf_topk,
         "verify_links_docs": _verify_links_docs,
+        "fix_pipeline": _fix_pipeline,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
@@ -1170,6 +1231,23 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_lsh_pairs": _embedding_lsh_sql(),
         "ivf_topk": _ivf_sql(),
+        # the fix TEXT program's routing/lookup/paste as one CASE chain
+        "fix_pipeline": """
+            SELECT 'label' AS field,
+                   (CASE
+                      WHEN regexp_full_match(source, 'src1[02468]')
+                        THEN 'even-teens'
+                      WHEN regexp_full_match(source, 'src[0-9]')
+                        THEN 'single'
+                      ELSE 'other' END)
+                   || '-' ||
+                   (CASE lang WHEN 'de' THEN 'German'
+                              WHEN 'en' THEN 'English'
+                              ELSE 'Other' END) AS value,
+                   count(*) AS n
+            FROM documents
+            GROUP BY value
+        """,
         # verify_links membership mirror: annotation rows re-derived as
         # a UNION of the verifying (all values) and verified (keys minus
         # skip) populations, grouped like the Ray side
