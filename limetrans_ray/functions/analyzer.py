@@ -501,6 +501,14 @@ def parse_query(
         quoted = body.startswith('"')
         if quoted:
             body = body.strip('"')
+        if not quoted:
+            body, wilds = _extract_wildcards(body)
+            for w in wilds:
+                p = fold(w)
+                if p:
+                    clauses.append(
+                        {"type": "prefix", "prefix": p, "field": field}
+                    )
         clause_stem = stem
         if field and field_analyzers and field_analyzers.get(field) == "text_unstemmed":
             clause_stem = False
@@ -532,6 +540,28 @@ def parse_query(
         elif alt:
             clauses.append({"type": "term", "variants": alt})
     return clauses
+
+
+# a trailing-star token = prefix (wildcard) clause — the
+# simple_query_string analyze_wildcard analogue the reference's query
+# tests exercise (ElasticsearchQueryTest.java:315-354). The prefix is
+# FOLDED but not tokenized/stemmed (stemming a prefix would mangle it;
+# hyphenated prefixes match nothing against multiplexed variants —
+# documented contract, not a bug).
+_WILDCARD_RE = re.compile(r'([^\s"*]+)\*')
+
+# shared engine/oracle expansion cap: a wildcard expands to the
+# lexicographically FIRST N dictionary terms under the prefix
+MAX_PREFIX_EXPANSIONS = 64
+
+
+def _extract_wildcards(body: str) -> tuple[str, list[str]]:
+    """Strip trailing-star tokens out of an unquoted clause body;
+    returns (body without them, raw wildcard stems in query order)."""
+    wilds = [m.group(1) for m in _WILDCARD_RE.finditer(body)]
+    if wilds:
+        body = _WILDCARD_RE.sub(" ", body)
+    return body, wilds
 
 
 def analyze_query(
@@ -650,6 +680,20 @@ def parse_simple_query(
             if kw:
                 clauses.append({"type": "term", "variants": (qualify(field, kw),)})
             continue
+        if not quoted:
+            body, wilds = _extract_wildcards(body)
+            for w in wilds:
+                toks = simple_terms(w)
+                # pre-hyphen pieces are ordinary terms; the LAST piece
+                # is the prefix (the analyzed-wildcard convention)
+                for t in toks[:-1]:
+                    clauses.append(
+                        {"type": "term", "variants": (qualify(field, t),)}
+                    )
+                if toks:
+                    clauses.append(
+                        {"type": "prefix", "prefix": toks[-1], "field": field}
+                    )
         slots = [(qualify(field, t),) for t in simple_terms(body)]
         if len(slots) == 1:
             clauses.append({"type": "term", "variants": slots[0]})

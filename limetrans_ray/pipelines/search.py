@@ -33,6 +33,7 @@ whole-index scores exactly.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 
@@ -42,9 +43,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions import codec
-from ..functions.analyzer import parse_query, parse_simple_query, simple_terms
+from ..functions.analyzer import (
+    MAX_PREFIX_EXPANSIONS,
+    _extract_wildcards,
+    parse_query,
+    parse_simple_query,
+    simple_terms,
+)
 from ..state import bm25
 from ..state.manifest import build_dir, current_build
+
+logger = logging.getLogger(__name__)
 
 
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -200,6 +209,7 @@ class SearchEngine:
         self.df = dict(
             zip(ts.column("term").to_pylist(), ts.column("df").to_numpy().tolist())
         )
+        self._sorted_terms: list[str] | None = None  # built on first wildcard
 
         # deletion tombstones (update mode): filtered out of every result
         self._deleted = np.zeros(self._span, dtype=bool)
@@ -446,6 +456,64 @@ class SearchEngine:
         self._full_cache[term] = out
         return out
 
+    # ------------------------------------------------------------ wildcards
+
+    # ES simple_query_string analyze_wildcard default-ish cap: expansion
+    # is the LEXICOGRAPHICALLY FIRST N dictionary terms under the prefix
+    # (deterministic, oracle-mirrorable); over-cap expansions are logged,
+    # never silent
+    MAX_PREFIX_EXPANSIONS = MAX_PREFIX_EXPANSIONS
+
+    def _expand_prefix(self, prefix: str, field: str | None) -> tuple[str, ...]:
+        """Term-dictionary prefix expansion (the analyze_wildcard
+        analogue, reference ElasticsearchQueryTest.java:315-354): all
+        indexed terms starting with the (field-qualified) prefix,
+        capped. The sorted dictionary is built once per engine on first
+        use; the scan after the bisect touches matches only."""
+        from bisect import bisect_left
+
+        from ..functions.analyzer import qualify
+
+        p = qualify(field, prefix)
+        st = self._sorted_terms
+        if st is None:
+            st = self._sorted_terms = sorted(self.df)
+        lo = bisect_left(st, p)
+        hi = lo
+        n = len(st)
+        limit = self.MAX_PREFIX_EXPANSIONS
+        while hi < n and st[hi].startswith(p):
+            hi += 1
+            if hi - lo > limit:
+                logger.warning(
+                    "wildcard %s* expands past %d dictionary terms — "
+                    "capped at the lexicographically first %d",
+                    p, limit, limit,
+                )
+                break
+        return tuple(st[lo : lo + limit][: hi - lo])
+
+    def _expand_clauses(self, clauses: list[dict]) -> list[dict]:
+        """Rewrite prefix clauses into expanded term clauses; the
+        scorers then see only term/phrase clauses. An expansion with no
+        dictionary hits yields an empty variant group — exactly a term
+        with zero postings (AND yields no matches, OR contributes
+        nothing)."""
+        out = []
+        for c in clauses:
+            if c["type"] == "prefix":
+                out.append(
+                    {
+                        "type": "term",
+                        "variants": self._expand_prefix(
+                            c["prefix"], c.get("field")
+                        ),
+                    }
+                )
+            else:
+                out.append(c)
+        return out
+
     # -------------------------------------------------------------- scoring
 
     def _prepare(self, query: str):
@@ -462,8 +530,8 @@ class SearchEngine:
                 # phrase clauses degrade to their slot term groups here
                 # (same public-scorer contract as the full profile)
                 groups = []
-                for c in parse_simple_query(
-                    query, field_analyzers=self.field_analyzers
+                for c in self._expand_clauses(
+                    parse_simple_query(query, field_analyzers=self.field_analyzers)
                 ):
                     if c["type"] == "term":
                         groups.append(c["variants"])
@@ -471,11 +539,20 @@ class SearchEngine:
                         groups.extend(tuple(g) for g in c["slots"])
             else:
                 # simple profile: one single-variant group per token (no
-                # hyphen multiplexing / stemming / stop words)
-                groups = [(t,) for t in simple_terms(query)]
+                # hyphen multiplexing / stemming / stop words); trailing
+                # stars expand over the dictionary like the full profile
+                body, wilds = _extract_wildcards(query)
+                groups = [(t,) for t in simple_terms(body)]
+                for w in wilds:
+                    toks = simple_terms(w)
+                    groups.extend((t,) for t in toks[:-1])
+                    if toks:
+                        groups.append(self._expand_prefix(toks[-1], None))
         else:
             groups = []
-            for c in parse_query(query, field_analyzers=self.field_analyzers):
+            for c in self._expand_clauses(
+                parse_query(query, field_analyzers=self.field_analyzers)
+            ):
                 if c["type"] == "term":
                     groups.append(c["variants"])
                 else:
@@ -486,7 +563,7 @@ class SearchEngine:
 
     def search(self, query: str, k: int = 10, mode: str = "and", pruned: bool = True):
         if '"' in query:
-            clauses = (
+            clauses = self._expand_clauses(
                 parse_simple_query(query, field_analyzers=self.field_analyzers)
                 if self.analyzer_profile == "simple"
                 else parse_query(query, field_analyzers=self.field_analyzers)
@@ -603,6 +680,7 @@ class SearchEngine:
         posting sizes (observed 6× per index doubling)."""
         if not clauses:
             return []
+        clauses = self._expand_clauses(clauses)  # public entry — idempotent
         groups: list[tuple[str, ...]] = []
         for c in clauses:
             if c["type"] == "phrase":

@@ -98,6 +98,16 @@ class OracleEngine:
                 out.add(d)
         return out
 
+    def _expand_prefix(self, prefix: str, field) -> tuple[str, ...]:
+        """Wildcard expansion over the oracle's own dictionary — same
+        contract as the engine (lexicographically first
+        MAX_PREFIX_EXPANSIONS terms under the qualified prefix)."""
+        from ..functions.analyzer import MAX_PREFIX_EXPANSIONS, qualify
+
+        p = qualify(field, prefix)
+        hits = sorted(t for t in self.postings if t.startswith(p))
+        return tuple(hits[:MAX_PREFIX_EXPANSIONS])
+
     def _slot_docs(self, variants) -> set[int]:
         return self._term_clause_docs(variants)
 
@@ -115,6 +125,15 @@ class OracleEngine:
         clauses = parse_query(query, field_analyzers=self.field_analyzers or None)
         if not clauses:
             return []
+        clauses = [
+            (
+                {"type": "term", "variants": self._expand_prefix(
+                    c["prefix"], c.get("field"))}
+                if c["type"] == "prefix"
+                else c
+            )
+            for c in clauses
+        ]
         clause_docs = [
             (
                 self._phrase_clause_docs(c["slots"])

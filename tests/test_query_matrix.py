@@ -93,6 +93,19 @@ MATRIX = [
     # --- misses
     ("xylophone", "and", set()),
     ("holzbau dolomiten", "and", set()),
+    # --- wildcards: trailing-star tokens expand over the (stemmed)
+    # term dictionary — the analyze_wildcard analogue (reference
+    # ElasticsearchQueryTest.java:315-354). Expansion is folded but
+    # not stemmed; prefixes below are robust to the stemmer's output
+    # (holzbau/holzbauatlas(+stem) all start with "holzbau", zinnen
+    # stems to zinn, strasse/straße fold+stem keep "stras")
+    ("holzbau*", "and", {3, 4, 5, 6}),
+    ("zinn*", "and", {8, 10}),
+    ("stras*", "and", {11, 12}),
+    ("holzbau* atlas", "and", {3, 5}),   # wildcard clause ANDs with terms
+    ("holz* xylophone", "or", {3, 4, 5, 6}),
+    ("xyl*", "and", set()),              # empty expansion = no matches
+    ("übe*", "and", set()),              # über is a stop word: never indexed
 ]
 
 
