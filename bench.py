@@ -392,27 +392,72 @@ def _mini_probe() -> float:
     return ((32 / w32) / (8 / w8)) / 4
 
 
+def _mini_stream_probe() -> float:
+    """One quick 8-vs-32-process STREAM-triad sample (~8 s): the
+    DRAM-bus twin of :func:`_mini_probe`. CPU probes cannot see bus
+    contention — the round-4 runs measured CPU gates of 0.64-0.93 in
+    windows where 32-CPU builds ran no faster than 8-CPU ones because
+    co-tenants had the memory bus."""
+    code = (
+        "import numpy as np, time\n"
+        "a = np.arange(4_000_000, dtype=np.float64)\n"
+        "b = a.copy(); c = np.empty_like(a)\n"
+        "t0 = time.time()\n"
+        "for i in range(4):\n"
+        "    np.add(a, b, out=c)\n"
+        "    np.add(c, a, out=b)\n"
+        "print(time.time() - t0)\n"
+    )
+
+    def run_n(n: int) -> float:
+        t0 = time.time()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        for p in procs:
+            p.communicate()
+        return time.time() - t0
+
+    w8, w32 = run_n(8), run_n(32)
+    return ((32 / w32) / (8 / w8)) / 4
+
+
 def wait_quiet_window(
-    threshold: float, timeout_s: float, consecutive: int = 2
+    threshold: float,
+    timeout_s: float,
+    consecutive: int = 2,
+    stream_threshold: float = 0.0,
 ) -> dict:
     """Block until ``consecutive`` mini-probes in a row measure at least
-    ``threshold`` 8→32 efficiency, or ``timeout_s`` elapses (then run
-    anyway — the number published is always a real measured wall). This
-    is the probe-gating leg of the BASELINE.md §4c measurement protocol:
-    on a shared box whose load swings 2-3x minute-to-minute, starting a
-    scaling measurement inside a loaded window measures the co-tenants,
-    not the engine."""
+    ``threshold`` 8→32 efficiency — and, when ``stream_threshold`` > 0,
+    a STREAM mini-probe additionally confirms the memory BUS is quiet —
+    or ``timeout_s`` elapses (then run anyway — the number published is
+    always a real measured wall). This is the probe-gating leg of the
+    BASELINE.md §4c measurement protocol: on a shared box whose load
+    swings 2-3x minute-to-minute, starting a scaling measurement inside
+    a loaded window measures the co-tenants, not the engine; and the
+    bandwidth-heavy posting exchange needs the BUS quiet, which CPU
+    probes alone cannot certify."""
     t0 = time.time()
     probes: list[float] = []
+    stream_probes: list[float] = []
     streak = 0
     while True:
         p = _mini_probe()
         probes.append(round(p, 3))
         streak = streak + 1 if p >= threshold else 0
+        if streak >= consecutive and stream_threshold > 0:
+            sp = _mini_stream_probe()
+            stream_probes.append(round(sp, 3))
+            if sp < stream_threshold:
+                streak = 0  # CPUs quiet but the bus is not — keep waiting
         if streak >= consecutive or time.time() - t0 > timeout_s:
             return {
                 "gate_threshold": threshold,
+                "gate_stream_threshold": stream_threshold,
                 "gate_probes": probes,
+                "gate_stream_probes": stream_probes,
                 "gate_passed": streak >= consecutive,
                 "gate_wait_s": round(time.time() - t0, 1),
             }
@@ -433,8 +478,13 @@ def run_scaling() -> dict:
     CPU probes ≥ ``GRAFT_GATE`` (default 0.6) before the first rep; if
     the box never quiets, run anyway and report the failed gate."""
     gate = float(os.environ.get("GRAFT_GATE", "0.6"))
+    stream_gate = float(os.environ.get("GRAFT_STREAM_GATE", "0.5"))
     gate_info = (
-        wait_quiet_window(gate, float(os.environ.get("GRAFT_GATE_TIMEOUT_S", "480")))
+        wait_quiet_window(
+            gate,
+            float(os.environ.get("GRAFT_GATE_TIMEOUT_S", "480")),
+            stream_threshold=stream_gate,
+        )
         if gate > 0
         else {"gate_threshold": 0, "gate_probes": [], "gate_passed": None}
     )

@@ -132,6 +132,21 @@ class IndexBuildConfig:
                                     # max_doc+1 array). None → from corpus
                                     # size at ~1 GiB of doclens per slice
                                     # (1 at sandbox scale, ~8000 at 10^12)
+    merge_exchange: str = "direct"  # posting-exchange transport:
+                                    # "direct" — raw-Ray object-store
+                                    # exchange (split tasks hash-partition
+                                    # the encoded partials, one merge task
+                                    # per partition fetches its slices and
+                                    # writes its segment files; the ONE
+                                    # deliberate drop below the Dataset
+                                    # API, justified by measurement: Ray's
+                                    # sort-based groupby barrier cost 12 s
+                                    # of wall on 3 core-seconds of compute
+                                    # at the 600k tier — see BASELINE.md);
+                                    # "groupby" — the Dataset
+                                    # groupby().map_groups form (identical
+                                    # output; the semantic spec and
+                                    # conformance fallback)
 
     def resolved_invert_batch_size(self, n_rows: int, n_cpus: int) -> int:
         """Adaptive SPIMI batch size: ~4 invert tasks per CPU for wave
@@ -293,6 +308,68 @@ def _dedupe_fwd_doc_ids(fwd_dir: str) -> int:
     _clean_dir(fwd_dir)
     os.replace(tmp, fwd_dir)
     return int(n_dup_rows - len(dup_ids))
+
+
+@ray.remote
+def _split_partials(tbl: pa.Table, n_bg: int, n_ms: int, npid: int) -> list:
+    """Hash-partition one invert block by merge-group id: gid =
+    ((shard · n_bg + bgroup) · n_ms + mslice), pid = gid % npid. One
+    stable sort + npid zero-copy slices; rows carry gid for the merge
+    task's per-group segmentation."""
+    shard = tbl.column("shard").to_numpy().astype(np.int64)
+    bg = tbl.column("bgroup").to_numpy().astype(np.int64)
+    ms = tbl.column("mslice").to_numpy().astype(np.int64)
+    gid = (shard * n_bg + bg) * n_ms + ms
+    pid = gid % npid
+    order = np.argsort(pid, kind="stable")
+    t2 = tbl.take(pa.array(order)).append_column("gid", pa.array(gid[order]))
+    bounds = np.searchsorted(pid[order], np.arange(npid + 1))
+    return [
+        t2.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(npid)
+    ]
+
+
+@ray.remote
+def _merge_partition(
+    merger, seg_dir: str, pid: int, sliced: bool, *subtables
+) -> int:
+    """One merge partition: concat its per-block slices, segment by
+    gid, run the (term, bucket) merge per group, and write this
+    partition's segment file(s) straight into the hive layout — the
+    reduce side of the direct exchange (no Dataset sort barrier). Rows
+    written are returned for the stage metric."""
+    import pyarrow.parquet as _pq
+
+    parts = [t for t in subtables if t.num_rows]
+    if not parts:
+        return 0
+    tbl = pa.concat_tables(parts)
+    gids = tbl.column("gid").to_numpy()
+    order = np.argsort(gids, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    gs = gids[order]
+    starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+    ends = np.append(starts[1:], len(gs))
+    by_slice: dict[object, list] = {}
+    for s, e in zip(starts, ends):
+        out = merger(tbl.slice(int(s), int(e - s)))
+        if out.num_rows == 0:
+            continue
+        if sliced:
+            bslice = int(out.column("bslice")[0].as_py())
+            out = out.drop_columns(["bslice"])
+        else:
+            bslice = None
+        by_slice.setdefault(bslice, []).append(out)
+    written = 0
+    for bslice, outs in by_slice.items():
+        d = seg_dir if bslice is None else os.path.join(seg_dir, f"bslice={bslice}")
+        os.makedirs(d, exist_ok=True)
+        merged = pa.concat_tables(outs)
+        _pq.write_table(merged, os.path.join(d, f"merge-{pid:05d}.parquet"))
+        written += merged.num_rows
+    return written
 
 
 def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):
@@ -774,21 +851,56 @@ def _finish_from_fwd(
         # thrashed caches); slice-sized groups balance the waves. bgroup
         # joins the key only when >1 doclen slice exists (10^12 scale) so
         # each task still fetches a single doclen range.
-        group_keys = ["shard"] if n_bg == 1 else ["shard", "bgroup"]
-        if have_slices:
-            group_keys = group_keys + ["mslice"]
-        segs = partials.groupby(group_keys).map_groups(
-            merge_shard_group, batch_format="pyarrow"
-        )
         _clean_dir(seg_dir)
-        if slice_bounds and len(slice_bounds) > 2:
-            # hive doc-range layout: serving shards read only their slices
-            segs.write_parquet(seg_dir, partition_cols=["bslice"])
+        if cfg.merge_exchange == "direct":
+            # raw-Ray object-store exchange: Ray Data's sort-based
+            # groupby barrier measured 12 s of wall for 3 core-seconds
+            # of compute at the 600k tier (BASELINE.md §round-4) — the
+            # merge key space is small and known, so split tasks
+            # hash-partition the encoded partials and one merge task
+            # per partition fetches exactly its slices zero-copy and
+            # writes its own segment files. Partials materialize in
+            # the object store (same bytes the sort shuffle holds;
+            # spill-backed); fwd_partition_groups bounds the window at
+            # 100 TB scale.
+            n_ms = len(slice_bounds) - 1 if have_slices else 1
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            npid = int(min(cfg.n_term_shards * n_bg * n_ms, max(32, 4 * ncpu)))
+            block_refs = partials.to_arrow_refs()
+            split_refs = [
+                _split_partials.options(num_returns=npid).remote(
+                    r, n_bg, n_ms, npid
+                )
+                for r in block_refs
+            ]
+            if npid == 1:  # options(num_returns=1) returns a bare ref
+                split_refs = [[r] for r in split_refs]
+            ray.get(
+                [
+                    _merge_partition.remote(
+                        merger, seg_dir, pid, have_slices,
+                        *(s[pid] for s in split_refs),
+                    )
+                    for pid in range(npid)
+                ]
+            )
+            os.makedirs(seg_dir, exist_ok=True)  # zero-doc partitions only
         else:
-            segs.write_parquet(seg_dir)
+            group_keys = ["shard"] if n_bg == 1 else ["shard", "bgroup"]
+            if have_slices:
+                group_keys = group_keys + ["mslice"]
+            segs = partials.groupby(group_keys).map_groups(
+                merge_shard_group, batch_format="pyarrow"
+            )
+            if have_slices:
+                # hive doc-range layout: serving shards read only their
+                # slices
+                segs.write_parquet(seg_dir, partition_cols=["bslice"])
+            else:
+                segs.write_parquet(seg_dir)
+            if os.environ.get("GRAFT_DUMP_STAGE_STATS"):  # perf diagnostics
+                print(segs.stats(), flush=True)
         metrics["segments_s"] = time.perf_counter() - t0
-        if os.environ.get("GRAFT_DUMP_STAGE_STATS"):  # perf diagnostics only
-            print(segs.stats(), flush=True)
         mf.write_stage_manifest(
             bdir,
             "segments",

@@ -23,6 +23,12 @@ Elasticsearch). :func:`run_settings` is that surface over Ray Data:
       "output": {"jsonl": "/out/records.jsonl"}
     }
 
+Instead of inline ``fix`` op tuples, ``"transformation": {"fix-file":
+"/rules/alma.fix", "vars": {"member": "49HBZ_X"}}`` compiles a Metafix
+``.fix`` TEXT program (the reference's native transformation artifact)
+via :mod:`limetrans_ray.functions.fixparser` — includes, macros,
+conditionals, maps and all.
+
 Processors (the reference FileQueue.Processor enum,
 core/.../FileQueue.java:40-116): ``JSON`` / ``JSONL`` / ``FORMETA`` /
 ``MARCXML`` / ``MARC21`` / ``SISIS`` decode file blobs onto the shared
