@@ -86,7 +86,10 @@ def _cmd_build(args) -> dict:
         build_index_from_documents,
     )
 
-    cfg = IndexBuildConfig(postings_codec=args.postings_codec)
+    cfg = IndexBuildConfig(
+        postings_codec=args.postings_codec,
+        merge_exchange=args.merge_exchange,
+    )
     if args.documents:
         fields = _parse_fields(args.field) or None  # validate before IO
         ds = rd.read_parquet(args.input)
@@ -184,6 +187,13 @@ def main(argv: list[str] | None = None) -> int:
         default="varint",
         help="doc-id gap encoding of the published segments "
         "(for = frame-of-reference bit-packing)",
+    )
+    b.add_argument(
+        "--merge-exchange",
+        choices=["direct", "groupby"],
+        default="direct",
+        help="posting-exchange transport (direct = raw object-store "
+        "exchange, no Dataset sort barrier; groupby = the Dataset form)",
     )
     b.add_argument(
         "--field",

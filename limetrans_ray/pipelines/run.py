@@ -226,6 +226,9 @@ def run_settings(
             cfg = IndexBuildConfig(
                 postings_codec=idx.pop("postings-codec", "varint"),
                 retain=int(idx.pop("retain", IndexBuildConfig.retain)),
+                merge_exchange=idx.pop(
+                    "merge-exchange", IndexBuildConfig.merge_exchange
+                ),
             )
             if processor == "WEBTEXT":
                 from .build_index import build_index

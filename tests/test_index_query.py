@@ -166,3 +166,48 @@ def test_or_mode_matches_oracle(built_index, oracle_engine):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, a), (_, b) in zip(got, want):
             assert abs(a - b) < 1e-9, q
+
+
+def test_merge_exchange_parity(ray_session, tmp_path):
+    """The direct object-store exchange and the Dataset groupby form
+    build indexes with identical search behavior (same top-k ids AND
+    scores) and identical corpus stats."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from limetrans_ray.pipelines.build_index import IndexBuildConfig, build_index
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(400):
+        words = " ".join(f"w{int(x)}" for x in rng.integers(0, 120, size=20))
+        rows.append(
+            (f"https://p.example/{i}", 1_000_000_000_000 + i,
+             f"<html><body><p>{words}</p></body></html>", words, "en")
+        )
+    urls, tss, htmls, texts, langs = zip(*rows)
+    f = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype=np.int64), pa.timestamp("us")),
+                "html": pa.array([h.encode() for h in htmls], pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        ),
+        f,
+    )
+    sd = build_index([f], str(tmp_path / "i_direct"),
+                     config=IndexBuildConfig(merge_exchange="direct"))
+    sg = build_index([f], str(tmp_path / "i_groupby"),
+                     config=IndexBuildConfig(merge_exchange="groupby"))
+    assert sd["n_docs"] == sg["n_docs"]
+    assert sd["total_terms"] == sg["total_terms"]
+    ed = SearchEngine(str(tmp_path / "i_direct"))
+    eg = SearchEngine(str(tmp_path / "i_groupby"))
+    for q in ("w1", "w2 w3", "w10 w11 w12", '"w5 w6"', "w1*"):
+        assert ed.search(q, 10) == eg.search(q, 10), q
