@@ -146,7 +146,20 @@ def reorder_segments(
 
 def segmented_delta_decode(deltas: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
     """Inverse of :func:`segmented_delta_encode` (vectorized segmented
-    cumsum: global cumsum minus the running total before each segment)."""
+    cumsum: global cumsum minus the running total before each segment).
+
+    uint32 input stays uint32 END TO END: the global cumsum wraps mod
+    2^32, but so does the per-segment base, and the subtraction is
+    exact mod 2^32 — correct whenever the true (absolute) values fit
+    uint32, which the caller's narrow-path guard ensures. Half the
+    traffic of the int64 form on the bandwidth-bound merge path."""
+    if deltas.dtype == np.uint32:
+        if len(deltas) == 0:
+            return deltas
+        csum = np.cumsum(deltas, dtype=np.uint32)
+        base = csum[seg_starts] - deltas[seg_starts]
+        counts = np.diff(np.append(seg_starts, len(deltas)))
+        return csum - np.repeat(base, counts)
     d = deltas.astype(np.int64)
     if len(d) == 0:
         return d
@@ -215,17 +228,25 @@ def list_from_offsets(values, offsets: np.ndarray, value_type=None):
     )
 
 
-def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, end: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes (or a slice) back to a uint64 array (vectorized)."""
+def varint_decode(
+    buf: bytes | memoryview | np.ndarray,
+    offset: int = 0,
+    end: int | None = None,
+    dtype=np.uint64,
+) -> np.ndarray:
+    """Decode LEB128 bytes (or a slice) back to an unsigned array
+    (vectorized). ``dtype=np.uint32`` halves the output traffic on the
+    bandwidth-bound merge path — callers guarantee every decoded value
+    fits (values ≥ 2^32 would wrap silently)."""
     b = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, dtype=np.uint8)
     if end is not None or offset:
         b = b[offset : end if end is not None else len(b)]
     if len(b) == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=dtype)
     if not (b & 0x80).any():
         # fast path: every value fits one byte (typical for dense-term
         # gaps and tfs) — the stream IS the value array
-        return b.astype(np.uint64)
+        return b.astype(dtype)
     is_end = (b & 0x80) == 0
     # value index for each byte: number of terminators strictly before it
     vidx = np.zeros(len(b), dtype=np.int64)
@@ -239,8 +260,10 @@ def varint_decode(buf: bytes | memoryview | np.ndarray, offset: int = 0, end: in
     np.maximum.accumulate(np.where(first_of_group, group_start, 0), out=group_start)
     shift = (np.arange(len(b), dtype=np.int64) - group_start) * 7
     nvals = int(is_end.sum())
-    out = np.zeros(nvals, dtype=np.uint64)
-    np.add.at(out, vidx, (b & np.uint8(0x7F)).astype(np.uint64) << shift.astype(np.uint64))
+    out = np.zeros(nvals, dtype=dtype)
+    np.add.at(
+        out, vidx, (b & np.uint8(0x7F)).astype(dtype) << shift.astype(dtype)
+    )
     return out
 
 

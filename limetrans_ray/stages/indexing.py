@@ -511,15 +511,16 @@ class InvertStage:
         if len(doc_rep) == 0:
             return empty
         dict_arr = pc.dictionary_encode(flat_terms)
-        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        codes = dict_arr.indices.to_numpy()  # int32 from Arrow — kept
+        # narrow: this stage is bandwidth-bound at full parallelism
         vocab = dict_arr.dictionary
         bucket = doc_rep // self.w
         limit = int(bucket.max()) + 1  # per-batch key packing base
         key_max = (len(vocab) - 1) * limit + limit - 1
         if key_max < 2**31:
-            key = (codes * limit).astype(np.int32) + bucket.astype(np.int32)
+            key = codes * np.int32(limit) + bucket.astype(np.int32)
         else:
-            key = codes * limit + bucket.astype(np.int64)
+            key = codes.astype(np.int64) * limit + bucket.astype(np.int64)
         # (key, doc) composite keys are UNIQUE (one posting per
         # (term, doc), doc-in-bucket offset preserves doc order within
         # a key), so packing them into one int64 lets a single unstable
@@ -662,11 +663,19 @@ class MergeShardGroup:
         # columns are read as zero-copy Arrow buffer views (the former
         # b"".join(to_pylist()) cost two full copies per column on this
         # bandwidth-bound path)
+        # 32-bit decode end to end when the group's doc range fits
+        # (always, until a single bgroup spans ≥2^32 docs): half the
+        # traffic of the int64 form on this bandwidth-bound stage —
+        # values are exact by the mod-2^32 argument in
+        # codec.segmented_delta_decode
+        use32 = dl_base + len(dl_slice) < 2**32
         ibuf = codec.binary_concat_view(group.column("ids_enc"))
         tbuf = codec.binary_concat_view(group.column("tfs_enc"))
-        deltas = codec.varint_decode(ibuf)
+        deltas = codec.varint_decode(
+            ibuf, dtype=np.uint32 if use32 else np.uint64
+        )
         ids = codec.segmented_delta_decode(deltas, seg_starts)
-        tfs = codec.varint_decode(tbuf).astype(np.int64)
+        tfs = codec.varint_decode(tbuf, dtype=np.uint32)
         # positions are NEVER decoded here: each posting's delta+varint
         # run is self-contained (delta resets per posting), so the merge
         # only needs to permute the encoded byte runs into the merged
@@ -697,7 +706,7 @@ class MergeShardGroup:
         w = self.bucket_width
         key_p_max = (len(vocab) - 1) * limit + limit - 1
         if w is not None and (key_p_max + 1) * w < 2**63:
-            order = np.argsort(key_p * w + (ids % w))
+            order = np.argsort(key_p * w + (ids % ids.dtype.type(w)))
         else:
             order = np.lexsort((ids, key_p))
         k_s, id_s, tf_s = key_p[order], ids[order], tfs[order]
@@ -711,10 +720,21 @@ class MergeShardGroup:
         cell_buckets = (k_s[cstarts] % limit).astype(np.int64)
 
         # per-posting impact; block grid aligned to cell starts
-        impacts = bm25.impact(tf_s, dl_slice[id_s - dl_base], self.avgdl)
-        pos_in_cell = np.arange(len(k_s)) - np.repeat(cstarts, ccounts)
-        bs = np.flatnonzero(pos_in_cell % self.block_size == 0)  # block starts
+        impacts = bm25.impact(
+            tf_s, dl_slice[id_s - id_s.dtype.type(dl_base)], self.avgdl
+        )
+        # block-start grid computed per BLOCK (cell start + j·B), not by
+        # scanning a per-posting position array — two fewer per-posting
+        # int64 temporaries on this bandwidth-bound stage
         nblocks = (ccounts + self.block_size - 1) // self.block_size
+        nb_total = int(nblocks.sum())
+        blk_ord = np.arange(nb_total, dtype=np.int64)
+        blk_cell_starts = np.repeat(cstarts, nblocks)
+        blk_cell_base = np.repeat(
+            np.concatenate([[0], np.cumsum(nblocks[:-1])]).astype(np.int64),
+            nblocks,
+        )
+        bs = blk_cell_starts + self.block_size * (blk_ord - blk_cell_base)
         block_max = np.maximum.reduceat(impacts, bs) if len(bs) else np.zeros(0)
         block_end_idx = np.append(bs[1:], len(k_s)) - 1
         block_last = id_s[block_end_idx] if len(bs) else np.zeros(0, dtype=np.int64)
@@ -732,11 +752,17 @@ class MergeShardGroup:
         # run whose byte length follows from its decoded value, so the
         # encoded runs permute like the position runs (bytes identical
         # to a re-encode by construction)
-        tf_blen = codec.varint_lengths(tfs.astype(np.uint32))
+        tf_blen = codec.varint_lengths(tfs)  # already uint32
         tbuf2, toffs = codec.reorder_segments(np.asarray(tbuf), tf_blen, order)
         pbuf2, pboffs = codec.reorder_segments(pbuf, pos_run_blen, order)
 
-        cf = np.add.reduceat(tf_s, cstarts) if len(cstarts) else np.zeros(0, dtype=np.int64)
+        # int64 accumulate — a cell's collection frequency may overflow
+        # the uint32 the tfs are carried in
+        cf = (
+            np.add.reduceat(tf_s.astype(np.int64), cstarts)
+            if len(cstarts)
+            else np.zeros(0, dtype=np.int64)
+        )
         first_doc = id_s[cstarts]
         last_doc = id_s[cends - 1]
 
