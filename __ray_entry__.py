@@ -104,6 +104,48 @@ def _bm25_simple_topk(sf_dir: str, k: int = 10):
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
 
 
+WILDCARD_QUERY_SET = [
+    "s*",
+    "qu* window",
+    "c* hash",
+    "ta* sc*",
+    "gr* key join",
+]
+
+
+def _wildcard_simple_topk(sf_dir: str, k: int = 10):
+    """Wildcard (trailing-star prefix) queries through the driver's hard
+    signal — the ``analyze_wildcard`` analogue (reference
+    ElasticsearchQueryTest.java:315-354): each ``pref*`` clause expands
+    over the simple-profile index's term dictionary (lexicographically
+    first MAX_PREFIX_EXPANSIONS — corpus-derived, so DuckDB re-derives
+    the identical expansion with LIKE + row_number), expanded variants
+    score OR-within-group / AND-across-groups with BM25 summed over
+    distinct matched terms. Shares the cached simple index build with
+    ``bm25_simple_topk``."""
+    import pandas as pd
+    import ray.data as rd
+
+    from limetrans_ray.pipelines.build_index import build_index_from_documents
+    from limetrans_ray.pipelines.search import SearchEngine
+    from limetrans_ray.state.manifest import fingerprint_paths
+    from limetrans_ray import ANALYZER_VERSION, FORMAT_VERSION
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    root = _index_root(sf_dir) + "-simple"
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"])
+    build_index_from_documents(
+        ds, root, analyzer="simple",
+        fingerprint=f"{fingerprint_paths([doc_path])}-v{FORMAT_VERSION}-a{ANALYZER_VERSION}-s",
+    )
+    eng = SearchEngine(root)
+    rows = []
+    for q in WILDCARD_QUERY_SET:
+        for rank, (doc_id, score) in enumerate(eng.search(q, k, mode="and"), 1):
+            rows.append((q, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
 BM25_PHRASE_SET = [
     '"table part"',
     '"query join"',
@@ -378,6 +420,78 @@ def _fix_pipeline(sf_dir: str):
         )
 
     ops = RecordOps(compile_fix(_FIX_PROGRAM))
+    rows = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        ops, batch_format="pyarrow"
+    )
+    return (
+        rows.groupby(["field", "value"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["field", "value", "n"])
+    )
+
+
+# the RDF Turtle source behind rdfmap_pipeline — exercises @prefix
+# expansion, ";" continuation predicates, target-predicate filtering and
+# IRI objects (the put_rdfmap surface; reference map loaders documented
+# in bin/maps/*.sh + alma.fix map usage)
+_RDF_LANG_TTL = """\
+@prefix ex: <http://example.org/> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+ex:de skos:prefLabel "German" ;
+  skos:altLabel "Deutsch" .
+ex:en skos:prefLabel "English" .
+ex:es skos:prefLabel "Spanish" .
+ex:fr skos:prefLabel "French" .
+ex:zz skos:broader ex:root .
+"""
+
+
+def _rdfmap_pipeline(sf_dir: str):
+    """put_rdfmap end-to-end through the driver's hard signal: a Turtle
+    vocabulary file loads as a subject→prefLabel lookup map inside a
+    Metafix TEXT program (put_rdfmap + prepend-to-IRI + lookup with
+    default), applied to documents records, grouped counts CASE-mirrored
+    in DuckDB. The RDF sibling of fix_pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from limetrans_ray.functions.fixparser import compile_fix
+    from limetrans_ray.functions.recordops import RecordOps
+
+    ttl = "/tmp/limetrans_ray_rdfmap/langs.ttl"
+    os.makedirs(os.path.dirname(ttl), exist_ok=True)
+    with open(ttl, "w", encoding="utf-8") as fh:
+        fh.write(_RDF_LANG_TTL)
+
+    fix_text = f"""
+put_rdfmap("{ttl}", "langnames", target: "skos:prefLabel")
+prepend("lang", "http://example.org/")
+lookup("lang", "langnames", default: "Other")
+copy_field("source", "collection")
+retain("lang", "collection")
+"""
+    ops = RecordOps(compile_fix(fix_text))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        n = len(ids)
+        return pa.table(
+            {
+                "record_id": pa.array(ids + ids, pa.string()),
+                "field": pa.array(["lang"] * n + ["source"] * n, pa.string()),
+                "subfield": pa.array([None] * (2 * n), pa.string()),
+                "occurrence": pa.array([0] * (2 * n), pa.int32()),
+                "value": pa.array(langs + srcs, pa.string()),
+            }
+        )
+
     rows = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
         ops, batch_format="pyarrow"
     )
@@ -732,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _ivf_topk,
         "verify_links_docs": _verify_links_docs,
         "fix_pipeline": _fix_pipeline,
+        "rdfmap_pipeline": _rdfmap_pipeline,
+        "wildcard_simple_topk": _wildcard_simple_topk,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
         "quality_docs": _quality_docs,
@@ -831,6 +947,95 @@ def _bm25_simple_sql() -> str:
         QUALIFY rank <= 10
         ORDER BY query, rank
     """
+
+
+def _wildcard_group_rows():
+    """Enumerate each wildcard query's AND groups with the ENGINE's own
+    tokenizer/extractor (single source of truth — mirrors the simple
+    non-fielded branch of SearchEngine._prepare): literal rows
+    ``(query, gid, term)`` and prefix rows ``(query, gid, prefix)``;
+    gid uniqueness per query is all the semantics need."""
+    from limetrans_ray.functions.analyzer import _extract_wildcards, simple_terms
+
+    lits, prefs = [], []
+    for q in WILDCARD_QUERY_SET:
+        gid = 0
+        body, wilds = _extract_wildcards(q)
+        for t in simple_terms(body):
+            lits.append((q, gid, t))
+            gid += 1
+        for w in wilds:
+            toks = simple_terms(w)
+            for t in toks[:-1]:
+                lits.append((q, gid, t))
+                gid += 1
+            if toks:
+                prefs.append((q, gid, toks[-1]))
+                gid += 1
+    return lits, prefs
+
+
+def _wildcard_simple_sql() -> str:
+    """DuckDB mirror of the simple-profile WILDCARD round trip: prefix
+    groups expand over the corpus term dictionary (identical to the
+    engine's index dictionary under the simple profile) via LIKE,
+    capped at the lexicographically first MAX_PREFIX_EXPANSIONS; BM25
+    sums over DISTINCT matched terms; AND = every group covered by at
+    least one of its variants."""
+    from limetrans_ray.functions.analyzer import MAX_PREFIX_EXPANSIONS
+
+    lit_rows, pref_rows = _wildcard_group_rows()
+    lrows = ", ".join(f"('{q}', {g}, '{t}')" for q, g, t in lit_rows)
+    prows = ", ".join(f"('{q}', {g}, '{t}')" for q, g, t in pref_rows)
+    return f"""
+        WITH ql(query, gid, term) AS (VALUES {lrows}),
+        qp(query, gid, prefix) AS (VALUES {prows}),
+        toks AS (
+          SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        st AS (
+          SELECT count(*) AS n,
+                 CAST(sum(len({_TOKENS})) AS DOUBLE) / count(*) AS avgdl
+          FROM documents),
+        dl AS (SELECT doc_id, len({_TOKENS}) AS dl FROM documents),
+        exp AS (
+          SELECT qp.query, qp.gid, df.term
+          FROM qp JOIN df ON df.term LIKE qp.prefix || '%'
+          QUALIFY row_number() OVER (PARTITION BY qp.query, qp.gid
+                     ORDER BY df.term) <= {MAX_PREFIX_EXPANSIONS}),
+        gterms AS (
+          SELECT query, gid, term FROM ql
+          UNION SELECT query, gid, term FROM exp),
+        qn AS (
+          SELECT query, count(DISTINCT gid) AS n_groups
+          FROM (SELECT query, gid FROM ql UNION SELECT query, gid FROM qp)
+          GROUP BY query),
+        qt AS (SELECT DISTINCT query, term FROM gterms),
+        hits AS (
+          SELECT qt.query, tf.doc_id,
+                 sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))))
+                   AS score
+          FROM qt
+          JOIN tf ON tf.term = qt.term
+          JOIN df ON df.term = qt.term
+          JOIN dl ON dl.doc_id = tf.doc_id, st
+          GROUP BY qt.query, tf.doc_id),
+        cov AS (
+          SELECT g.query, g.gid, tf.doc_id
+          FROM gterms g JOIN tf ON tf.term = g.term
+          GROUP BY 1, 2, 3),
+        covn AS (SELECT query, doc_id, count(*) AS m FROM cov GROUP BY 1, 2),
+        anded AS (
+          SELECT h.query, h.doc_id, h.score
+          FROM hits h
+          JOIN covn ON covn.query = h.query AND covn.doc_id = h.doc_id
+          JOIN qn ON qn.query = h.query
+          WHERE covn.m = qn.n_groups)
+        {_BM25_TAIL}"""
 
 
 def _simple_clause_rows(query_set, field_analyzers=None):
@@ -1228,6 +1433,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_simple_topk": _bm25_simple_sql(),
         "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
         "fielded_simple_search": _fielded_simple_sql(),
+        "wildcard_simple_topk": _wildcard_simple_sql(),
+        # put_rdfmap's prefLabel map + default-miss lookup as one CASE
+        "rdfmap_pipeline": """
+            WITH base AS (
+              SELECT CASE lang WHEN 'de' THEN 'German'
+                               WHEN 'en' THEN 'English'
+                               WHEN 'es' THEN 'Spanish'
+                               WHEN 'fr' THEN 'French'
+                               ELSE 'Other' END AS lang_v,
+                     source FROM documents),
+            u AS (
+              SELECT 'lang' AS field, lang_v AS value FROM base
+              UNION ALL
+              SELECT 'collection', source FROM base)
+            SELECT field, value, count(*) AS n FROM u GROUP BY field, value
+        """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_lsh_pairs": _embedding_lsh_sql(),
         "ivf_topk": _ivf_sql(),
