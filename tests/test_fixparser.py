@@ -216,6 +216,47 @@ def test_rdfmap_loader(tmp_path):
     }
 
 
+def test_put_rdfmap_fix_program_end_to_end(tmp_path):
+    """put_rdfmap inside a fix TEXT program (the rdfmap_pipeline shape):
+    ``;`` continuation predicates, target filtering, IRI objects, then
+    prepend-to-IRI + lookup with default over hand rows."""
+    p = tmp_path / "langs.ttl"
+    p.write_text(
+        textwrap.dedent(
+            """
+            @prefix ex: <http://example.org/> .
+            @prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+            ex:de skos:prefLabel "German" ;
+              skos:altLabel "Deutsch" .
+            ex:en skos:prefLabel "English" .
+            ex:zz skos:broader ex:root .
+            """
+        )
+    )
+    ops = compile_fix(
+        f"""
+        put_rdfmap("{p}", "langnames", target: "skos:prefLabel")
+        prepend("lang", "http://example.org/")
+        lookup("lang", "langnames", default: "Other")
+        """
+    )
+    out = apply_ops(
+        rows(
+            ("r1", "lang", None, 0, "de"),
+            ("r2", "lang", None, 0, "en"),
+            ("r3", "lang", None, 0, "fr"),   # miss → default
+            ("r4", "lang", None, 0, "zz"),   # wrong predicate → miss
+        ),
+        ops,
+    )
+    assert got(out) == [
+        ("r1", "lang", "", 0, "German"),
+        ("r2", "lang", "", 0, "English"),
+        ("r3", "lang", "", 0, "Other"),
+        ("r4", "lang", "", 0, "Other"),
+    ]
+
+
 def test_unless_exists():
     ops = compile_fix(
         """
