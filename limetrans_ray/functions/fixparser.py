@@ -18,8 +18,8 @@ Grammar subset (everything alma.fix:1-300 exercises):
 - blocks    ``do list(path: P, "var": V) ... end``,
   ``do once(NAME) ... end``, ``do put_macro(NAME) ... end``
 - branches  ``if PRED(...) / elsif PRED(...) / else / end`` and
-  ``unless PRED(...) / end`` with predicates ``exists``,
-  ``any_match``, ``any_equal``, ``any_contain``, ``none_match``
+  ``unless PRED(...) / end`` with predicates ``exists`` and the
+  quantifier families ``any_/none_/all_`` × ``match/equal/contain``
 - includes  ``include("./other.fix")`` (paths relative to the
   including file), cycle-checked
 - macros    ``do put_macro(NAME) body end`` stored as AST;
@@ -33,7 +33,11 @@ Grammar subset (everything alma.fix:1-300 exercises):
   ``put_rdfmap(PATH, NAME?, target: PREDICATE)`` for RDF Turtle
   (select_, the reference's RDF lookup maps — SURVEY.md §2.3
   put_rdfmap); ``lookup(path, MAP-NAME, delete/default)`` resolves
-  registered maps at compile time into broadcastable dicts
+  registered maps at compile time into broadcastable dicts;
+  ``put_var(NAME, VALUE)`` sets a ``$[name]`` variable from fix text
+- arrays    ``join_field(path, sep?)``, ``split_field(path, regexp)``,
+  ``filter(path, regexp, invert:?)`` — repeated-value collapse / split
+  / regex value filtering (marc/_facet_type-2.fix:130-144)
 
 Path selectors compile to (field, subfield) pairs of the flat-row
 model: ``035  .a`` → field ``"035  "`` subfield ``"a"`` (single-char
@@ -403,7 +407,10 @@ def _split_selector(path: str) -> tuple[str, str | None]:
 
 _VAR_RX = re.compile(r"\$\[([^\]]+)\]")
 
-_PRED_NAMES = {"exists", "any_match", "any_equal", "any_contain", "none_match"}
+_PRED_NAMES = {
+    "exists", "any_match", "any_equal", "any_contain", "none_match",
+    "none_equal", "none_contain", "all_match", "all_equal", "all_contain",
+}
 
 # value transforms: (op name, required positional count beyond path)
 _SIMPLE_VALUE_OPS = {
@@ -449,12 +456,12 @@ class _Compiler:
             kw["subfield"] = sub
         if name == "exists":
             pred = ("exists", kw)
-        elif name in ("any_match", "none_match"):
+        elif name.endswith("_match"):
             if len(args) < 2:
                 raise FixCompileError(f"line {line}: {name} needs (path, pattern)")
             kw["pattern"] = args[1]
             pred = (name, kw)
-        else:  # any_equal / any_contain
+        else:  # any/none/all _equal / _contain
             if len(args) < 2:
                 raise FixCompileError(f"line {line}: {name} needs (path, value)")
             kw["value"] = args[1]
@@ -704,6 +711,30 @@ class _Compiler:
             ops_out.append(("substring", kw))
         elif name in ("trim", "upcase", "downcase"):
             ops_out.append((name, path_kw(args[0])))
+        elif name == "join_field":
+            kw = path_kw(args[0])
+            if len(args) > 1:
+                kw["join_char"] = args[1]
+            ops_out.append(("join_field", kw))
+        elif name == "split_field":
+            if len(args) < 2:
+                raise FixCompileError(
+                    f"line {line}: split_field needs (path, regexp)"
+                )
+            kw = path_kw(args[0])
+            kw["pattern"] = args[1]
+            ops_out.append(("split_field", kw))
+        elif name == "filter":
+            if len(args) < 2:
+                raise FixCompileError(f"line {line}: filter needs (path, regexp)")
+            kw = path_kw(args[0])
+            kw["pattern"] = args[1]
+            if str(kwargs.get("invert", "")).lower() == "true":
+                kw["invert"] = True
+            ops_out.append(("filter_values", kw))
+        elif name == "put_var":
+            # compile-time variable: later $[name] substitutions see it
+            self.vars[args[0]] = args[1]
         elif name == "vacuum":
             ops_out.append(("vacuum", {}))
         elif name == "drop_local":

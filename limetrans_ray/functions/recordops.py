@@ -88,6 +88,15 @@ Supported ops (name, kwargs):
   values of f (0-based start, to end when length omitted)
 - ``("trim", {"field": f})``, ``("upcase", {"field": f})``,
   ``("downcase", {"field": f})`` — whitespace strip / case fold
+- ``("join_field", {"field": f, "join_char": jc?})`` — Metafix
+  ``join_field(path, separator)``: collapse a record's repeated values
+  of f to ONE row (stable order, placed at the field's first row)
+- ``("split_field", {"field": f, "pattern": p})`` — Metafix
+  ``split_field(path, regexp)``: split each value into one row per
+  part, in place
+- ``("filter_values", {"field": f, "pattern": p, "invert": bool?})`` —
+  Metafix ``filter(path, regexp)``: keep only values of f containing a
+  regex match (marc/_facet_type-2.fix:130-144 array-value filtering)
 
 (Metafix ``flatten`` is inherent here: the flat-row model has no
 nesting to flatten.)
@@ -113,13 +122,19 @@ _KNOWN = {
     "prepend", "append", "substring", "trim", "upcase", "downcase",
     "drop_local", "drop_repeated", "if_member_local",
     "if", "reject", "do_list_elements", "verify_links",
+    "join_field", "split_field", "filter_values",
 }
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
 # conditional surface (reference alma.fix:44,177-216 if/elsif/unless
-# chains); "not" wraps any other predicate (Metafix ``unless``)
+# chains); "not" wraps any other predicate (Metafix ``unless``).
+# The quantifier families complete symmetrically: any_* (some value),
+# none_* (no value — absent field qualifies), all_* (field present and
+# EVERY value qualifies).
 _PREDICATES = {
-    "exists", "any_match", "any_equal", "any_contain", "none_match", "not",
+    "exists", "any_match", "any_equal", "any_contain", "none_match",
+    "none_equal", "none_contain", "all_match", "all_equal", "all_contain",
+    "not",
 }
 
 # DropLocal.java:23-25: LOCAL literal or [A-Z]:[0-9]+[a-z]? (full match)
@@ -159,8 +174,22 @@ def _pred_ids(df: pd.DataFrame, pred: tuple[str, dict]) -> set:
     all_ids = set(df["record_id"].unique())
     if name == "not":
         return all_ids - _pred_ids(df, kw["pred"])
-    if name == "none_match":
-        return all_ids - _pred_ids(df, ("any_match", kw))
+    if name.startswith("none_"):
+        return all_ids - _pred_ids(df, ("any_" + name[5:], kw))
+    if name.startswith("all_"):
+        # field present AND no non-qualifying value: exists \ any_not
+        exists = _pred_ids(df, ("exists", kw))
+        sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+        base = name[4:]
+        if base == "match":
+            bad = sel & ~df["value"].str.fullmatch(kw["pattern"], na=False)
+        elif base == "equal":
+            bad = sel & (df["value"] != kw["value"])
+        else:  # all_contain
+            bad = sel & ~df["value"].str.contains(
+                kw["value"], regex=False, na=False
+            )
+        return exists - set(df.loc[bad, "record_id"])
     sel = _sel_mask(df, kw["field"], kw.get("subfield"))
     if name == "exists":
         hit = sel
@@ -313,6 +342,43 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             drop = sel.copy()
             drop.loc[sel] = dup
             df = df[~drop]
+        elif name == "join_field":
+            # Metafix join_field(path, separator): the field's repeated
+            # values collapse to ONE row per record (stable row order),
+            # placed where the field's first row was
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if sel.any():
+                jc = kw.get("join_char", "")
+                subset = df.loc[sel]
+                joined = subset.groupby("record_id", sort=False)["value"].agg(
+                    jc.join
+                )
+                rep = subset.drop_duplicates("record_id").copy()
+                rep["value"] = rep["record_id"].map(joined).to_numpy()
+                df = pd.concat(
+                    [df[~sel], rep], ignore_index=False
+                ).sort_index(kind="stable").reset_index(drop=True)
+        elif name == "split_field":
+            # Metafix split_field(path, regexp): each value splits into
+            # one row per part, in place (original row order preserved,
+            # occurrences renumbered at the end like everything else)
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if sel.any():
+                parts = df.loc[sel, "value"].str.split(kw["pattern"], regex=True)
+                rep = df.loc[sel].drop(columns=["value"])
+                rep = rep.assign(value=parts).explode("value")
+                df = pd.concat(
+                    [df[~sel], rep], ignore_index=False
+                ).sort_index(kind="stable").reset_index(drop=True)
+        elif name == "filter_values":
+            # Metafix filter(path, regexp[, invert]): keep only the
+            # field's values containing a regex match (the array-value
+            # filter of marc/_facet_type-2.fix:130-144)
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            m = df["value"].str.contains(kw["pattern"], regex=True, na=False)
+            if kw.get("invert"):
+                m = ~m
+            df = df[~sel | m]
         elif name == "retain":
             if kw.get("prefix"):
                 # Metafix retain keeps whole subtrees; flattened nested
@@ -622,6 +688,8 @@ class RecordOps:
         "if": ("pred", "ops"), "reject": (),
         "do_list_elements": ("field", "ops"),
         "verify_links": ("entries", "suffix", "keys"),
+        "join_field": ("field",), "split_field": ("field", "pattern"),
+        "filter_values": ("field", "pattern"),
     }
 
     @classmethod
@@ -634,9 +702,9 @@ class RecordOps:
             return
         if "field" not in kw:
             raise ValueError(f"record predicate {name!r} missing field")
-        if name in ("any_match", "none_match"):
+        if name.endswith("_match"):
             re.compile(kw["pattern"])
-        elif name in ("any_equal", "any_contain") and "value" not in kw:
+        elif name != "exists" and "value" not in kw:
             raise ValueError(f"record predicate {name!r} missing value")
 
     @classmethod
@@ -647,7 +715,8 @@ class RecordOps:
             missing = [k for k in cls._REQUIRED[name] if k not in kw]
             if missing:
                 raise ValueError(f"record op {name!r} missing {missing}")
-            if name in ("replace_all", "reject_if"):
+            if name in ("replace_all", "reject_if", "split_field",
+                        "filter_values"):
                 re.compile(kw["pattern"])  # fail fast at build time
             elif name == "parse_text":
                 if not re.compile(kw["pattern"]).groupindex:

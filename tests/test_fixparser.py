@@ -451,3 +451,128 @@ def test_verify_links_command_compiles():
     )
     ok = out[out["subfield"] == "verifiedIdentifierForLinkingEntry"]
     assert list(ok["value"]) == ["HT001"]  # HT003 in skip set
+
+
+# --------------------------------------------------- array-value commands
+
+
+def test_join_field():
+    ops = compile_fix('join_field("tags", ", ")')
+    out = apply_ops(
+        rows(
+            ("r1", "tags", None, 0, "a"),
+            ("r1", "tags", None, 1, "b"),
+            ("r1", "x", None, 0, "k"),
+            ("r2", "tags", None, 0, "z"),
+        ),
+        ops,
+    )
+    assert got(out) == [
+        ("r1", "tags", "", 0, "a, b"),
+        ("r1", "x", "", 0, "k"),
+        ("r2", "tags", "", 0, "z"),
+    ]
+
+
+def test_join_field_default_separator_is_empty():
+    out = apply_ops(
+        rows(("r1", "t", None, 0, "a"), ("r1", "t", None, 1, "b")),
+        compile_fix('join_field("t")'),
+    )
+    assert got(out) == [("r1", "t", "", 0, "ab")]
+
+
+def test_split_field_regex():
+    ops = compile_fix('split_field("csv", ",\\\\s*")')
+    out = apply_ops(
+        rows(("r1", "csv", None, 0, "a, b,c"), ("r1", "y", None, 0, "v")), ops
+    )
+    assert got(out) == [
+        ("r1", "csv", "", 0, "a"),
+        ("r1", "csv", "", 1, "b"),
+        ("r1", "csv", "", 2, "c"),
+        ("r1", "y", "", 0, "v"),
+    ]
+
+
+def test_split_then_join_roundtrip():
+    ops = compile_fix(
+        """
+        split_field("t", "-")
+        join_field("t", "-")
+        """
+    )
+    out = apply_ops(rows(("r1", "t", None, 0, "a-b-c")), ops)
+    assert got(out) == [("r1", "t", "", 0, "a-b-c")]
+
+
+def test_filter_values_and_invert():
+    ops = compile_fix('filter("tags", "^a")')
+    out = apply_ops(
+        rows(
+            ("r1", "tags", None, 0, "apple"),
+            ("r1", "tags", None, 1, "pear"),
+            ("r1", "x", None, 0, "az"),  # other fields untouched
+        ),
+        ops,
+    )
+    assert got(out) == [
+        ("r1", "tags", "", 0, "apple"),
+        ("r1", "x", "", 0, "az"),
+    ]
+    inv = apply_ops(
+        rows(("r1", "tags", None, 0, "apple"), ("r1", "tags", None, 1, "pear")),
+        compile_fix('filter("tags", "^a", invert: "true")'),
+    )
+    assert got(inv) == [("r1", "tags", "", 0, "pear")]
+
+
+def test_put_var_feeds_substitution():
+    ops = compile_fix(
+        """
+        put_var("isil", "DE-605")
+        add_field("owner", "$[isil]")
+        """
+    )
+    out = apply_ops(rows(("r1", "x", None, 0, "v")), ops)
+    assert ("r1", "owner", "", 0, "DE-605") in got(out)
+
+
+# ------------------------------------------- quantifier predicate families
+
+
+def _pred_records(fixtext):
+    """ids of records carrying the 'hit' marker after the program."""
+    out = apply_ops(
+        rows(
+            # r1: all lang=de; r2: mixed; r3: no lang field
+            ("r1", "lang", None, 0, "de"),
+            ("r1", "lang", None, 1, "de"),
+            ("r2", "lang", None, 0, "de"),
+            ("r2", "lang", None, 1, "en"),
+            ("r3", "x", None, 0, "v"),
+        ),
+        compile_fix(fixtext),
+    )
+    return sorted(out.loc[out["field"] == "hit", "record_id"])
+
+
+def test_all_equal_requires_field_and_every_value():
+    assert _pred_records(
+        'if all_equal("lang", "de")\n  add_field("hit", "y")\nend'
+    ) == ["r1"]
+
+
+def test_none_equal_absent_field_qualifies():
+    assert _pred_records(
+        'if none_equal("lang", "en")\n  add_field("hit", "y")\nend'
+    ) == ["r1", "r3"]
+
+
+def test_all_match_and_none_contain():
+    assert _pred_records(
+        'if all_match("lang", "d.")\n  add_field("hit", "y")\nend'
+    ) == ["r1"]
+    assert _pred_records(
+        'if none_contain("lang", "e")\n  add_field("hit", "y")\nend'
+    ) == ["r3"]  # both de and en contain "e"
