@@ -430,6 +430,61 @@ def _fix_pipeline(sf_dir: str):
     )
 
 
+# the array-command program behind fix_array_pipeline — split_field /
+# filter / join_field (the marc/_facet_type-2.fix:130-144 array-value
+# shape) through the driver's hard signal
+_FIX_ARRAY_PROGRAM = """
+split_field("tags", ",")
+filter("tags", "^(de|en|src)")
+join_field("tags", "|")
+retain("tags")
+"""
+
+
+def _fix_array_pipeline(sf_dir: str):
+    """The Metafix ARRAY-value commands end-to-end: each documents row
+    becomes a record whose ``tags`` value is ``lang,source``; the fix
+    program splits it, regex-filters the values (only de/en langs and
+    every source survive) and joins the remainder — CASE-mirrored in
+    DuckDB as string concatenation."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from limetrans_ray.functions.fixparser import compile_fix
+    from limetrans_ray.functions.recordops import RecordOps
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column("doc_id").to_pylist()]
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        return pa.table(
+            {
+                "record_id": pa.array(ids, pa.string()),
+                "field": pa.array(["tags"] * len(ids), pa.string()),
+                "subfield": pa.array([None] * len(ids), pa.string()),
+                "occurrence": pa.array([0] * len(ids), pa.int32()),
+                "value": pa.array(
+                    [f"{l},{s}" for l, s in zip(langs, srcs)], pa.string()
+                ),
+            }
+        )
+
+    ops = RecordOps(compile_fix(_FIX_ARRAY_PROGRAM))
+    rows = ds.map_batches(to_rows, batch_format="pyarrow").map_batches(
+        ops, batch_format="pyarrow"
+    )
+    return (
+        rows.groupby(["field", "value"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["field", "value", "n"])
+    )
+
+
 # the RDF Turtle source behind rdfmap_pipeline — exercises @prefix
 # expansion, ";" continuation predicates, target-predicate filtering and
 # IRI objects (the put_rdfmap surface; reference map loaders documented
@@ -847,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "verify_links_docs": _verify_links_docs,
         "fix_pipeline": _fix_pipeline,
         "rdfmap_pipeline": _rdfmap_pipeline,
+        "fix_array_pipeline": _fix_array_pipeline,
         "wildcard_simple_topk": _wildcard_simple_topk,
         "simhash_pairs": _simhash_pairs,
         "langid_docs": _langid_docs,
@@ -1434,6 +1490,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
         "fielded_simple_search": _fielded_simple_sql(),
         "wildcard_simple_topk": _wildcard_simple_sql(),
+        # split_field/filter/join_field as string concatenation
+        "fix_array_pipeline": """
+            SELECT 'tags' AS field,
+                   CASE WHEN lang IN ('de', 'en')
+                        THEN lang || '|' || source
+                        ELSE source END AS value,
+                   count(*) AS n
+            FROM documents GROUP BY value
+        """,
         # put_rdfmap's prefLabel map + default-miss lookup as one CASE
         "rdfmap_pipeline": """
             WITH base AS (

@@ -350,8 +350,11 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             if sel.any():
                 jc = kw.get("join_char", "")
                 subset = df.loc[sel]
-                joined = subset.groupby("record_id", sort=False)["value"].agg(
-                    jc.join
+                joined = (
+                    subset["value"]
+                    .fillna("")  # null leaves join like empty strings
+                    .groupby(subset["record_id"], sort=False)
+                    .agg(jc.join)
                 )
                 rep = subset.drop_duplicates("record_id").copy()
                 rep["value"] = rep["record_id"].map(joined).to_numpy()
