@@ -54,6 +54,13 @@ reference fields outside the loop path raise at compile time where
 detectable. The reference's loop bodies can touch the whole record;
 the alma.fix:185-266 identifier-routing shape (predicates on the loop
 var, writes to new fields) is fully covered.
+
+KNOWN DEVIATION (documented contract): ``put_var`` executes at COMPILE
+time, unconditionally — a put_var inside a never-taken if/unless branch
+still sets the variable (the reference evaluates it per record at run
+time). Caller-supplied vars passed to :func:`compile_fix` are never
+overwritten by file-level ``put_var``, which therefore behaves as a
+default, mirroring the reference's job-setup variable merge.
 """
 
 from __future__ import annotations
@@ -428,6 +435,10 @@ class _Compiler:
         max_include_depth: int = 16,
     ):
         self.vars = dict(vars or {})
+        # caller-supplied vars win over file-level put_var defaults, the
+        # way the reference's job setup overrides rule-file variables
+        # (Limetrans.java:167-171 merges config vars over file defaults)
+        self._caller_vars = frozenset(self.vars)
         self.base_dir = base_dir
         self.maps: dict[str, dict] = dict(maps or {})
         self.macros: dict[str, list] = {}
@@ -733,8 +744,15 @@ class _Compiler:
                 kw["invert"] = True
             ops_out.append(("filter_values", kw))
         elif name == "put_var":
-            # compile-time variable: later $[name] substitutions see it
-            self.vars[args[0]] = args[1]
+            # compile-time variable: later $[name] substitutions see it.
+            # KNOWN DEVIATION: put_var executes unconditionally at
+            # compile time (even inside a not-taken if/unless branch) —
+            # the reference evaluates it per record at run time. A
+            # caller-supplied var (compile_fix(vars=...)) is NOT
+            # overwritten, so file-level put_var acts as a default, like
+            # the reference's job-setup var merge.
+            if args[0] not in self._caller_vars:
+                self.vars[args[0]] = args[1]
         elif name == "vacuum":
             ops_out.append(("vacuum", {}))
         elif name == "drop_local":

@@ -152,8 +152,27 @@ def _sel_mask(df: pd.DataFrame, field: str, subfield=None) -> pd.Series:
     else:
         m = df["field"] == field
     if subfield is not None:
-        m = m & (df["subfield"] == subfield)
+        if "?" in subfield:
+            srx = "".join(
+                "." if c == "?" else re.escape(c) for c in subfield
+            )
+            m = m & df["subfield"].str.fullmatch(srx, na=False)
+        else:
+            m = m & (df["subfield"] == subfield)
     return m
+
+
+def _java_split_trim(parts):
+    """Mirror Java ``String.split`` semantics (reference SplitField runs on
+    the JVM): trailing empty strings are dropped — except an input the
+    pattern never matched, which Java returns whole (so a len<=1 result is
+    untouched, keeping ``"" -> [""]``)."""
+    if not isinstance(parts, list) or len(parts) <= 1:
+        return parts
+    out = list(parts)
+    while out and out[-1] == "":
+        out.pop()
+    return out
 
 
 def _pred_ids(df: pd.DataFrame, pred: tuple[str, dict]) -> set:
@@ -344,20 +363,31 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             df = df[~drop]
         elif name == "join_field":
             # Metafix join_field(path, separator): the field's repeated
-            # values collapse to ONE row per record (stable row order),
-            # placed where the field's first row was
+            # values collapse to ONE row per (record, field path) — a '?'
+            # wildcard selector matching several fields joins EACH field's
+            # array separately (Metafix joins per path, not per record),
+            # placed where that field's first row was
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             if sel.any():
                 jc = kw.get("join_char", "")
                 subset = df.loc[sel]
+                sub_key = subset["subfield"].fillna("\x00")
                 joined = (
                     subset["value"]
                     .fillna("")  # null leaves join like empty strings
-                    .groupby(subset["record_id"], sort=False)
+                    .groupby(
+                        [subset["record_id"], subset["field"], sub_key],
+                        sort=False,
+                    )
                     .agg(jc.join)
                 )
-                rep = subset.drop_duplicates("record_id").copy()
-                rep["value"] = rep["record_id"].map(joined).to_numpy()
+                rep = subset.drop_duplicates(
+                    ["record_id", "field", "subfield"]
+                ).copy()
+                midx = pd.MultiIndex.from_arrays(
+                    [rep["record_id"], rep["field"], rep["subfield"].fillna("\x00")]
+                )
+                rep["value"] = joined.reindex(midx).to_numpy()
                 df = pd.concat(
                     [df[~sel], rep], ignore_index=False
                 ).sort_index(kind="stable").reset_index(drop=True)
@@ -368,8 +398,16 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             if sel.any():
                 parts = df.loc[sel, "value"].str.split(kw["pattern"], regex=True)
-                rep = df.loc[sel].drop(columns=["value"])
-                rep = rep.assign(value=parts).explode("value")
+                # Java String.split drops TRAILING empty strings (but an
+                # unmatched input returns itself, so len<=1 stays as-is,
+                # and a fully-empty split yields an empty array → the
+                # field disappears, as SplitField.java would emit nothing)
+                parts = parts.map(_java_split_trim)
+                rep = df.loc[sel].drop(columns=["value"]).assign(value=parts)
+                gone = rep["value"].map(
+                    lambda v: isinstance(v, list) and len(v) == 0
+                )
+                rep = rep[~gone].explode("value")
                 df = pd.concat(
                     [df[~sel], rep], ignore_index=False
                 ).sort_index(kind="stable").reset_index(drop=True)
@@ -378,10 +416,18 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             # field's values containing a regex match (the array-value
             # filter of marc/_facet_type-2.fix:130-144)
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
-            m = df["value"].str.contains(kw["pattern"], regex=True, na=False)
-            if kw.get("invert"):
-                m = ~m
-            df = df[~sel | m]
+            if sel.any():
+                # regex only over the selected field's rows (not the
+                # whole batch column — same sel-scoped pattern as
+                # replace_all/substring)
+                m = df.loc[sel, "value"].str.contains(
+                    kw["pattern"], regex=True, na=False
+                )
+                if kw.get("invert"):
+                    m = ~m
+                drop = sel.copy()
+                drop.loc[sel] = ~m
+                df = df[~drop]
         elif name == "retain":
             if kw.get("prefix"):
                 # Metafix retain keeps whole subtrees; flattened nested

@@ -538,6 +538,83 @@ def test_put_var_feeds_substitution():
     assert ("r1", "owner", "", 0, "DE-605") in got(out)
 
 
+def test_put_var_does_not_clobber_caller_vars():
+    # caller-supplied vars act like the reference's job-config vars:
+    # a file-level put_var is only a default (Limetrans.java:167-171)
+    ops = compile_fix(
+        """
+        put_var("catalogid", "")
+        add_field("owner", "$[catalogid]")
+        """,
+        vars={"catalogid": "DE-604"},
+    )
+    out = apply_ops(rows(("r1", "x", None, 0, "v")), ops)
+    assert ("r1", "owner", "", 0, "DE-604") in got(out)
+
+
+def test_split_field_drops_trailing_empties_like_java():
+    # Java String.split drops TRAILING empty strings only
+    ops = compile_fix('split_field("t", "\\\\u001f")')
+    out = apply_ops(
+        rows(("r1", "t", None, 0, "ab")), ops
+    )
+    assert got(out) == [
+        ("r1", "t", "", 0, "a"),
+        ("r1", "t", "", 1, ""),
+        ("r1", "t", "", 2, "b"),
+    ]
+
+
+def test_split_field_unmatched_and_empty_inputs():
+    ops = compile_fix('split_field("t", "-")')
+    # no match: value returned whole (Java returns the input itself)
+    out = apply_ops(rows(("r1", "t", None, 0, "abc")), ops)
+    assert got(out) == [("r1", "t", "", 0, "abc")]
+    # empty input: Java split("") -> [""] — the row survives as ""
+    out2 = apply_ops(rows(("r2", "t", None, 0, "")), ops)
+    assert got(out2) == [("r2", "t", "", 0, "")]
+    # all-separator input: every part empty -> field disappears
+    out3 = apply_ops(
+        rows(("r3", "t", None, 0, "--"), ("r3", "k", None, 0, "v")), ops
+    )
+    assert got(out3) == [("r3", "k", "", 0, "v")]
+
+
+def test_join_field_wildcard_joins_each_path_separately():
+    # a '?' selector matching several fields must join PER FIELD, not
+    # merge all matching fields' values into one row (ADVICE round 4)
+    ops = compile_fix('join_field("tag?", "|")')
+    out = apply_ops(
+        rows(
+            ("r1", "tagA", None, 0, "a1"),
+            ("r1", "tagA", None, 1, "a2"),
+            ("r1", "tagB", None, 0, "b1"),
+            ("r1", "tagB", None, 1, "b2"),
+        ),
+        ops,
+    )
+    assert got(out) == [
+        ("r1", "tagA", "", 0, "a1|a2"),
+        ("r1", "tagB", "", 0, "b1|b2"),
+    ]
+
+
+def test_join_field_groups_by_subfield():
+    ops = compile_fix('join_field("100  .?", "|")')
+    out = apply_ops(
+        rows(
+            ("r1", "100  ", "a", 0, "x"),
+            ("r1", "100  ", "a", 1, "y"),
+            ("r1", "100  ", "b", 0, "z"),
+        ),
+        ops,
+    )
+    assert got(out) == [
+        ("r1", "100  ", "a", 0, "x|y"),
+        ("r1", "100  ", "b", 0, "z"),
+    ]
+
+
 # ------------------------------------------- quantifier predicate families
 
 
