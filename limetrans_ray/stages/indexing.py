@@ -423,6 +423,23 @@ class InvertStage:
     here (cfg.invert_batch_size): doc ids are hash-ordered, so every
     batch touches most buckets and bigger batches amortize the
     per-(term,bucket) row overhead.
+
+    TERM-ID EXCHANGE: the shuffle carries a fixed-width ``tid``
+    (uint64 blake2b-8 of the term) per cell, NOT the term string — a
+    hot term's string would otherwise be copied once per (term,
+    bucket) cell through the object store, and the merge would re-hash
+    every string to group. The id→string mapping rides the SAME
+    exchange as sidecar dictionary rows, one per distinct (term,
+    bgroup, mslice) the batch touches (i.e. once per merge group that
+    will need the string, not once per cell): a dictionary row is
+    discriminated by ``pdf == 0`` (real cells always have pdf ≥ 1) and
+    smuggles the term's utf-8 bytes in the ``ids_enc`` binary column,
+    so the exchange schema stays fixed-width + binaries. The merge
+    strips dictionary rows, groups cells by integer tid, and re-attaches
+    strings at output — the ON-DISK segment format is unchanged.
+    64-bit collision risk: P(any collision) ≈ n²/2⁶⁵; at 10⁹ distinct
+    terms that is ~3%, and a collision is DETECTED at merge time
+    (two strings mapping to one tid raise), never silent.
     """
 
     def __init__(
@@ -454,19 +471,21 @@ class InvertStage:
             if slice_bounds is not None
             else None
         )
-        self._shard_cache: dict[str, int] = {}
+        self._tid_cache: dict[str, int] = {}
 
-    def _shards_for(self, vocab) -> np.ndarray:
-        cache = self._shard_cache
-        n = self.n_merge_shards
-        out = np.empty(len(vocab), dtype=np.int32)
+    def _tids_for(self, vocab) -> np.ndarray:
+        """uint64 term ids (blake2b-8) per vocab entry; shard = tid %
+        n_merge_shards, so the shard assignment is the hash the string
+        form used, just without re-hashing cached terms per batch."""
+        cache = self._tid_cache
+        out = np.empty(len(vocab), dtype=np.uint64)
         for i, term in enumerate(vocab.to_pylist()):
-            s = cache.get(term)
-            if s is None:
-                s = stable_hash64(term) % n
+            t = cache.get(term)
+            if t is None:
+                t = stable_hash64(term)
                 if len(cache) < 2_000_000:
-                    cache[term] = s
-            out[i] = s
+                    cache[term] = t
+            out[i] = t
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -477,7 +496,7 @@ class InvertStage:
                 "shard": pa.array([], pa.int32()),
                 "bgroup": pa.array([], pa.int32()),
                 "mslice": pa.array([], pa.int32()),
-                "term": pa.array([], pa.string()),
+                "tid": pa.array([], pa.uint64()),
                 "bucket": pa.array([], pa.int64()),
                 "pdf": pa.array([], pa.int64()),
                 "ids_enc": pa.array([], pa.binary()),
@@ -535,7 +554,6 @@ class InvertStage:
         starts = np.flatnonzero(np.concatenate([[True], k_s[1:] != k_s[:-1]]))
         ends = np.append(starts[1:], len(k_s))
         cell_codes = k_s[starts] // limit
-        cell_terms = vocab.take(pa.array(cell_codes))
         cell_buckets = (k_s[starts] % limit).astype(np.int64)
         # one batched varint pass for the whole batch, sliced per cell
         deltas = codec.segmented_delta_encode(d_s, starts)
@@ -561,7 +579,11 @@ class InvertStage:
         run_blen = poffs[ovstarts[1:]] - poffs[ovstarts[:-1]]
         pbuf_s, pboffs = codec.reorder_segments(pbuf, run_blen, order)
         pos_enc = codec.binary_from_slices(pbuf_s, pboffs[cell_bounds])
-        shards = self._shards_for(vocab)[cell_codes]
+        vocab_tids = self._tids_for(vocab)
+        cell_tids = vocab_tids[cell_codes]
+        shards = (vocab_tids % np.uint64(self.n_merge_shards)).astype(np.int32)[
+            cell_codes
+        ]
         if self.bg_bounds is not None:
             bgroups = (
                 np.searchsorted(self.bg_bounds, cell_buckets, side="right") - 1
@@ -575,12 +597,48 @@ class InvertStage:
             ).astype(np.int32)
         else:
             mslices = np.zeros(len(cell_buckets), dtype=np.int32)
-        return pa.table(
+        # sidecar dictionary rows: one (tid → term string) per distinct
+        # (term, bgroup, mslice) this batch touches, so every merge
+        # group that receives a cell of the term also receives its
+        # string exactly once per invert batch (class docstring:
+        # TERM-ID EXCHANGE). Discriminated by pdf == 0; the term's
+        # utf-8 bytes ride the ids_enc binary column.
+        n_bg_span = int(bgroups.max()) + 1 if len(bgroups) else 1
+        n_ms_span = int(mslices.max()) + 1 if len(mslices) else 1
+        dkey = (
+            cell_codes * (n_bg_span * n_ms_span)
+            + bgroups.astype(np.int64) * n_ms_span
+            + mslices.astype(np.int64)
+        )
+        duniq = np.unique(dkey)
+        d_codes = duniq // (n_bg_span * n_ms_span)
+        d_bg = (duniq // n_ms_span % n_bg_span).astype(np.int32)
+        d_ms = (duniq % n_ms_span).astype(np.int32)
+        d_terms_bin = vocab.take(pa.array(d_codes)).cast(pa.binary())
+        zero_bin = pa.array([b""] * len(duniq), pa.binary())
+        dict_rows = pa.table(
+            {
+                "shard": pa.array(
+                    (vocab_tids % np.uint64(self.n_merge_shards)).astype(
+                        np.int32
+                    )[d_codes]
+                ),
+                "bgroup": pa.array(d_bg),
+                "mslice": pa.array(d_ms),
+                "tid": pa.array(vocab_tids[d_codes]),
+                "bucket": pa.array(np.zeros(len(duniq), dtype=np.int64)),
+                "pdf": pa.array(np.zeros(len(duniq), dtype=np.int64)),
+                "ids_enc": d_terms_bin,
+                "tfs_enc": zero_bin,
+                "pos_enc": zero_bin,
+            }
+        )
+        cells = pa.table(
             {
                 "shard": pa.array(shards, pa.int32()),
                 "bgroup": pa.array(bgroups, pa.int32()),
                 "mslice": pa.array(mslices, pa.int32()),
-                "term": cell_terms,
+                "tid": pa.array(cell_tids),
                 "bucket": pa.array(cell_buckets),
                 "pdf": pa.array((ends - starts).astype(np.int64)),
                 "ids_enc": ids_enc,
@@ -588,6 +646,7 @@ class InvertStage:
                 "pos_enc": pos_enc,
             }
         )
+        return pa.concat_tables([cells, dict_rows])
 
 
 class MergeShardGroup:
@@ -656,7 +715,43 @@ class MergeShardGroup:
         bg = int(group.column("bgroup")[0].as_py())
         dl_slice = self.doclens_slice(bg)
         dl_base = int(self.bg_doc_base[bg])
-        pdf = group.column("pdf").to_numpy()
+        # split sidecar dictionary rows (pdf == 0, tid→string in
+        # ids_enc — InvertStage TERM-ID EXCHANGE) from posting cells
+        pdf_all = group.column("pdf").to_numpy()
+        dmask = pdf_all == 0
+        d_part = group.filter(pa.array(dmask))
+        d_tids = d_part.column("tid").to_numpy()
+        d_order = np.argsort(d_tids, kind="stable")
+        dt_s = d_tids[d_order]
+        d_terms_s = (
+            d_part.column("ids_enc").combine_chunks().take(pa.array(d_order))
+        )
+        if len(dt_s) > 1:
+            # a 64-bit tid collision (two distinct strings, one tid)
+            # always yields an adjacent differing pair under tid sort —
+            # detect it rather than silently merging two terms' postings
+            same_tid = dt_s[1:] == dt_s[:-1]
+            if same_tid.any():
+                neq = pc.not_equal(
+                    d_terms_s.slice(1), d_terms_s.slice(0, len(dt_s) - 1)
+                ).to_numpy(zero_copy_only=False)
+                if (same_tid & neq).any():
+                    i = int(np.flatnonzero(same_tid & neq)[0])
+                    raise ValueError(
+                        "64-bit term-id collision: "
+                        f"{d_terms_s[i].as_py()!r} and "
+                        f"{d_terms_s[i + 1].as_py()!r} share tid {dt_s[i]}"
+                    )
+        d_firsts = (
+            np.flatnonzero(np.concatenate([[True], dt_s[1:] != dt_s[:-1]]))
+            if len(dt_s)
+            else np.zeros(0, dtype=np.int64)
+        )
+        dict_tids = dt_s[d_firsts]
+        dict_terms = d_terms_s.take(pa.array(d_firsts)).cast(pa.string())
+        group = group.filter(pa.array(~dmask))
+        pdf = pdf_all[~dmask]
+        assert group.num_rows > 0, "merge group contained only dict rows"
         seg_starts = np.zeros(len(pdf), dtype=np.int64)
         np.cumsum(pdf[:-1], out=seg_starts[1:])
         # decode ALL partials in segmented passes; the encoded-partial
@@ -691,10 +786,13 @@ class MergeShardGroup:
             post_bstart[1:] = vend[pvstarts[1:] - 1]
         pos_run_blen = post_bstart[1:] - post_bstart[:-1]
 
-        # (term, bucket) cell key per posting
-        dict_arr = pc.dictionary_encode(group.column("term").combine_chunks())
-        codes = dict_arr.indices.to_numpy().astype(np.int64)
-        vocab = dict_arr.dictionary
+        # (term, bucket) cell key per posting — grouped by integer tid
+        # (no string re-hash on the merge side; vocab order is tid-sorted,
+        # which only permutes output rows within the group)
+        tid_vocab, codes = np.unique(
+            group.column("tid").to_numpy(), return_inverse=True
+        )
+        codes = codes.astype(np.int64, copy=False)
         buckets = group.column("bucket").to_numpy()
         limit = int(buckets.max()) + 1
         cell_key_per_partial = codes * limit + buckets
@@ -704,7 +802,7 @@ class MergeShardGroup:
         # unstable argsort replaces the lexsort where the in-bucket doc
         # offset fits (same trick as InvertStage — ~4x less sort wall)
         w = self.bucket_width
-        key_p_max = (len(vocab) - 1) * limit + limit - 1
+        key_p_max = (len(tid_vocab) - 1) * limit + limit - 1
         if w is not None and (key_p_max + 1) * w < 2**63:
             order = np.argsort(key_p * w + (ids % ids.dtype.type(w)))
         else:
@@ -716,8 +814,21 @@ class MergeShardGroup:
         cends = np.append(cstarts[1:], len(k_s))
         ccounts = cends - cstarts
         cell_codes = k_s[cstarts] // limit
-        cell_terms = vocab.take(pa.array(cell_codes))
         cell_buckets = (k_s[cstarts] % limit).astype(np.int64)
+        # re-attach term strings from the sidecar dictionary (every
+        # batch that emitted a cell for this group also emitted the
+        # term's dict row for it — InvertStage TERM-ID EXCHANGE)
+        out_tids = tid_vocab[cell_codes]
+        didx = np.searchsorted(dict_tids, out_tids)
+        if len(out_tids) and (
+            didx.max(initial=0) >= len(dict_tids)
+            or not np.array_equal(dict_tids[didx], out_tids)
+        ):
+            raise ValueError(
+                "posting cell without a term-dictionary row in its "
+                "merge group — exchange routing bug"
+            )
+        cell_terms = dict_terms.take(pa.array(didx))
 
         # per-posting impact; block grid aligned to cell starts
         impacts = bm25.impact(
