@@ -147,6 +147,17 @@ class IndexBuildConfig:
                                     # groupby().map_groups form (identical
                                     # output; the semantic spec and
                                     # conformance fallback)
+    doclen_slice_mode: str = "auto" # construction of the per-bucket-group
+                                    # doclen slices the merge broadcasts:
+                                    # "driver" — one columnar read + dense
+                                    # array on the driver (cheapest while
+                                    # (max_doc+1)*8 fits comfortably);
+                                    # "distributed" — split/combine Ray
+                                    # tasks over docs/ blocks, the driver
+                                    # holds only n_bg ObjectRefs (the
+                                    # 10^11-doc path: a dense array would
+                                    # be 0.8-8 TB of driver RAM); "auto"
+                                    # switches on SMALL_AGG_BYTES
 
     def resolved_invert_batch_size(self, n_rows: int, n_cpus: int) -> int:
         """Adaptive SPIMI batch size: ~4 invert tasks per CPU for wave
@@ -370,6 +381,39 @@ def _merge_partition(
         _pq.write_table(merged, os.path.join(d, f"merge-{pid:05d}.parquet"))
         written += merged.num_rows
     return written
+
+
+@ray.remote
+def _split_doclen_block(
+    tbl: pa.Table, bg_doc_base: np.ndarray, max_doc: int, n_bg: int
+):
+    """Range-partition one docs/ block's (doc_id, doclen) pairs by merge
+    bucket-group: one argsort on doc_id + n_bg zero-copy slices
+    (num_returns=n_bg — output bg feeds combine task bg directly, so the
+    exchange never routes through the driver)."""
+    ids = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    dls = tbl.column("doclen").to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    ids, dls = ids[order], dls[order]
+    edges = np.minimum(bg_doc_base[: n_bg + 1], max_doc + 1)
+    bounds = np.searchsorted(ids, edges)
+    out = [
+        (ids[bounds[i] : bounds[i + 1]], dls[bounds[i] : bounds[i + 1]])
+        for i in range(n_bg)
+    ]
+    return tuple(out) if n_bg > 1 else out[0]
+
+
+@ray.remote
+def _combine_doclen_slice(base: int, end: int, *parts) -> np.ndarray:
+    """Build one bucket-group's dense doclen slice from its per-block
+    partitions. The returned array lives in the object store under this
+    task's return ref — it IS the broadcast object the merge tasks
+    fetch, byte-identical to the driver-built ray.put slice."""
+    out = np.zeros(end - base, dtype=np.int64)
+    for ids, dls in parts:
+        out[ids - base] = dls
+    return out
 
 
 def _small_groupby(directory: str, columns: list[str], pandas_fn, ray_fn):
@@ -802,24 +846,57 @@ def _finish_from_fwd(
         # doclen state for block-max impacts, RANGE-SHARDED: one slice
         # per merge bucket-group, each its own broadcast object — a
         # merge task fetches only its doc range's slice (~1 GiB cap),
-        # never a dense max_doc+1 array. Slice construction is a
-        # columnar driver read here (doclens ≪ SMALL_AGG_BYTES in the
-        # sandbox); past that it becomes a Ray groupby(bgroup) pass
-        # over docs/ emitting the same per-range objects.
+        # never a dense max_doc+1 array on ANY worker. Construction is
+        # gated like every other metadata aggregate: a columnar driver
+        # read while the dense array AND the pruned columns fit
+        # SMALL_AGG_BYTES, else a split/combine Ray exchange over docs/
+        # blocks whose combine-task return refs ARE the broadcast
+        # objects (at 10^11-10^12 docs the dense array is 0.8-8 TB —
+        # it must never exist on the driver).
         max_doc = int(stats["max_doc"])
         w = int(stats["bucket_width"])
         n_buckets = max_doc // w + 1
         n_bg = min(cfg.resolved_merge_bucket_groups(max_doc), n_buckets)
         bg_bucket_bounds = np.linspace(0, n_buckets, n_bg + 1).astype(np.int64)
         bg_doc_base = bg_bucket_bounds * w  # doc-id base per bucket-group
-        dl_tbl = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
-        doclens = np.zeros(max_doc + 1, dtype=np.int64)
-        doclens[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column("doclen").to_numpy()
-        dl_refs = {
-            bg: ray.put(doclens[bg_doc_base[bg] : min(bg_doc_base[bg + 1], max_doc + 1)])
-            for bg in range(n_bg)
-        }
-        del doclens, dl_tbl
+        dl_distributed = cfg.doclen_slice_mode == "distributed" or (
+            cfg.doclen_slice_mode == "auto"
+            and (
+                (max_doc + 1) * 8 > SMALL_AGG_BYTES
+                or _projected_dir_bytes(docs_dir, ["doc_id", "doclen"])
+                > SMALL_AGG_BYTES
+            )
+        )
+        if not dl_distributed:
+            dl_tbl = pq.read_table(docs_dir, columns=["doc_id", "doclen"])
+            doclens = np.zeros(max_doc + 1, dtype=np.int64)
+            doclens[dl_tbl.column("doc_id").to_numpy()] = dl_tbl.column("doclen").to_numpy()
+            dl_refs = {
+                bg: ray.put(doclens[bg_doc_base[bg] : min(bg_doc_base[bg + 1], max_doc + 1)])
+                for bg in range(n_bg)
+            }
+            del doclens, dl_tbl
+        else:
+            dl_blocks = rd.read_parquet(
+                docs_dir, columns=["doc_id", "doclen"]
+            ).to_arrow_refs()
+            dl_split = [
+                _split_doclen_block.options(num_returns=n_bg).remote(
+                    r, bg_doc_base, max_doc, n_bg
+                )
+                for r in dl_blocks
+            ]
+            if n_bg == 1:  # options(num_returns=1) returns a bare ref
+                dl_split = [[r] for r in dl_split]
+            dl_refs = {
+                bg: _combine_doclen_slice.remote(
+                    int(bg_doc_base[bg]),
+                    int(min(bg_doc_base[bg + 1], max_doc + 1)),
+                    *[s[bg] for s in dl_split],
+                )
+                for bg in range(n_bg)
+            }
+            del dl_blocks, dl_split
         slice_bounds = stats.get("segment_slice_bounds")
         have_slices = bool(slice_bounds) and len(slice_bounds) > 2
         partials = rd.read_parquet(

@@ -211,3 +211,52 @@ def test_merge_exchange_parity(ray_session, tmp_path):
     eg = SearchEngine(str(tmp_path / "i_groupby"))
     for q in ("w1", "w2 w3", "w10 w11 w12", '"w5 w6"', "w1*"):
         assert ed.search(q, 10) == eg.search(q, 10), q
+
+
+def test_doclen_slice_parity(ray_session, tmp_path):
+    """The distributed split/combine doclen-slice construction (the
+    10^11-doc path: the driver never holds a dense max_doc+1 array,
+    only n_bg ObjectRefs) yields an index with identical search
+    behavior and stats to the driver columnar-read fast path, with
+    multiple merge bucket-groups so range slicing is exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from limetrans_ray.pipelines.build_index import IndexBuildConfig, build_index
+    from limetrans_ray.pipelines.search import SearchEngine
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(500):
+        n = int(rng.integers(5, 40))
+        words = " ".join(f"w{int(x)}" for x in rng.integers(0, 90, size=n))
+        rows.append(
+            (f"https://d.example/{i}", 1_000_000_000_000 + i,
+             f"<html><body><p>{words}</p></body></html>", words, "en")
+        )
+    urls, tss, htmls, texts, langs = zip(*rows)
+    f = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(tss, dtype=np.int64), pa.timestamp("us")),
+                "html": pa.array([h.encode() for h in htmls], pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        ),
+        f,
+    )
+    common = dict(bucket_width=64, merge_bucket_groups=4)
+    sd = build_index([f], str(tmp_path / "i_driver"),
+                     config=IndexBuildConfig(doclen_slice_mode="driver", **common))
+    sx = build_index([f], str(tmp_path / "i_dist"),
+                     config=IndexBuildConfig(doclen_slice_mode="distributed", **common))
+    assert sd["n_docs"] == sx["n_docs"]
+    assert sd["total_terms"] == sx["total_terms"]
+    ed = SearchEngine(str(tmp_path / "i_driver"))
+    ex = SearchEngine(str(tmp_path / "i_dist"))
+    for q in ("w1", "w2 w3", "w10 w11 w12", '"w5 w6"', "w1*"):
+        assert ed.search(q, 10) == ex.search(q, 10), q
