@@ -392,6 +392,14 @@ def _split_selector(path: str) -> tuple[str, str | None]:
     """Fix path → (field, subfield) in the flat-row model (rules in the
     module docstring)."""
     p = _ARRAY_MARKER_RX.sub("", path)
+    # "F.*.key" = key of EVERY element of array F (Dedup.java param
+    # "OnlineAccess[].*.uri", alma.fix:898) → (F, key); trailing ".*"
+    # = every element's value → (F, None)
+    if p.endswith(".*"):
+        return p[:-2], None
+    star = p.find(".*.")
+    if star >= 0:
+        return p[:star], p[star + 3:] or None
     # strip $append / $last / $first tails; "$last.key" keeps key
     for marker in ("$append", "$last", "$first"):
         tail = "." + marker
@@ -417,6 +425,14 @@ _VAR_RX = re.compile(r"\$\[([^\]]+)\]")
 _PRED_NAMES = {
     "exists", "any_match", "any_equal", "any_contain", "none_match",
     "none_equal", "none_contain", "all_match", "all_equal", "all_contain",
+    # structural / membership predicates the reference rule corpus uses
+    # (alma.fix:304,759,1092; macros.fix:10,55,219)
+    "is_empty", "is_array", "is_hash", "in",
+    # str_* compare their (var-substituted) string arguments directly —
+    # constant once $[vars] are bound, compiled to a const predicate
+    "str_equal", "str_contain", "str_match",
+    # reference custom predicate (MemberLocal.java:14-34; alma.fix:412)
+    "member_local",
 }
 
 # value transforms: (op name, required positional count beyond path)
@@ -433,6 +449,7 @@ class _Compiler:
         base_dir: str | None = None,
         maps: dict[str, dict] | None = None,
         max_include_depth: int = 16,
+        missing_maps: str = "error",
     ):
         self.vars = dict(vars or {})
         # caller-supplied vars win over file-level put_var defaults, the
@@ -443,7 +460,33 @@ class _Compiler:
         self.maps: dict[str, dict] = dict(maps or {})
         self.macros: dict[str, list] = {}
         self._include_stack: list[str] = []
+        self.root_dir = base_dir  # fixed at the main fix file's dir
         self.max_include_depth = max_include_depth
+        # missing_maps: "error" (default) raises on an unreadable
+        # put_filemap/put_rdfmap/put_lmdbmap source; "empty" registers
+        # an empty map and records a warning — the conformance-compile
+        # mode for rule corpora whose external map data (reference
+        # alma.fix:15-21 $[external-maps] TSVs + LMDBs) is not present
+        if missing_maps not in ("error", "empty"):
+            raise ValueError(f"missing_maps must be 'error' or 'empty', got {missing_maps!r}")
+        self.missing_maps = missing_maps
+        self.warnings: list[str] = []
+
+    def _load_map_guarded(self, mname: str, path: str, line: int, loader):
+        """Register map ``mname`` from ``loader()``; a missing/unreadable
+        source follows the ``missing_maps`` policy."""
+        try:
+            self.maps[mname] = loader()
+        except (FileNotFoundError, NotADirectoryError, IsADirectoryError) as e:
+            if self.missing_maps != "empty":
+                raise FixCompileError(
+                    f"line {line}: map source {path!r} for {mname!r} unreadable "
+                    f"({e}); pass missing_maps='empty' to compile without it"
+                ) from e
+            self.maps[mname] = {}
+            self.warnings.append(
+                f"line {line}: map {mname!r} source missing ({path}); registered empty"
+            )
 
     # -- variable substitution --------------------------------------
     def _sub(self, s: str, line: int) -> str:
@@ -461,12 +504,48 @@ class _Compiler:
         if name not in _PRED_NAMES:
             raise FixCompileError(f"line {line}: unsupported fix predicate {name!r}")
         args = [self._sub(a, line) for a in args]
+        if name.startswith("str_"):
+            # str_equal/str_contain/str_match compare STRINGS, not paths
+            # (metafacture-fix string predicates) — with $[vars] bound
+            # both sides are constants, so the branch condition is too
+            if len(args) < 2:
+                raise FixCompileError(f"line {line}: {name} needs two strings")
+            a, b = args[0], args[1]
+            if name == "str_equal":
+                truth = a == b
+            elif name == "str_contain":
+                truth = b in a
+            else:  # str_match — Java matches(): full match
+                truth = re.fullmatch(b, a) is not None
+            return ("const", {"value": truth})
+        if name == "in":
+            # in(path_a, path_b): some value of a equals some value of b
+            # (alma.fix:759,1032 holdings-id correlation)
+            if len(args) < 2:
+                raise FixCompileError(f"line {line}: in needs (path, path)")
+            fa, sa = self._resolve_path(args[0], loopvar, loop_sel, line)
+            fb, sb = self._resolve_path(args[1], loopvar, loop_sel, line)
+            kw = {"field": fa, "other_field": fb}
+            if sa is not None:
+                kw["subfield"] = sa
+            if sb is not None:
+                kw["other_subfield"] = sb
+            return ("in", kw)
         field, sub = self._resolve_path(args[0], loopvar, loop_sel, line)
         kw: dict = {"field": field}
         if sub is not None:
             kw["subfield"] = sub
-        if name == "exists":
-            pred = ("exists", kw)
+        if name == "member_local":
+            # MemberLocal.java:24-34: path.M absent, or any path.M value
+            # equals the job's $[member] var
+            if sub is not None:
+                raise FixCompileError(
+                    f"line {line}: member_local takes an entity path, not a subfield"
+                )
+            kw["member"] = str(self.vars.get("member", ""))
+            return ("member_local", kw)
+        if name in ("exists", "is_empty", "is_array", "is_hash"):
+            pred = (name, kw)
         elif name.endswith("_match"):
             if len(args) < 2:
                 raise FixCompileError(f"line {line}: {name} needs (path, pattern)")
@@ -487,6 +566,12 @@ class _Compiler:
             if path == loopvar:
                 return lf, ls
             suffix = path[len(loopvar) + 1:]
+            if suffix == "*":
+                # "$i.*" = every element of the loop value's array
+                # (macros.fix:56 remove-nonsort source: "$[source].*") —
+                # in the flat row model the loop selector already names
+                # all of its rows
+                return lf, ls
             if ls is not None:
                 raise FixCompileError(
                     f"line {line}: loop var {loopvar} is a value path; "
@@ -500,28 +585,47 @@ class _Compiler:
         return _split_selector(path)
 
     # -- includes / maps / macros --------------------------------------
-    def _do_include(self, path: str, line: int, ops_out: list, loopvar, loop_sel):
+    def _do_include(
+        self, path: str, line: int, ops_out: list, loopvar, loop_sel,
+        inc_vars: dict | None = None,
+    ):
         if self.base_dir is None:
             raise FixCompileError(f"line {line}: include() needs a base directory")
         full = os.path.normpath(os.path.join(self.base_dir, path))
+        if not os.path.exists(full) and self.root_dir not in (None, self.base_dir):
+            # the reference corpus writes nested includes relative to
+            # the MAIN fix file's directory (marc/person.fix:7 includes
+            # "./marc/_person.fix" from inside marc/) — fall back to the
+            # root when the file-relative candidate does not exist
+            root_full = os.path.normpath(os.path.join(self.root_dir, path))
+            if os.path.exists(root_full):
+                full = root_full
         if full in self._include_stack:
             raise FixCompileError(f"line {line}: include cycle via {full}")
         if len(self._include_stack) >= self.max_include_depth:
             raise FixCompileError(f"line {line}: include depth > {self.max_include_depth}")
         with open(full, encoding="utf-8") as fh:
             ast = parse_fix(fh.read())
-        old_base = self.base_dir
+        old_base, old_vars = self.base_dir, self.vars
         self._include_stack.append(full)
         self.base_dir = os.path.dirname(full)
+        if inc_vars:
+            self.vars = {**self.vars, **inc_vars}
         try:
             self._compile_body(ast, ops_out, loopvar, loop_sel)
         finally:
-            self.base_dir = old_base
+            self.base_dir, self.vars = old_base, old_vars
             self._include_stack.pop()
 
     def _resolve_map(self, name: str, line: int) -> dict:
         if name not in self.maps:
-            raise FixCompileError(f"line {line}: unknown lookup map {name!r}")
+            # Metafix resolves an undefined map name to an EMPTY map
+            # (Metafacture Maps.getMap default — reference rule files
+            # rely on it: macros/alma.fix:49 looks up
+            # alma-format-carrier-facet-$[start] for start values whose
+            # facet map was never declared, expecting delete-all)
+            self.warnings.append(f"line {line}: undefined lookup map {name!r}; empty")
+            return {}
         return self.maps[name]
 
     # -- command compilation -------------------------------------------
@@ -583,7 +687,11 @@ class _Compiler:
         if name == "put_macro":
             if not args:
                 raise FixCompileError(f"line {line}: put_macro needs a name")
-            self.macros[self._sub(args[0], line)] = body
+            # options on the put_macro head are the macro's DEFAULT
+            # parameters (reference macros.fix:204 do put_macro
+            # ("substring", length: "1")) — call_macro kwargs override
+            defaults = {k: self._sub(v, line) for k, v in kwargs.items()}
+            self.macros[self._sub(args[0], line)] = (defaults, body)
             return
         if name == "list":
             path = kwargs.get("path") or (args[0] if args else None)
@@ -614,31 +722,57 @@ class _Compiler:
             return kw
 
         if name == "include":
-            self._do_include(args[0], line, ops_out, loopvar, loop_sel)
+            # include() options are vars scoped to the included file
+            # (linkingEntries.fix:2-17 parameterized _linkingEntry.fix)
+            inc_vars = {k: self._sub(v, line) for k, v in kwargs.items()}
+            self._do_include(
+                args[0], line, ops_out, loopvar, loop_sel, inc_vars=inc_vars
+            )
         elif name == "put_map":
             mname, table = args[0], dict(kwargs)
             self.maps[mname] = table
         elif name == "put_filemap":
             path = os.path.join(self.base_dir or ".", args[0])
             mname = args[1] if len(args) > 1 else os.path.basename(args[0])
-            self.maps[mname] = load_filemap(
-                path,
-                sep_char=kwargs.get("sep_char", "\t"),
-                key_column=int(kwargs.get("key_column", 0)),
-                value_column=int(kwargs.get("value_column", 1)),
+            self._load_map_guarded(
+                mname, path, line,
+                lambda: load_filemap(
+                    path,
+                    sep_char=kwargs.get("sep_char", "\t"),
+                    key_column=int(kwargs.get("key_column", 0)),
+                    value_column=int(kwargs.get("value_column", 1)),
+                ),
             )
         elif name == "put_rdfmap":
             path = os.path.join(self.base_dir or ".", args[0])
             mname = args[1] if len(args) > 1 else os.path.basename(args[0])
-            self.maps[mname] = load_rdfmap(path, target=kwargs.get("target"))
+            self._load_map_guarded(
+                mname, path, line,
+                lambda: load_rdfmap(path, target=kwargs.get("target")),
+            )
+        elif name == "put_lmdbmap":
+            # the reference's LMDB-backed out-of-core map
+            # (PutLmdbMap.java:14-24, alma.fix:18-20); here the engine's
+            # own DiskMap directory format is the on-disk analogue —
+            # opened mmap-backed, consumed zero-copy by the lookup op
+            path = os.path.join(self.base_dir or ".", args[0])
+            mname = args[1] if len(args) > 1 else os.path.basename(args[0])
+
+            def _open_diskmap():
+                from ..state.diskmap import DiskMap
+
+                return DiskMap.open(path)
+
+            self._load_map_guarded(mname, path, line, _open_diskmap)
         elif name == "call_macro":
             mname = args[0]
             if mname not in self.macros:
                 raise FixCompileError(f"line {line}: unknown macro {mname!r}")
+            defaults, body = self.macros[mname]
             saved = self.vars
-            self.vars = {**self.vars, **kwargs}
+            self.vars = {**self.vars, **defaults, **kwargs}
             try:
-                self._compile_body(self.macros[mname], ops_out, loopvar, loop_sel)
+                self._compile_body(body, ops_out, loopvar, loop_sel)
             finally:
                 self.vars = saved
         elif name == "copy_field" or name == "move_field":
@@ -654,6 +788,31 @@ class _Compiler:
             ops_out.append(("add_field", kw))
         elif name == "remove_field":
             ops_out.append(("remove_field", path_kw(args[0])))
+        elif name == "standard_number":
+            # StandardNumber.java:57-66: normalize the number read from
+            # `source` (default: the entity's identifier{Type} field)
+            # into preferred{Type} / variant{Type}[] of the entity at
+            # aParams[1] (alma.fix:495,530,812)
+            if len(args) < 2:
+                raise FixCompileError(
+                    f"line {line}: standard_number needs (type, entity_path)"
+                )
+            ntype = args[0].upper()
+            ent_f, _ent_s = self._resolve_path(args[1], loopvar, loop_sel, line)
+            kw = {"type": ntype, "field": ent_f}
+            src = kwargs.get("source")
+            if src is not None:
+                # a trailing ".N" element index selects the N-th value
+                # of the source array within each entity
+                m = re.search(r"\.(\d+)$", src)
+                if m:
+                    kw["source_idx"] = int(m.group(1))
+                    src = src[: m.start()]
+                sf, ss = self._resolve_path(src, loopvar, loop_sel, line)
+                kw["source_field"] = sf
+                if ss is not None:
+                    kw["source_sub"] = ss
+            ops_out.append(("standard_number", kw))
         elif name == "replace_all":
             kw = path_kw(args[0])
             kw["pattern"], kw["replacement"] = args[1], args[2]
@@ -684,8 +843,16 @@ class _Compiler:
             if "join_char" in kwargs:
                 kw["join_char"] = kwargs["join_char"]
             ops_out.append(("paste", kw))
-        elif name == "uniq":
+        elif name == "uniq" or name == "dedup":
+            # reference dedup(path) (Dedup.java:20-24) keeps the first
+            # occurrence of each value at the path within a record —
+            # the uniq record op with a subfield-scoped selector
             ops_out.append(("uniq", path_kw(args[0])))
+        elif name == "flatten":
+            # Metafix flatten() collapses nested arrays (alma.fix:935
+            # after split_field); the flat row model stores split parts
+            # as sibling rows already, so flatten is a structural no-op
+            pass
         elif name == "retain":
             fields = [self._resolve_path(a, loopvar, loop_sel, line)[0] for a in args]
             ops_out.append(("retain", {"fields": fields, "prefix": True}))
@@ -775,6 +942,55 @@ class _Compiler:
             # loaders): entries: "A,B", source: SUBFIELD (or
             # record_source/record_source_sub), suffix:, keys: MAP,
             # skip: MAP?
+            if not args and not kwargs:
+                # the reference's argless form (alma.fix:1299): the
+                # built-in Link configuration (VerifyLinks.java:36-93) —
+                # ID/ISBN/ISSN over the linking entries, plus the super
+                # link. Key/skip sets come from registered maps named
+                # verify-{id,isbn,issn,superid} / verify-skip{...} (the
+                # engine's analogue of setup()'s {isil-path}.{key}.bgzf
+                # files); a link whose key map is unregistered/empty is
+                # skipped entirely, like a missing non-required set file
+                linking_entries = [
+                    "AdditionalPhysicalFormEntry", "ConstituentUnitEntry",
+                    "DataSourceEntry", "HostItemEntry", "IssuedWithEntry",
+                    "MainSeriesEntry", "NonspecificRelationshipEntry",
+                    "OriginalLanguageEntry", "OtherEditionEntry",
+                    "PrecedingEntry", "SubSeriesEntry", "SucceedingEntry",
+                    "SupplementParentEntry", "SupplementSpecialIssueEntry",
+                    "TranslationEntry",
+                ]
+                builtin = [
+                    ("id", "identifierForLinkingEntry",
+                     "IdentifierForLinkingEntry", linking_entries),
+                    ("isbn", "preferredISBN", "PreferredISBN", linking_entries),
+                    ("issn", "preferredISSN", "PreferredISSN", linking_entries),
+                ]
+                for key, source, suffix, entries in builtin:
+                    keys = self.maps.get(f"verify-{key}")
+                    if not keys:
+                        continue
+                    kw = {
+                        "entries": list(entries), "suffix": suffix,
+                        "source": source, "keys": set(keys),
+                    }
+                    skip = self.maps.get(f"verify-skip{key}")
+                    if skip:
+                        kw["skip"] = set(skip)
+                    ops_out.append(("verify_links", kw))
+                super_keys = self.maps.get("verify-superid")
+                if super_keys:
+                    ops_out.append((
+                        "verify_links",
+                        {
+                            "entries": ["RecordIdentifier"],
+                            "suffix": "SuperIdentifier",
+                            "record_source": "xbib",
+                            "record_source_sub": "uid",
+                            "keys": set(super_keys),
+                        },
+                    ))
+                return
             if "entries" not in kwargs or "suffix" not in kwargs:
                 raise FixCompileError(
                     f"line {line}: verify_links needs entries: and suffix:"
@@ -816,12 +1032,21 @@ def compile_fix(
     vars: dict[str, str] | None = None,
     base_dir: str | None = None,
     maps: dict[str, dict] | None = None,
+    missing_maps: str = "error",
+    warnings: list | None = None,
 ) -> list[tuple[str, dict]]:
     """Fix text → RecordOps op-list (ready for
-    :class:`~limetrans_ray.functions.recordops.RecordOps`)."""
-    comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps)
+    :class:`~limetrans_ray.functions.recordops.RecordOps`).
+
+    ``missing_maps="empty"`` compiles programs whose external map data
+    is absent (each unreadable put_filemap/put_rdfmap/put_lmdbmap
+    source registers an empty map); pass a list as ``warnings`` to
+    collect one entry per substituted map."""
+    comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps, missing_maps=missing_maps)
     ops: list = []
     comp._compile_body(parse_fix(text), ops)
+    if warnings is not None:
+        warnings.extend(comp.warnings)
     return ops
 
 
@@ -830,10 +1055,13 @@ def load_fix_file(
     *,
     vars: dict[str, str] | None = None,
     maps: dict[str, dict] | None = None,
+    missing_maps: str = "error",
+    warnings: list | None = None,
 ) -> list[tuple[str, dict]]:
     """Read + compile a ``.fix`` file; includes resolve relative to it."""
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     return compile_fix(
-        text, vars=vars, base_dir=os.path.dirname(os.path.abspath(path)), maps=maps
+        text, vars=vars, base_dir=os.path.dirname(os.path.abspath(path)), maps=maps,
+        missing_maps=missing_maps, warnings=warnings,
     )

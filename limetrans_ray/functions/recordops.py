@@ -122,7 +122,7 @@ _KNOWN = {
     "prepend", "append", "substring", "trim", "upcase", "downcase",
     "drop_local", "drop_repeated", "if_member_local",
     "if", "reject", "do_list_elements", "verify_links",
-    "join_field", "split_field", "filter_values",
+    "join_field", "split_field", "filter_values", "standard_number",
 }
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
@@ -135,6 +135,16 @@ _PREDICATES = {
     "exists", "any_match", "any_equal", "any_contain", "none_match",
     "none_equal", "none_contain", "all_match", "all_equal", "all_contain",
     "not",
+    # structural/membership (reference alma.fix:304,759,1092 via fixparser):
+    # is_empty  — no non-empty value at the path (absent field qualifies)
+    # is_array  — the path is repeated (>1 row; KNOWN DEVIATION: the flat
+    #             row model cannot see a 1-element array as an array)
+    # is_hash   — some row of the path carries a subfield
+    # in        — some value of the path equals some value of other path
+    # const     — compile-time-constant truth (str_equal on bound vars)
+    # member_local — MemberLocal.java:24-34: field.M absent or any
+    #                field.M equals the member code
+    "is_empty", "is_array", "is_hash", "in", "const", "member_local",
 }
 
 # DropLocal.java:23-25: LOCAL literal or [A-Z]:[0-9]+[a-z]? (full match)
@@ -193,6 +203,32 @@ def _pred_ids(df: pd.DataFrame, pred: tuple[str, dict]) -> set:
     all_ids = set(df["record_id"].unique())
     if name == "not":
         return all_ids - _pred_ids(df, kw["pred"])
+    if name == "const":
+        return all_ids if kw["value"] else set()
+    if name == "is_empty":
+        sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+        nonempty = sel & df["value"].fillna("").ne("")
+        return all_ids - set(df.loc[nonempty, "record_id"])
+    if name == "is_array":
+        sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+        counts = df.loc[sel].groupby("record_id", sort=False).size()
+        return set(counts.index[counts > 1])
+    if name == "is_hash":
+        sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+        hashy = sel & df["subfield"].fillna("").ne("")
+        return set(df.loc[hashy, "record_id"])
+    if name == "in":
+        sel_a = _sel_mask(df, kw["field"], kw.get("subfield"))
+        sel_b = _sel_mask(df, kw["other_field"], kw.get("other_subfield"))
+        a = df.loc[sel_a, ["record_id", "value"]]
+        b = df.loc[sel_b, ["record_id", "value"]]
+        hit = a.merge(b, on=["record_id", "value"])
+        return set(hit["record_id"])
+    if name == "member_local":
+        m_rows = df[_sel_mask(df, kw["field"], "M")]
+        has_m = set(m_rows["record_id"])
+        m_eq = set(m_rows.loc[m_rows["value"] == str(kw["member"]), "record_id"])
+        return (all_ids - has_m) | m_eq
     if name.startswith("none_"):
         return all_ids - _pred_ids(df, ("any_" + name[5:], kw))
     if name.startswith("all_"):
@@ -494,9 +530,30 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
         elif name == "parse_text":
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             groups = df.loc[sel, "value"].str.extract(kw["pattern"])
+            named = [c for c in groups.columns if isinstance(c, str)]
+            if not named:
+                # no named groups: Metafix ParseText yields an ARRAY of
+                # the plain captures — matched rows' values are replaced
+                # by their group captures in place (macros/alma.fix:24
+                # parse_text("@alma-mms-to-isil", ".*(.{4})$"))
+                matched = groups.notna().any(axis=1)
+                keep_frames = [df[~sel]]
+                unmatched_idx = groups.index[~matched]
+                if len(unmatched_idx):
+                    keep_frames.append(df.loc[unmatched_idx])
+                for gcol in groups.columns:
+                    hit = groups.loc[matched, gcol].dropna()
+                    if len(hit):
+                        repl = df.loc[hit.index].copy()
+                        repl["value"] = hit.to_numpy()
+                        repl["occurrence"] = int(gcol)
+                        keep_frames.append(repl)
+                df = pd.concat(keep_frames, ignore_index=True)
+                df = df.reset_index(drop=True)
+                continue
             # only NAMED groups become fields (unnamed ones are grouping
             # aids and surface as integer columns from str.extract)
-            groups = groups[[c for c in groups.columns if isinstance(c, str)]]
+            groups = groups[named]
             # a row matched if any named group captured (optional groups
             # may legitimately be empty on a match)
             matched = groups.notna().any(axis=1)
@@ -689,6 +746,44 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                     )
             if new_frames:
                 df = pd.concat([df, *new_frames], ignore_index=True)
+        elif name == "standard_number":
+            # StandardNumber.java:57-66 + put() 96-110: read the raw
+            # number from the source path (default: the entity's
+            # identifier{Type} subfield), normalize, write
+            # preferred{Type} and variant{Type} rows into the entity
+            # field at the source row's occurrence (entity alignment)
+            from .standardnum import standard_number as _stdnum
+
+            t = kw["type"]
+            src_f = kw.get("source_field", kw["field"])
+            src_s = kw.get("source_sub", f"identifier{t}")
+            sel = _sel_mask(df, src_f, src_s)
+            src = df[sel]
+            if "source_idx" in kw:
+                src = src[src["occurrence"] == kw["source_idx"]]
+            new_rows = []
+            for _, r in src.iterrows():
+                norm = _stdnum(str(r["value"]), t)
+                if norm is None:
+                    continue
+                base = {
+                    "record_id": r["record_id"], "field": kw["field"],
+                    "occurrence": r["occurrence"],
+                }
+                if norm.get("preferred") is not None:
+                    new_rows.append(
+                        {**base, "subfield": f"preferred{t}",
+                         "value": norm["preferred"]}
+                    )
+                for v in norm.get("variants", ()):  # nulls/raw filtered
+                    new_rows.append(
+                        {**base, "subfield": f"variant{t}", "value": v}
+                    )
+            if new_rows:
+                df = pd.concat(
+                    [df, pd.DataFrame(new_rows)[df.columns.tolist()]],
+                    ignore_index=True,
+                )
         elif name == "if_member_local":
             # MemberLocal.java:24-34: predicate true when field.M is
             # absent, or any field.M value equals the member code
@@ -768,10 +863,11 @@ class RecordOps:
                         "filter_values"):
                 re.compile(kw["pattern"])  # fail fast at build time
             elif name == "parse_text":
-                if not re.compile(kw["pattern"]).groupindex:
+                if not re.compile(kw["pattern"]).groups:
                     raise ValueError(
-                        "parse_text pattern needs named groups "
-                        "(?P<field>...) — group names become fields"
+                        "parse_text pattern needs capture groups — named "
+                        "(?P<field>...) become fields, plain groups "
+                        "replace the value as an array of captures"
                     )
             elif name in ("do_list", "if_member_local", "do_list_elements"):
                 cls._validate(kw["ops"])

@@ -141,8 +141,15 @@ def test_compile_vars_and_undefined_var():
 def test_compile_unknown_command_and_map():
     with pytest.raises(FixCompileError):
         compile_fix('frobnicate("x")')
-    with pytest.raises(FixCompileError):
-        compile_fix('lookup("f", "no-such-map")')
+    # Metafix resolves an undefined map to an EMPTY map (Metafacture
+    # Maps.getMap default) rather than erroring — a lookup against it
+    # with delete:"true" removes every value; warnings record it
+    warnings = []
+    ops = compile_fix(
+        'lookup("f", "no-such-map", delete: "true")', warnings=warnings
+    )
+    assert ops[0][0] == "lookup" and ops[0][1]["table"] == {}
+    assert any("no-such-map" in w for w in warnings)
 
 
 def test_put_map_and_lookup_roundtrip():

@@ -214,9 +214,25 @@ def test_parse_text_named_groups():
     assert m[("r3", "@linkage", None, 0)] == "not a linkage"
 
 
-def test_parse_text_requires_named_groups():
-    with pytest.raises(ValueError, match="named groups"):
-        RecordOps([("parse_text", {"field": "x", "pattern": r"(\d+)"})])
+def test_parse_text_requires_capture_groups():
+    with pytest.raises(ValueError, match="capture groups"):
+        RecordOps([("parse_text", {"field": "x", "pattern": r"\d+"})])
+
+
+def test_parse_text_plain_groups_replace_value():
+    # Metafix ParseText without named groups: the value becomes the
+    # array of plain captures (macros/alma.fix:24 last-4-chars idiom)
+    out = apply_ops(
+        _rows(
+            ("r1", "x", None, 0, "990012345670006449"),
+            ("r2", "x", None, 0, "abc"),  # no match → row kept as-is
+        ),
+        [("parse_text", {"field": "x", "pattern": r".*(.{4})$"})],
+    )
+    assert _as_map(out) == {
+        ("r1", "x", None, 0): "6449",
+        ("r2", "x", None, 0): "abc",
+    }
 
 
 def test_do_list_scopes_sub_program():
