@@ -123,6 +123,13 @@ _KNOWN = {
     "drop_local", "drop_repeated", "if_member_local",
     "if", "reject", "do_list_elements", "verify_links",
     "join_field", "split_field", "filter_values", "standard_number",
+    # Metamorph-vocabulary ops (functions/morphparser.py):
+    # switch_name_value — swap field ↔ value on the selected rows
+    #   (Metamorph <switch-name-value/>)
+    # regexp_match — Metamorph <regexp match [format]>: rows whose value
+    #   has NO match are dropped from the stream; matching rows' value
+    #   becomes the match (or the format with ${n} group substitution)
+    "switch_name_value", "regexp_match",
 }
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
@@ -156,7 +163,10 @@ def _sel_mask(df: pd.DataFrame, field: str, subfield=None) -> pd.Series:
     the field name is a single-character wildcard (the Metafix path
     convention for MARC indicators, e.g. ``348??`` — reference
     alma.fix:43); subfield ``None`` selects every subfield."""
-    if "?" in field:
+    if field == "*":
+        # match-all selector (Metamorph <data source="*">, Metafix "*")
+        m = pd.Series(True, index=df.index)
+    elif "?" in field:
         rx = "".join("." if c == "?" else re.escape(c) for c in field)
         m = df["field"].str.fullmatch(rx, na=False)
     else:
@@ -746,6 +756,31 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                     )
             if new_frames:
                 df = pd.concat([df, *new_frames], ignore_index=True)
+        elif name == "switch_name_value":
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            f = df.loc[sel, "field"].copy()
+            df.loc[sel, "field"] = df.loc[sel, "value"]
+            df.loc[sel, "value"] = f
+        elif name == "regexp_match":
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            rx = re.compile(kw["pattern"])
+            fmt = kw.get("format")
+
+            def _m(v):
+                m = rx.search(str(v))
+                if m is None:
+                    return None
+                if fmt is None:
+                    return m.group()
+                return re.sub(
+                    r"\$\{(\d+)\}", lambda g: m.group(int(g.group(1))) or "",
+                    fmt,
+                )
+
+            matched = df.loc[sel, "value"].map(_m)
+            drop = sel & matched.isna().reindex(df.index, fill_value=False)
+            df.loc[sel, "value"] = matched
+            df = df[~drop]
         elif name == "standard_number":
             # StandardNumber.java:57-66 + put() 96-110: read the raw
             # number from the source path (default: the entity's
@@ -834,6 +869,9 @@ class RecordOps:
         "verify_links": ("entries", "suffix", "keys"),
         "join_field": ("field",), "split_field": ("field", "pattern"),
         "filter_values": ("field", "pattern"),
+        "switch_name_value": ("field",),
+        "regexp_match": ("field", "pattern"),
+        "standard_number": ("type", "field"),
     }
 
     @classmethod

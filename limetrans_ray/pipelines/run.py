@@ -194,14 +194,21 @@ def run_settings(
     tr = settings.get("transformation") or {}
     fix = tr.get("fix")
     if tr.get("fix-file"):
-        # a Metafix ``.fix`` program file — the reference's native
-        # transformation artifact (Limetrans.java:155-189 engine
-        # selection); compiled once here, broadcast as the op-list
+        # a transformation program file — the reference's native
+        # artifact, with its engine selected by extension exactly like
+        # Limetrans.java:155-189 (.fix → Metafix text parser, .xml →
+        # Metamorph rule loader); compiled once here, broadcast as the
+        # op-list
         if fix:
             raise ValueError("transformation: give fix OR fix-file, not both")
-        from ..functions.fixparser import load_fix_file
+        if str(tr["fix-file"]).endswith(".xml"):
+            from ..functions.morphparser import load_morph
 
-        fix = load_fix_file(tr["fix-file"], vars=tr.get("vars"))
+            fix = load_morph(tr["fix-file"], vars=tr.get("vars"))
+        else:
+            from ..functions.fixparser import load_fix_file
+
+            fix = load_fix_file(tr["fix-file"], vars=tr.get("vars"))
     out_cfg = settings.get("output") or {}
     if len(out_cfg) != 1:
         raise ValueError(

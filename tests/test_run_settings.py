@@ -205,6 +205,38 @@ def test_fix_file_transformation(ray_session, tmp_path, jsonl_dir):
     ]
 
 
+def test_metamorph_xml_transformation(ray_session, tmp_path, jsonl_dir):
+    """A Metamorph .xml rule file as the transformation — the engine
+    selection the reference keys on the rules file's extension
+    (Limetrans.java:155-189): same settings surface, morphparser loads
+    it onto the same RecordOps program."""
+    xml_path = tmp_path / "prog.xml"
+    xml_path.write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+        <metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
+          <map name="langs">
+            <entry name="de" value="German"/>
+            <entry name="en" value="English"/>
+          </map>
+          <rules>
+            <data source="lang">
+              <lookup in="langs" default="Other"/>
+            </data>
+            <data source="title"/>
+          </rules>
+        </metamorph>"""
+    )
+    out = str(tmp_path / "out_xml.jsonl")
+    settings = _settings(jsonl_dir, {"jsonl": out})
+    settings["transformation"] = {"fix-file": str(xml_path)}
+    summary = run_settings(settings)
+    assert summary["records"] == 3
+    recs = [json.loads(line) for line in open(out)]
+    assert sorted((r["lang"], r["title"]) for r in recs) == [
+        ("English", "Payment"), ("German", "Der Holzbau"), ("Other", "Unknown"),
+    ]
+
+
 def test_fix_and_fix_file_mutually_exclusive(ray_session, tmp_path, jsonl_dir):
     settings = _settings(jsonl_dir, {"jsonl": str(tmp_path / "x.jsonl")})
     settings["transformation"]["fix-file"] = str(tmp_path / "nope.fix")
