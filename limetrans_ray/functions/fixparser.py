@@ -549,7 +549,7 @@ class _Compiler:
         elif name.endswith("_match"):
             if len(args) < 2:
                 raise FixCompileError(f"line {line}: {name} needs (path, pattern)")
-            kw["pattern"] = args[1]
+            kw["pattern"] = _java_regex_to_python(args[1])
             pred = (name, kw)
         else:  # any/none/all _equal / _contain
             if len(args) < 2:
@@ -815,7 +815,8 @@ class _Compiler:
             ops_out.append(("standard_number", kw))
         elif name == "replace_all":
             kw = path_kw(args[0])
-            kw["pattern"], kw["replacement"] = args[1], args[2]
+            kw["pattern"] = _java_regex_to_python(args[1])
+            kw["replacement"] = _java_replacement_to_python(args[2])
             ops_out.append(("replace_all", kw))
         elif name == "lookup":
             kw = path_kw(args[0])
@@ -874,7 +875,7 @@ class _Compiler:
             # materializes when $last.* rows are written
         elif name == "parse_text":
             kw = path_kw(args[0])
-            kw["pattern"] = _java_groups_to_python(args[1])
+            kw["pattern"] = _java_regex_to_python(args[1])
             ops_out.append(("parse_text", kw))
         elif name in ("prepend", "append"):
             kw = path_kw(args[0])
@@ -900,13 +901,13 @@ class _Compiler:
                     f"line {line}: split_field needs (path, regexp)"
                 )
             kw = path_kw(args[0])
-            kw["pattern"] = args[1]
+            kw["pattern"] = _java_regex_to_python(args[1])
             ops_out.append(("split_field", kw))
         elif name == "filter":
             if len(args) < 2:
                 raise FixCompileError(f"line {line}: filter needs (path, regexp)")
             kw = path_kw(args[0])
-            kw["pattern"] = args[1]
+            kw["pattern"] = _java_regex_to_python(args[1])
             if str(kwargs.get("invert", "")).lower() == "true":
                 kw["invert"] = True
             ops_out.append(("filter_values", kw))
@@ -1024,6 +1025,105 @@ def _java_groups_to_python(pattern: str) -> str:
     """Java named groups ``(?<name>...)`` → Python ``(?P<name>...)``
     (parse_text patterns in fix files use the Java form)."""
     return re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+
+
+# Java \p{...} POSIX / java.lang.Character classes → ASCII char sets
+# (java.util.regex.Pattern "POSIX character classes (US-ASCII only)").
+# Values are the BODY of a character class; wrapped in [...] (or
+# [^...] for \P) outside one, spliced bare inside one.
+_JAVA_POSIX_CLASSES = {
+    "Upper": "A-Z",
+    "Lower": "a-z",
+    "Alpha": "A-Za-z",
+    "Digit": "0-9",
+    "Alnum": "A-Za-z0-9",
+    "Punct": re.escape("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"),
+    "Space": " \\t\\n\\x0b\\f\\r",
+    "Blank": " \\t",
+    "XDigit": "0-9A-Fa-f",
+}
+
+
+def _java_regex_to_python(pattern: str) -> str:
+    """Translate the Java regex dialect fix rules carry to Python
+    ``re``: named groups ``(?<n>...)`` → ``(?P<n>...)`` and POSIX
+    classes ``\\p{Upper}`` → ``[A-Z]`` (``A-Z`` when already inside a
+    character class; ``\\P{...}`` negated). Classes Python has natively
+    (``\\d``, ``\\w``, lookarounds, inline flags) pass through; unknown
+    ``\\p{...}`` names are left verbatim so the error surfaces at the
+    runtime compile with the original spelling (macros.fix:74,
+    marc/_person.fix:4 use ``\\p{Upper}``)."""
+    pattern = _java_groups_to_python(pattern)
+    if "\\p{" not in pattern and "\\P{" not in pattern:
+        return pattern
+    out: list[str] = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if nxt in "pP" and i + 2 < len(pattern) and pattern[i + 2] == "{":
+                end = pattern.find("}", i + 3)
+                name = pattern[i + 3:end] if end > 0 else ""
+                body = _JAVA_POSIX_CLASSES.get(name)
+                if body is not None:
+                    neg = nxt == "P"
+                    if in_class:
+                        # a negated class inside [...] has no splice
+                        # form; keep verbatim (not used in the corpus)
+                        out.append(pattern[i:end + 1] if neg else body)
+                    else:
+                        out.append(("[^" if neg else "[") + body + "]")
+                    i = end + 1
+                    continue
+            out.append(pattern[i:i + 2])
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+        elif c == "]" and in_class:
+            in_class = False
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _java_replacement_to_python(repl: str) -> str:
+    """Java ``Matcher.replaceAll`` replacement → Python ``re.sub``
+    replacement: ``$1`` → ``\\g<1>``, ``${name}`` → ``\\g<name>``,
+    ``\\$`` → literal ``$``, ``\\x`` → literal x (backslash-escaped for
+    Python where needed). alma.fix:205-208, macros.fix:64,98 use
+    ``$n`` group references."""
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "\\" and i + 1 < len(repl):
+            # Java: backslash makes the next char literal; in a Python
+            # repl only a backslash itself needs re-escaping
+            nxt = repl[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)
+            i += 2
+            continue
+        if c == "$" and i + 1 < len(repl):
+            nxt = repl[i + 1]
+            if nxt.isdigit():
+                j = i + 1
+                while j < len(repl) and repl[j].isdigit():
+                    j += 1
+                out.append(f"\\g<{repl[i + 1:j]}>")
+                i = j
+                continue
+            if nxt == "{":
+                end = repl.find("}", i + 2)
+                if end > 0:
+                    out.append(f"\\g<{repl[i + 2:end]}>")
+                    i = end + 1
+                    continue
+        out.append("\\\\" if c == "\\" else c)
+        i += 1
+    return "".join(out)
 
 
 def compile_fix(

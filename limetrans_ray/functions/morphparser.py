@@ -49,6 +49,8 @@ from __future__ import annotations
 import os
 import xml.etree.ElementTree as ET
 
+from .fixparser import _java_regex_to_python, _java_replacement_to_python
+
 __all__ = ["MorphCompileError", "compile_morph", "load_morph"]
 
 _NS = "{http://www.culturegraph.org/metamorph}"
@@ -248,14 +250,20 @@ class _MorphCompiler:
             elif tt == "replace":
                 inner.append(
                     ("replace_all", tkw({
-                        "pattern": self._sub(tr.get("pattern")),
-                        "replacement": _java_refs(
+                        "pattern": _java_regex_to_python(
+                            self._sub(tr.get("pattern"))
+                        ),
+                        "replacement": _java_replacement_to_python(
                             self._sub(tr.get("with", ""))
                         ),
                     }))
                 )
             elif tt == "regexp":
-                kw = tkw({"pattern": self._sub(tr.get("match"))})
+                kw = tkw({
+                    "pattern": _java_regex_to_python(
+                        self._sub(tr.get("match"))
+                    )
+                })
                 if tr.get("format") is not None:
                     kw["format"] = self._sub(tr.get("format"))
                 inner.append(("regexp_match", kw))
@@ -340,7 +348,11 @@ class _MorphCompiler:
         if tt == "regexp":
             # Metamorph condition regexp uses find(); the predicate
             # families use Java matches() — wrap for find semantics
-            kw["pattern"] = ".*" + self._sub(tests[0].get("match")) + ".*"
+            kw["pattern"] = (
+                ".*"
+                + _java_regex_to_python(self._sub(tests[0].get("match")))
+                + ".*"
+            )
             return (f"{quant}_match", kw)
         raise MorphCompileError(f"unsupported condition test <{tt}>")
 
@@ -352,11 +364,6 @@ def _anchored(s: str) -> str:
     return r"\A" + _re.escape(s) + r"\Z"
 
 
-def _java_refs(repl: str) -> str:
-    """Java-style group references ``$1`` → Python ``\\1``."""
-    import re as _re
-
-    return _re.sub(r"\$(\d+)", r"\\\1", repl)
 
 
 def compile_morph(

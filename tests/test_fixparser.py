@@ -660,3 +660,67 @@ def test_all_match_and_none_contain():
     assert _pred_records(
         'if none_contain("lang", "e")\n  add_field("hit", "y")\nend'
     ) == ["r3"]  # both de and en contain "e"
+
+
+# ----------------------------------------- Java regex dialect translation
+
+
+def test_java_posix_class_in_lookbehind():
+    # macros.fix:74 / marc/_person.fix:4: strip a trailing period only
+    # when it does not follow an uppercase letter (initials survive)
+    out = apply_ops(
+        rows(
+            ("r1", "t", None, 0, "Paris."),
+            ("r2", "t", None, 0, "Mueller, T."),
+            ("r3", "t", None, 0, "Bonn,"),
+        ),
+        compile_fix(
+            'replace_all("t", "(?<!\\\\p{Upper})[.]$|[,]$", "")'
+        ),
+    )
+    assert got(out) == [
+        ("r1", "t", "", 0, "Paris"),
+        ("r2", "t", "", 0, "Mueller, T."),
+        ("r3", "t", "", 0, "Bonn"),
+    ]
+
+
+def test_java_dollar_group_replacement():
+    # alma.fix:205: (DE-836)<7 digits>-49hbz_fhm → (DE-836)ocm0$1
+    out = apply_ops(
+        rows(("r1", "id", None, 0, "(DE-836)1234567-49hbz_fhm")),
+        compile_fix(
+            'replace_all("id", "^\\\\(DE-836\\\\)(\\\\d{7})-49hbz_fhm$",'
+            ' "(DE-836)ocm0$1")'
+        ),
+    )
+    assert got(out) == [("r1", "id", "", 0, "(DE-836)ocm01234567")]
+
+
+def test_java_posix_class_inside_char_class_and_predicates():
+    from limetrans_ray.functions.fixparser import _java_regex_to_python
+
+    assert _java_regex_to_python(r"[\p{Alpha}0-9]+") == "[A-Za-z0-9]+"
+    assert _java_regex_to_python(r"\p{Digit}{3}") == "[0-9]{3}"
+    assert _java_regex_to_python(r"\P{Alnum}") == "[^A-Za-z0-9]"
+    # unknown names pass through so the error keeps the Java spelling
+    assert _java_regex_to_python(r"\p{IsGreek}") == r"\p{IsGreek}"
+    # *_match predicates route through the translator too
+    out = apply_ops(
+        rows(
+            ("r1", "v", None, 0, "ABC"),
+            ("r2", "v", None, 0, "abc"),
+        ),
+        compile_fix(
+            'if all_match("v", "\\\\p{Upper}+")\n  add_field("hit", "y")\nend'
+        ),
+    )
+    assert sorted(out.loc[out["field"] == "hit", "record_id"]) == ["r1"]
+
+
+def test_java_replacement_escapes():
+    from limetrans_ray.functions.fixparser import _java_replacement_to_python
+
+    assert _java_replacement_to_python(r"a$1b${2}c") == r"a\g<1>b\g<2>c"
+    assert _java_replacement_to_python(r"\$1") == "$1"  # escaped dollar
+    assert _java_replacement_to_python("\\\\x") == "\\\\x"  # literal backslash
