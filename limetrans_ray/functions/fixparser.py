@@ -400,20 +400,35 @@ def _split_selector(path: str) -> tuple[str, str | None]:
     star = p.find(".*.")
     if star >= 0:
         return p[:star], p[star + 3:] or None
-    # strip $append / $last / $first tails; "$last.key" keeps key
-    for marker in ("$append", "$last", "$first"):
-        tail = "." + marker
-        if p.endswith(tail):
-            return p[: -len(tail)], None
-        mid = tail + "."
-        idx = p.find(mid)
-        if idx >= 0:
-            key = p[idx + len(mid):]
-            return p[:idx], key or None
-    # single-character trailing component = MARC subfield code
+    # strip EVERY $append / $last / $first marker segment (deep entity
+    # paths chain them: "IdentifierISBN[].$last.identifierISBN[].$append",
+    # reference marc/identifierISBN.fix:7); what remains of a marked
+    # path is (field, key-after-the-first-marker)
+    segs = p.split(".")
+    kept = [s for s in segs if s not in ("$append", "$last", "$first")]
+    if len(kept) != len(segs):
+        first = next(
+            i for i, s in enumerate(segs)
+            if s in ("$append", "$last", "$first")
+        )
+        field = ".".join(segs[:first])
+        key = ".".join(s for s in segs[first:] if not s.startswith("$"))
+        # a trailing numeric segment is a 1-based element index
+        # (alma.fix:812 "...identifierISBN[].1") — the flat model reads
+        # first-occurrence values, so the index collapses into the key
+        if key and "." in key:
+            head, _, last = key.rpartition(".")
+            if last.isdigit():
+                key = head
+        elif key.isdigit():
+            key = ""
+        return field, key or None
+    # single-character trailing component = MARC subfield code; a
+    # bracketed class selects several codes ("$i.[abcdehnpqs]",
+    # alma.fix:811)
     if "." in p:
         head, _, last = p.rpartition(".")
-        if len(last) == 1:
+        if len(last) == 1 or (last.startswith("[") and last.endswith("]")):
             return head, last
     return p, None
 
@@ -471,6 +486,27 @@ class _Compiler:
             raise ValueError(f"missing_maps must be 'error' or 'empty', got {missing_maps!r}")
         self.missing_maps = missing_maps
         self.warnings: list[str] = []
+        # array-shape hints harvested from []-marked path arguments —
+        # the JSON sink needs them to emit Metafix's array containers
+        # ("Edition.edition[]" serializes as {"Edition":{"edition":[..]}}
+        # even with one element) which the flat-row model cannot carry
+        self.shapes: dict[str, set] = {
+            "array_fields": set(),
+            "array_subs": set(),
+        }
+
+    def _note_shape(self, path: str, field: str, sub) -> None:
+        if "[]" not in path:
+            return
+        segs = path.split(".")
+        fsegs = field.split(".")
+        if (
+            len(segs) >= len(fsegs)
+            and segs[len(fsegs) - 1] == fsegs[-1] + "[]"
+        ):
+            self.shapes["array_fields"].add(field)
+        if sub is not None and (sub + "[]") in segs:
+            self.shapes["array_subs"].add((field, sub))
 
     def _load_map_guarded(self, mname: str, path: str, line: int, loader):
         """Register map ``mname`` from ``loader()``; a missing/unreadable
@@ -582,7 +618,9 @@ class _Compiler:
             raise FixCompileError(
                 f"line {line}: loop variable reference {path!r} outside a do list(...) body"
             )
-        return _split_selector(path)
+        field, sub = _split_selector(path)
+        self._note_shape(path, field, sub)
+        return field, sub
 
     # -- includes / maps / macros --------------------------------------
     def _do_include(
@@ -800,6 +838,9 @@ class _Compiler:
             ntype = args[0].upper()
             ent_f, _ent_s = self._resolve_path(args[1], loopvar, loop_sel, line)
             kw = {"type": ntype, "field": ent_f}
+            # StandardNumber writes variant{Type} as an array member of
+            # the entity (StandardNumber.java:57-66)
+            self.shapes["array_subs"].add((ent_f, f"variant{ntype}"))
             src = kwargs.get("source")
             if src is not None:
                 # a trailing ".N" element index selects the N-th value
@@ -1044,16 +1085,82 @@ _JAVA_POSIX_CLASSES = {
 }
 
 
+def _scope_inline_flags(pattern: str) -> str:
+    """Rewrite Java's mid-pattern inline flags to Python's scoped form:
+    ``A((?i)B)C`` → ``A((?i:B))C``. Java lets ``(?i)`` appear anywhere
+    and applies it to the rest of the enclosing group; Python ≥3.11
+    rejects global flags not at position 0, but ``(?i:...)`` over the
+    remainder of the group is the exact equivalent (alma.fix:997-998
+    uses ``(?i)zeitschrift`` inside an alternation)."""
+    while True:
+        # locate a (?flags) token outside a char class, not at pos 0
+        i = 0
+        in_class = False
+        found = -1
+        flags = ""
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "\\":
+                i += 2
+                continue
+            if c == "[" and not in_class:
+                in_class = True
+            elif c == "]" and in_class:
+                in_class = False
+            elif c == "(" and not in_class and pattern.startswith("(?", i):
+                m = re.match(r"\(\?([imsx]+)\)", pattern[i:])
+                if m and i > 0:
+                    found, flags = i, m.group(1)
+                    break
+            i += 1
+        if found < 0:
+            return pattern
+        rest_start = found + len(flags) + 3
+        # find the close paren of the enclosing group (first unmatched
+        # ')' scanning forward), skipping escapes and char classes
+        j = rest_start
+        depth = 0
+        in_class = False
+        close = len(pattern)
+        while j < len(pattern):
+            c = pattern[j]
+            if c == "\\":
+                j += 2
+                continue
+            if c == "[" and not in_class:
+                in_class = True
+            elif c == "]" and in_class:
+                in_class = False
+            elif not in_class and c == "(":
+                depth += 1
+            elif not in_class and c == ")":
+                if depth == 0:
+                    close = j
+                    break
+                depth -= 1
+            j += 1
+        pattern = (
+            pattern[:found]
+            + f"(?{flags}:"
+            + pattern[rest_start:close]
+            + ")"
+            + pattern[close:]
+        )
+
+
 def _java_regex_to_python(pattern: str) -> str:
     """Translate the Java regex dialect fix rules carry to Python
-    ``re``: named groups ``(?<n>...)`` → ``(?P<n>...)`` and POSIX
+    ``re``: named groups ``(?<n>...)`` → ``(?P<n>...)``, POSIX
     classes ``\\p{Upper}`` → ``[A-Z]`` (``A-Z`` when already inside a
-    character class; ``\\P{...}`` negated). Classes Python has natively
-    (``\\d``, ``\\w``, lookarounds, inline flags) pass through; unknown
-    ``\\p{...}`` names are left verbatim so the error surfaces at the
-    runtime compile with the original spelling (macros.fix:74,
+    character class; ``\\P{...}`` negated), and mid-pattern inline
+    flags ``(?i)`` scoped to the rest of the enclosing group. Classes
+    Python has natively (``\\d``, ``\\w``, lookarounds) pass through;
+    unknown ``\\p{...}`` names are left verbatim so the error surfaces
+    at the runtime compile with the original spelling (macros.fix:74,
     marc/_person.fix:4 use ``\\p{Upper}``)."""
     pattern = _java_groups_to_python(pattern)
+    if "(?" in pattern:
+        pattern = _scope_inline_flags(pattern)
     if "\\p{" not in pattern and "\\P{" not in pattern:
         return pattern
     out: list[str] = []
@@ -1134,6 +1241,7 @@ def compile_fix(
     maps: dict[str, dict] | None = None,
     missing_maps: str = "error",
     warnings: list | None = None,
+    shapes: dict | None = None,
 ) -> list[tuple[str, dict]]:
     """Fix text → RecordOps op-list (ready for
     :class:`~limetrans_ray.functions.recordops.RecordOps`).
@@ -1141,12 +1249,17 @@ def compile_fix(
     ``missing_maps="empty"`` compiles programs whose external map data
     is absent (each unreadable put_filemap/put_rdfmap/put_lmdbmap
     source registers an empty map); pass a list as ``warnings`` to
-    collect one entry per substituted map."""
+    collect one entry per substituted map. Pass a dict as ``shapes`` to
+    collect the program's array-shape hints (``array_fields`` /
+    ``array_subs`` sets) for the JSON sink's container decisions."""
     comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps, missing_maps=missing_maps)
     ops: list = []
     comp._compile_body(parse_fix(text), ops)
     if warnings is not None:
         warnings.extend(comp.warnings)
+    if shapes is not None:
+        for k, v in comp.shapes.items():
+            shapes.setdefault(k, set()).update(v)
     return ops
 
 
@@ -1157,11 +1270,12 @@ def load_fix_file(
     maps: dict[str, dict] | None = None,
     missing_maps: str = "error",
     warnings: list | None = None,
+    shapes: dict | None = None,
 ) -> list[tuple[str, dict]]:
     """Read + compile a ``.fix`` file; includes resolve relative to it."""
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     return compile_fix(
         text, vars=vars, base_dir=os.path.dirname(os.path.abspath(path)), maps=maps,
-        missing_maps=missing_maps, warnings=warnings,
+        missing_maps=missing_maps, warnings=warnings, shapes=shapes,
     )

@@ -158,25 +158,53 @@ _PREDICATES = {
 _LOCAL_RX = r"(?:LOCAL|[A-Z]:[0-9]+[a-z]?)\Z"
 
 
+def _selector_rx(sel: str) -> str:
+    """Metafix field-selector → regex: ``?`` is a single-character
+    wildcard, ``[...]`` a character class (taken verbatim), ``|``
+    separates alternatives (``do list(path: "260??|264?[ 13]")``,
+    reference marc/publisherName.fix:2). Everything else is literal."""
+    alts = []
+    for alt in sel.split("|"):
+        rx = []
+        i = 0
+        while i < len(alt):
+            c = alt[i]
+            if c == "?":
+                rx.append(".")
+            elif c == "[":
+                end = alt.find("]", i + 1)
+                if end > 0:
+                    rx.append(alt[i:end + 1])
+                    i = end
+                else:
+                    rx.append(re.escape(c))
+            else:
+                rx.append(re.escape(c))
+            i += 1
+        alts.append("".join(rx))
+    return "|".join(alts) if len(alts) == 1 else "|".join(
+        f"(?:{a})" for a in alts
+    )
+
+
 def _sel_mask(df: pd.DataFrame, field: str, subfield=None) -> pd.Series:
     """Row-selection mask for a (field, subfield?) selector. A ``?`` in
     the field name is a single-character wildcard (the Metafix path
     convention for MARC indicators, e.g. ``348??`` — reference
-    alma.fix:43); subfield ``None`` selects every subfield."""
+    alma.fix:43), ``[...]`` a character class, ``|`` an alternation;
+    subfield ``None`` selects every subfield."""
     if field == "*":
         # match-all selector (Metamorph <data source="*">, Metafix "*")
         m = pd.Series(True, index=df.index)
-    elif "?" in field:
-        rx = "".join("." if c == "?" else re.escape(c) for c in field)
-        m = df["field"].str.fullmatch(rx, na=False)
+    elif "?" in field or "|" in field or "[" in field:
+        m = df["field"].str.fullmatch(_selector_rx(field), na=False)
     else:
         m = df["field"] == field
     if subfield is not None:
-        if "?" in subfield:
-            srx = "".join(
-                "." if c == "?" else re.escape(c) for c in subfield
+        if "?" in subfield or "|" in subfield or "[" in subfield:
+            m = m & df["subfield"].str.fullmatch(
+                _selector_rx(subfield), na=False
             )
-            m = m & df["subfield"].str.fullmatch(srx, na=False)
         else:
             m = m & (df["subfield"] == subfield)
     return m

@@ -99,13 +99,27 @@ def _normalize_values(batch: pa.Table) -> pa.Table:
     )
 
 
-def _nest_record(rows: list[dict]) -> dict:
+def _nest_record(
+    rows: list[dict],
+    shapes: dict | None = None,
+    nest_dots: bool = False,
+) -> dict:
     """Flat rows → nested JSON object (the jsonl debug sink's record
     shape, inverse of the JSON decoder's conventions): repeated
     occurrences of a subfield-less field become a list; subfielded
-    occurrence groups become (a list of) objects. Dotted field names
+    occurrence groups become (a list of) objects.
+
+    Without ``shapes``/``nest_dots`` (the default), dotted field names
     from deep input nesting stay dotted — the sink is a faithful view
-    of the record MODEL, not a byte round-trip of arbitrary JSON."""
+    of the record MODEL, not a byte round-trip of arbitrary JSON. With
+    a fix program's compiled shape hints (``array_fields`` /
+    ``array_subs`` from :func:`...fixparser.compile_fix`) and
+    ``nest_dots=True``, the output reproduces Metafix's JSON encoding:
+    ``[]``-declared containers are arrays even with one element, and
+    dotted names nest into objects (the reference's JsonEncoder shape,
+    reference.fix/alma-107.json)."""
+    array_fields = shapes.get("array_fields", ()) if shapes else ()
+    array_subs = shapes.get("array_subs", set()) if shapes else set()
     obj: dict[str, Any] = {}
     by_field: dict[str, list[dict]] = {}
     order: list[str] = []
@@ -119,7 +133,12 @@ def _nest_record(rows: list[dict]) -> dict:
         grp = sorted(by_field[f], key=lambda r: (r["occurrence"] or 0))
         if all(not r["subfield"] for r in grp):
             vals = [r["value"] for r in grp]
-            obj[f] = vals[0] if len(vals) == 1 else vals
+            val = (
+                vals
+                if len(vals) > 1 or f in array_fields
+                else vals[0]
+            )
+            _insert_path(obj, f, val, nest_dots)
             continue
         by_occ: dict[int, dict] = {}
         for r in grp:
@@ -129,11 +148,30 @@ def _nest_record(rows: list[dict]) -> dict:
                 ent[sub] = (
                     ent[sub] if isinstance(ent[sub], list) else [ent[sub]]
                 ) + [r["value"]]
+            elif (f, sub) in array_subs:
+                ent[sub] = [r["value"]]
             else:
                 ent[sub] = r["value"]
         ents = [by_occ[k] for k in sorted(by_occ)]
-        obj[f] = ents[0] if len(ents) == 1 else ents
+        val = ents if len(ents) > 1 or f in array_fields else ents[0]
+        _insert_path(obj, f, val, nest_dots)
     return obj
+
+
+def _insert_path(obj: dict, field: str, val, nest_dots: bool) -> None:
+    """Place ``val`` under ``field``, splitting dotted names into
+    nested objects when ``nest_dots`` is set."""
+    if not nest_dots or "." not in field:
+        obj[field] = val
+        return
+    parts = field.split(".")
+    cur = obj
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = cur[p] = {}
+        cur = nxt
+    cur[parts[-1]] = val
 
 
 def _records_to_lines(ds, serialize):
