@@ -17,6 +17,15 @@ SPIMI posting-list builder (SURVEY.md §7):
     segments meta → term_stats (df/cf per term)
     publish: manifests + atomic CURRENT pointer flip        [alias switch]
 
+Default execution fuses the two fwd-facing passes
+(``IndexBuildConfig.fuse_invert``): extract→invert run as ONE
+streaming pipeline (fwd/ side-written per batch as the checkpoint,
+never re-read), valid because ``max_doc`` — and with it the whole
+merge layout — is fixed by the winner table before extraction. The
+diagram above remains the semantic spec and the classic path
+(``fwd_partition_groups > 1``, ``merge_exchange="groupby"``, resume
+from an existing fwd/).
+
 (*) The dedup/rank exchange intentionally moves ONLY the key columns —
 canonical-url hash, timestamp, url hash (~40 B/row) — never document
 text, then broadcasts the winner table into the single heavy pass. An
@@ -49,6 +58,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -147,6 +157,21 @@ class IndexBuildConfig:
                                     # groupby().map_groups form (identical
                                     # output; the semantic spec and
                                     # conformance fallback)
+    fuse_invert: str = "auto"       # fuse extract+tokenize with the SPIMI
+                                    # invert into ONE streaming pipeline
+                                    # (fwd/ is side-written per batch as the
+                                    # checkpoint instead of written+re-read):
+                                    # removes the fwd re-read and the stage
+                                    # barrier — possible because bucket_width
+                                    # and the slice layout are pure functions
+                                    # of max_doc, which the winner table
+                                    # fixes BEFORE extraction (doc ids are
+                                    # dense ranks). "auto" fuses when
+                                    # fwd_partition_groups == 1 and
+                                    # merge_exchange == "direct" (groups > 1
+                                    # exists precisely to bound the partials
+                                    # window, and the groupby form needs the
+                                    # Dataset); "fused" | "classic" force
     doclen_slice_mode: str = "auto" # construction of the per-bucket-group
                                     # doclen slices the merge broadcasts:
                                     # "driver" — one columnar read + dense
@@ -341,6 +366,32 @@ def _split_partials(tbl: pa.Table, n_bg: int, n_ms: int, npid: int) -> list:
     ]
 
 
+class FwdSideWriteStage(ExtractTokenizeStage):
+    """Extract+tokenize that persists each output batch to ``fwd/`` as
+    its own parquet file (the SPIMI spill / resume checkpoint) before
+    handing the rows to the downstream invert operator — the fused
+    form of the fwd stage (``IndexBuildConfig.fuse_invert``): one
+    streaming pipeline instead of write-barrier-re-read. File names
+    are content-free uuids (names carry no meaning in the fwd/
+    layout); if a task retry ever double-writes a batch, the duplicate
+    rows share their doc_ids and the docs-stage winners-count guard
+    detects and repairs them exactly like duplicate input rows
+    (``_dedupe_fwd_doc_ids``), invalidating the fused partials."""
+
+    def __init__(self, winners_ref, out_dir: str):
+        super().__init__(winners_ref)
+        self._out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)
+        if out.num_rows:
+            pq.write_table(
+                out,
+                os.path.join(self._out_dir, f"fwd-{uuid.uuid4().hex}.parquet"),
+            )
+        return out
+
+
 @ray.remote
 def _merge_partition(
     merger, seg_dir: str, pid: int, sliced: bool, *subtables
@@ -463,6 +514,7 @@ def build_index(
 
     # ---- stage 1: key-only dedup/rank → winners; extract+tokenize → fwd/
     fwd_dir = os.path.join(bdir, "fwd")
+    partial_refs = partial_meta = None  # set by the fused-invert path
     if not mf.stage_done(bdir, "fwd", fp):
         t0 = time.perf_counter()
         # parquet footers give the input row count for free (no scan)
@@ -473,8 +525,11 @@ def build_index(
                 "(the reference skips the alias switch on zero docs, "
                 "ElasticsearchClient.java:284-295)"
             )
+        # per-block batches (no batch_size): coalescing to 64k rows cut
+        # the key pass to ~9 tasks at the 600k tier — under-parallelized
+        # on 32 CPUs (measured 2.7-3.0 s vs 1.7-1.9 s per-block)
         keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
-            KeyStage(), batch_format="pyarrow", batch_size=65536
+            KeyStage(), batch_format="pyarrow"
         )
         # ~24 B of key per input row: one driver lexsort is cheapest
         # until the key table itself outgrows a machine, then the same
@@ -487,7 +542,7 @@ def build_index(
             winners = compute_winners_distributed(keys_ds, cfg.winner_partitions)
         else:
             keys_tbl = pa.concat_tables(
-                [ray.get(ref) for ref in keys_ds.to_arrow_refs()]
+                [ray.get(ref) for ref in keys_ds.materialize().to_arrow_refs()]
             )
             winners = compute_winners(keys_tbl)
             del keys_tbl
@@ -523,7 +578,67 @@ def build_index(
             fwd.write_parquet(out_dir)
 
         groups = max(1, min(cfg.fwd_partition_groups, len(files)))
-        if groups == 1:
+        fuse = cfg.fuse_invert == "fused" or (
+            cfg.fuse_invert == "auto"
+            and groups == 1
+            and cfg.merge_exchange == "direct"
+        )
+        if fuse:
+            # fused extract→invert: doc ids are dense ranks of the
+            # winner table, so max_doc — and with it bucket_width, the
+            # bucket-group bounds and the slice layout (all pure
+            # functions of max_doc, mirrored from the docs stage) — is
+            # known BEFORE extraction. The invert consumes extract
+            # output in-stream; fwd/ is side-written per batch as the
+            # checkpoint, saving its full re-read and one barrier.
+            max_doc_pre = n_docs_expected - 1
+            w_pre = cfg.resolved_bucket_width(max_doc_pre)
+            nb_pre = max_doc_pre // w_pre + 1
+            n_bg_pre = min(cfg.resolved_merge_bucket_groups(max_doc_pre), nb_pre)
+            bg_bounds_pre = np.linspace(0, nb_pre, n_bg_pre + 1).astype(np.int64)
+            slice_bounds_pre = (
+                np.linspace(0, nb_pre, min(nb_pre, 16) + 1).astype(int).tolist()
+            )
+            _clean_dir(fwd_dir)
+            os.makedirs(fwd_dir, exist_ok=True)
+            ds = rd.read_parquet(
+                files, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+            if cfg.actor_pool_size is not None:
+                fwd = ds.map_batches(
+                    FwdSideWriteStage,
+                    fn_constructor_args=(winners_ref, fwd_dir),
+                    concurrency=cfg.actor_pool_size,
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+            else:
+                fwd = ds.map_batches(
+                    FwdSideWriteStage(winners_ref, fwd_dir),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
+            partials = fwd.map_batches(
+                InvertStage(
+                    w_pre, cfg.n_term_shards,
+                    bucket_group_bounds=bg_bounds_pre,
+                    slice_bounds=(
+                        slice_bounds_pre if len(slice_bounds_pre) > 2 else None
+                    ),
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.resolved_invert_batch_size(
+                    n_docs_expected, int(ray.cluster_resources().get("CPU", 8))
+                ),
+            )
+            partial_refs = partials.materialize().to_arrow_refs()
+            partial_meta = {
+                "bucket_width": w_pre,
+                "slice_bounds": slice_bounds_pre,
+                "bg_bounds": bg_bounds_pre.tolist(),
+                "n_term_shards": cfg.n_term_shards,
+            }
+        elif groups == 1:
             _clean_dir(fwd_dir)
             _run_fwd(files, fwd_dir)
         else:
@@ -559,10 +674,14 @@ def build_index(
                 "input_rows": n_input,
                 "duplicates_dropped": n_input - n_docs_expected,
                 "partition_groups": groups,
+                "fused_invert": bool(fuse),
             },
         )
 
-    stats = _finish_from_fwd(index_root, build_id, fp, cfg, publish)
+    stats = _finish_from_fwd(
+        index_root, build_id, fp, cfg, publish,
+        partial_refs=partial_refs, partial_meta=partial_meta,
+    )
     stats.setdefault("metrics", {}).update(metrics)
     return stats
 
@@ -711,8 +830,17 @@ def _finish_from_fwd(
     *,
     analyzer_profile: str = "full",
     fields_map: dict[str, str] | None = None,
+    partial_refs: list | None = None,
+    partial_meta: dict | None = None,
 ) -> dict:
-    """Stages 2-4 over an existing fwd/ checkpoint (see module doc)."""
+    """Stages 2-4 over an existing fwd/ checkpoint (see module doc).
+
+    ``partial_refs``/``partial_meta``: posting partials already
+    materialized by the fused extract→invert path
+    (``IndexBuildConfig.fuse_invert``). Used only when the docs stage
+    confirms the fused run was clean (no duplicate-row repair) and the
+    stats-derived merge layout matches ``partial_meta`` exactly;
+    otherwise the classic invert re-runs from fwd/ on disk."""
     bdir = mf.build_dir(index_root, build_id)
     fwd_dir = os.path.join(bdir, "fwd")
     docs_dir = os.path.join(bdir, "docs")
@@ -899,19 +1027,38 @@ def _finish_from_fwd(
             del dl_blocks, dl_split
         slice_bounds = stats.get("segment_slice_bounds")
         have_slices = bool(slice_bounds) and len(slice_bounds) > 2
-        partials = rd.read_parquet(
-            fwd_dir, columns=["doc_id", "terms", "tfs", "pos"]
-        ).map_batches(
-            InvertStage(
-                stats["bucket_width"], cfg.n_term_shards,
-                bucket_group_bounds=bg_bucket_bounds,
-                slice_bounds=slice_bounds if have_slices else None,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.resolved_invert_batch_size(
-                int(stats["n_docs"]), int(ray.cluster_resources().get("CPU", 8))
-            ),
+        # fused-invert partials are valid only when the docs stage saw a
+        # clean fwd (no duplicate repair — repaired rows would leave
+        # stale postings) and the stats-derived layout equals what the
+        # fused invert actually used (it always does when max_doc ==
+        # n_winners - 1; the compare is the safety net, not a branch)
+        fused_ok = (
+            partial_refs is not None
+            and cfg.merge_exchange == "direct"
+            and not metrics.get("fwd_dup_rows_dropped")
+            and partial_meta == {
+                "bucket_width": int(stats["bucket_width"]),
+                "slice_bounds": list(slice_bounds or []),
+                "bg_bounds": bg_bucket_bounds.tolist(),
+                "n_term_shards": cfg.n_term_shards,
+            }
         )
+        metrics["merge_used_fused_partials"] = float(fused_ok)
+        partials = None
+        if not fused_ok:
+            partials = rd.read_parquet(
+                fwd_dir, columns=["doc_id", "terms", "tfs", "pos"]
+            ).map_batches(
+                InvertStage(
+                    stats["bucket_width"], cfg.n_term_shards,
+                    bucket_group_bounds=bg_bucket_bounds,
+                    slice_bounds=slice_bounds if have_slices else None,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.resolved_invert_batch_size(
+                    int(stats["n_docs"]), int(ray.cluster_resources().get("CPU", 8))
+                ),
+            )
         merger = MergeShardGroup(
             dl_refs, stats["avgdl"], cfg.block_size, bg_doc_base=bg_doc_base,
             slice_bounds=slice_bounds, ids_codec=cfg.postings_codec,
@@ -943,7 +1090,9 @@ def _finish_from_fwd(
             n_ms = len(slice_bounds) - 1 if have_slices else 1
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             npid = int(min(cfg.n_term_shards * n_bg * n_ms, max(32, 4 * ncpu)))
-            block_refs = partials.to_arrow_refs()
+            block_refs = (
+                partial_refs if fused_ok else partials.materialize().to_arrow_refs()
+            )
             split_refs = [
                 _split_partials.options(num_returns=npid).remote(
                     r, n_bg, n_ms, npid

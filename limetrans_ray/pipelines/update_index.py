@@ -340,7 +340,7 @@ def add_documents(
     keys_ds = rd.read_parquet(files, columns=["url", "warc_ts"]).map_batches(
         KeyStage(), batch_format="pyarrow", batch_size=65536
     )
-    keys_tbl = pa.concat_tables([ray.get(r) for r in keys_ds.to_arrow_refs()])
+    keys_tbl = pa.concat_tables([ray.get(r) for r in keys_ds.materialize().to_arrow_refs()])
     if keys_tbl.num_rows == 0 or "doc_key" not in keys_tbl.schema.names:
         return stats
     from ..stages.indexing import compute_winners

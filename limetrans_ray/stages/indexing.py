@@ -149,6 +149,10 @@ class ShardedWinners:
 
 @ray.remote
 def _winner_block_counts(block: pa.Table):
+    # materialized groupby output may include a zero-row block carrying
+    # the pre-map schema (no "part" column) — contributes no winners
+    if block.num_rows == 0 or "part" not in block.schema.names:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     part = block.column("part").to_numpy()
     u, c = np.unique(part, return_counts=True)
     return u.astype(np.int64), c.astype(np.int64)
@@ -234,7 +238,7 @@ def compute_winners_distributed(
         .groupby("part")
         .map_groups(part_winners, batch_format="pyarrow")
     )
-    block_refs = parts_ds.to_arrow_refs()
+    block_refs = parts_ds.materialize().to_arrow_refs()
     metas = _ray.get([_winner_block_counts.remote(r) for r in block_refs])
     counts = np.zeros(n_partitions, dtype=np.int64)
     for u, c in metas:
