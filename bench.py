@@ -156,13 +156,14 @@ def run_bench(index_only: bool = False) -> dict:
     base_reps = int(os.environ.get("GRAFT_BENCH_BUILD_REPS", "2"))
     max_reps = int(os.environ.get("GRAFT_BENCH_BUILD_MAX_REPS", "4"))
     # docs/s the engine is KNOWN to sustain in a quiet window at 32
-    # CPUs (BASELINE.md §4c: 27-31k; scaled by cpu count, halved for
-    # headroom). Two loaded reps can "agree within 25%" — agreement is
-    # not quietness — so while the best rep is far below recorded
-    # capability, keep sampling (bounded): the number published is
-    # always a real measured wall, never synthesized.
+    # CPUs (BASELINE.md §4f: the fused engine holds ~44k on a slow box;
+    # scaled by cpu count, roughly halved for headroom). Two loaded
+    # reps can "agree within 25%" — agreement is not quietness — so
+    # while the best rep is far below recorded capability, keep
+    # sampling (bounded): the number published is always a real
+    # measured wall, never synthesized.
     floor = float(
-        os.environ.get("GRAFT_BENCH_FLOOR_DOCS_S", str(400 * num_cpus))
+        os.environ.get("GRAFT_BENCH_FLOOR_DOCS_S", str(800 * num_cpus))
     )
     reps = []
     while True:
