@@ -39,27 +39,31 @@ SF = "\x1f"
 
 def _emit_fields(tags: list[str], bodies: list[str], record_id, rows) -> str:
     """Emit (tag, body) pairs as flat rows; returns the record id
-    (replaced by the 001 value when present)."""
-    occ: dict[tuple[str, str | None], int] = {}
-    staged: list[tuple[str, str | None, str]] = []
+    (replaced by the 001 value when present). ``occurrence`` is the
+    ENTITY index: all subfield rows of one data field share the
+    occurrence of that field repeat (the MARC-XML decoder's
+    convention — see functions/marcxml.py module docstring)."""
+    occ: dict[str, int] = {}
+    staged: list[tuple[str, str | None, int, str]] = []
 
     for tag, body in zip(tags, bodies):
         if tag == "001" and body.strip():
             record_id = body.strip()
         if tag.startswith("00") or SF not in body:
-            staged.append((tag, None, body))
+            n = occ.get(tag, 0)
+            occ[tag] = n + 1
+            staged.append((tag, None, n, body))
             continue
         parts = body.split(SF)
         ind = (parts[0] + "  ")[:2]
         field = f"{tag}{ind}"
+        n = occ.get(field, 0)
+        occ[field] = n + 1
         for sf in parts[1:]:
             if sf:
-                staged.append((field, sf[0], sf[1:]))
+                staged.append((field, sf[0], n, sf[1:]))
 
-    for field, sub, value in staged:
-        key = (field, sub)
-        n = occ.get(key, 0)
-        occ[key] = n + 1
+    for field, sub, n, value in staged:
         rows.append(
             {
                 "record_id": record_id,
@@ -70,6 +74,22 @@ def _emit_fields(tags: list[str], bodies: list[str], record_id, rows) -> str:
             }
         )
     return record_id
+
+
+# Leader positions the reference's Marc21Decoder (Metafacture) emits as
+# a ``leader`` entity of named single-character literals — the
+# remaining positions are structural (record length, base address,
+# entry map) and carry no bibliographic content:
+LEADER_ENTITY = (
+    ("status", 5),
+    ("type", 6),
+    ("bibliographicLevel", 7),
+    ("typeOfControl", 8),
+    ("characterCodingScheme", 9),
+    ("encodingLevel", 17),
+    ("catalogingForm", 18),
+    ("multipartLevel", 19),
+)
 
 
 def parse_marc21(text: str, *, id_prefix: str = "record") -> list[dict]:
@@ -123,19 +143,24 @@ def parse_marc21(text: str, *, id_prefix: str = "record") -> list[dict]:
                     bodies.append(f[3:])
         if not tags and FT not in rec:
             continue  # junk line, not a record — don't emit a phantom
+        rec_start = len(rows)
         rid = _emit_fields(tags, bodies, f"{id_prefix}-{ri}", rows)
         if leader.strip():
-            # leader row carries the record's own id: patch the staged
-            # fallback only if 001 replaced it mid-record
-            rows.append(
+            # the reference's Marc21Decoder explodes the leader into an
+            # entity of named positions (vs the MARC-XML handler, which
+            # keeps the raw 24-byte string); emitted FIRST like the
+            # decoder's event order, as one entity (occurrence 0)
+            padded = (leader + " " * 24)[:24]
+            rows[rec_start:rec_start] = [
                 {
                     "record_id": rid,
                     "field": "leader",
-                    "subfield": None,
+                    "subfield": name,
                     "occurrence": 0,
-                    "value": leader,
+                    "value": padded[pos],
                 }
-            )
+                for name, pos in LEADER_ENTITY
+            ]
         ri += 1
     return rows
 

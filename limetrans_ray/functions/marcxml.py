@@ -25,8 +25,15 @@ identical downstream ``map_batches``/groupby machinery:
 - datafield tag T ind1 I1 ind2 I2 → field ``T[I1][I2]`` with one row
   per subfield code (the Metafacture convention of indicator-qualified
   entity names, blanks kept as spaces);
-- ``occurrence`` numbers repeats of the same (field, subfield) within a
-  record, in document order.
+- ``occurrence`` is the ENTITY index: every subfield row of one
+  <datafield> element shares the occurrence of that element (the n-th
+  repeat of the field within the record). A subfield code repeated
+  INSIDE one datafield (MARC ``040 $d$d...``) therefore yields
+  duplicate (field, subfield, occurrence) rows in document order —
+  exactly one entity, like the reference's event stream. This is the
+  same "element i = occurrence-i row set" convention the JSON decoder
+  pins (functions/jsonrec.py) and RecordOps' entity key assumes
+  (functions/recordops.py::_entity_key).
 
 Namespace-tolerant: MARC21 slim namespace, no namespace (ALMAXML), or
 any other prefix — only local names are matched. Decoding is per-blob
@@ -70,12 +77,9 @@ def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
             if _local(el.tag) == "controlfield" and el.get("tag") == "001":
                 record_id = (el.text or "").strip() or record_id
                 break
-        occ: dict[tuple[str, str | None], int] = {}
+        occ: dict[str, int] = {}  # per-FIELD entity counter
 
-        def emit(field: str, sub: str | None, value: str) -> None:
-            key = (field, sub)
-            n = occ.get(key, 0)
-            occ[key] = n + 1
+        def emit(field: str, sub: str | None, value: str, n: int) -> None:
             rows.append(
                 {
                     "record_id": record_id,
@@ -86,18 +90,25 @@ def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
                 }
             )
 
+        def next_occ(field: str) -> int:
+            n = occ.get(field, 0)
+            occ[field] = n + 1
+            return n
+
         for el in rec:
             name = _local(el.tag)
             if name == "leader":
-                emit("leader", None, el.text or "")
+                emit("leader", None, el.text or "", next_occ("leader"))
             elif name == "controlfield":
-                emit(el.get("tag", ""), None, el.text or "")
+                tag = el.get("tag", "")
+                emit(tag, None, el.text or "", next_occ(tag))
             elif name == "datafield":
                 tag = el.get("tag", "")
                 field = f"{tag}{el.get('ind1', ' ')}{el.get('ind2', ' ')}"
+                n = next_occ(field)  # one entity per <datafield>
                 for sf in el:
                     if _local(sf.tag) == "subfield":
-                        emit(field, sf.get("code", ""), sf.text or "")
+                        emit(field, sf.get("code", ""), sf.text or "", n)
     return rows
 
 

@@ -140,7 +140,13 @@ class TestMarc21Decoder:
         # repeated field: occurrences in document order
         assert m[(rid, "7001 ", "a", 0)] == "Person, One"
         assert m[(rid, "7001 ", "a", 1)] == "Person, Two"
-        assert m[(rid, "leader", None, 0)].endswith("4500")
+        # leader exploded into named positions (Marc21Decoder entity):
+        # leader "NNNNNnam a22NNNNN   4500" → status='n' type='a'
+        # bibliographicLevel='m' characterCodingScheme='a'
+        assert m[(rid, "leader", "status", 0)] == "n"
+        assert m[(rid, "leader", "type", 0)] == "a"
+        assert m[(rid, "leader", "bibliographicLevel", 0)] == "m"
+        assert m[(rid, "leader", "characterCodingScheme", 0)] == "a"
 
     def test_multi_record_and_fallback_id(self):
         no_id = _build_iso2709([("245", f"10{SF}aAnon")])
