@@ -433,6 +433,21 @@ def _split_selector(path: str) -> tuple[str, str | None]:
     return p, None
 
 
+_DST_MARKER_RX = re.compile(r"\$(append|last|first)")
+
+
+def _dst_mode(path: str) -> str:
+    """Entity-attachment mode of a destination path: ``$append`` starts
+    a NEW entity; ``$last``/``$first`` (and a plain dotted path, the
+    Metafix getOrCreate-hash behavior) write into the record's existing
+    entity, creating one only if absent. The FIRST marker in a chained
+    path ("X[].$last.y[].$append") decides — deeper markers concern
+    repetition WITHIN the entity, which the flat model stores as
+    sibling rows anyway."""
+    m = _DST_MARKER_RX.search(path)
+    return "append" if m is not None and m.group(1) == "append" else "last"
+
+
 # ---------------------------------------------------------------- compiler
 
 _VAR_RX = re.compile(r"\$\[([^\]]+)\]")
@@ -817,12 +832,16 @@ class _Compiler:
             src_f, src_s = self._resolve_path(args[0], loopvar, loop_sel, line)
             dst_f, dst_s = self._resolve_path(args[1], loopvar, loop_sel, line)
             kw = {"src": src_f, "dst": dst_f, "dst_sub": dst_s}
+            if dst_s is not None:
+                kw["dst_mode"] = _dst_mode(args[1])
             if src_s is not None:
                 kw["src_sub"] = src_s
             ops_out.append((name, kw))
         elif name == "add_field":
             kw = path_kw(args[0])
             kw["value"] = args[1]
+            if kw.get("subfield") is not None:
+                kw["dst_mode"] = _dst_mode(args[0])
             ops_out.append(("add_field", kw))
         elif name == "remove_field":
             ops_out.append(("remove_field", path_kw(args[0])))
@@ -882,6 +901,8 @@ class _Compiler:
                     f, s = self._resolve_path(a, loopvar, loop_sel, line)
                     srcs.append({"field": f, "subfield": s} if s is not None else f)
             kw = {"dst": dst_f, "dst_sub": dst_s, "srcs": srcs}
+            if dst_s is not None:
+                kw["dst_mode"] = _dst_mode(args[0])
             if "join_char" in kwargs:
                 kw["join_char"] = kwargs["join_char"]
             ops_out.append(("paste", kw))
@@ -911,6 +932,7 @@ class _Compiler:
             if kwargs:
                 kw = path_kw(args[0])
                 kw["entries"] = dict(kwargs)
+                kw["dst_mode"] = _dst_mode(args[0])
                 ops_out.append(("add_hash", kw))
             # bare add_hash("X[].$append") is structural: the entity
             # materializes when $last.* rows are written

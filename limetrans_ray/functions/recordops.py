@@ -313,6 +313,17 @@ def _first_occurrence_values(
     return sub.groupby("record_id", sort=False)["value"].first()
 
 
+def _last_entity_occ(
+    df: pd.DataFrame, dst_field: str, rec_ids: pd.Series, fresh: int
+) -> pd.Series:
+    """Occurrence values attaching rows to the LAST existing entity of
+    ``dst_field`` per record (Metafix ``$last`` / plain-dotted-path
+    getOrCreate semantics); records without one get a fresh entity."""
+    existing = df.loc[df["field"] == dst_field]
+    last = existing.groupby("record_id")["occurrence"].max()
+    return rec_ids.map(last).fillna(fresh).astype(np.int64)
+
+
 def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
     """Run a fix program over a flat-row record frame (whole records
     per the module-level partitioning assumption)."""
@@ -322,17 +333,50 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             raise ValueError(f"unknown record op {name!r}")
         if name == "copy_field":
             rows = df[_sel_mask(df, kw["src"], kw.get("src_sub"))].copy()
-            rows["field"] = kw["dst"]
-            if "dst_sub" in kw:  # explicit dst selector (fix-compiled);
-                rows["subfield"] = kw["dst_sub"]  # absent = keep src's
-            df = pd.concat([df, rows], ignore_index=True)
+            if len(rows):
+                # attachment: "last" joins the record's existing dst
+                # entity (creating one if absent); otherwise each SOURCE
+                # entity becomes one fresh dst entity (append — never
+                # merged into an existing dst entity of the same index);
+                # a copy WITHIN the same field stays in-entity
+                if kw.get("dst_mode") == "last":
+                    rows["occurrence"] = _last_entity_occ(
+                        df, kw["dst"], rows["record_id"], _fresh_base(df)
+                    )
+                elif (rows["field"] != kw["dst"]).any():
+                    rows["occurrence"] = _fresh_base(df) + pd.factorize(
+                        _entity_key(rows)
+                    )[0]
+                rows["field"] = kw["dst"]
+                if "dst_sub" in kw:  # explicit dst selector (fix-compiled);
+                    rows["subfield"] = kw["dst_sub"]  # absent = keep src's
+                df = pd.concat([df, rows], ignore_index=True)
         elif name == "move_field":
             sel = _sel_mask(df, kw["src"], kw.get("src_sub"))
-            df.loc[sel, "field"] = kw["dst"]
-            if "dst_sub" in kw:
-                df.loc[sel, "subfield"] = kw["dst_sub"]
+            if sel.any():
+                # a subfield rename WITHIN the same field keeps entity
+                # membership; moving to another field appends fresh
+                # entities there (same contract as copy_field)
+                renames_field = (df.loc[sel, "field"] != kw["dst"]).any()
+                if kw.get("dst_mode") == "last" and renames_field:
+                    df.loc[sel, "occurrence"] = _last_entity_occ(
+                        df.loc[~sel], kw["dst"], df.loc[sel, "record_id"],
+                        _fresh_base(df),
+                    ).to_numpy()
+                elif renames_field:
+                    df.loc[sel, "occurrence"] = _fresh_base(df) + pd.factorize(
+                        _entity_key(df.loc[sel])
+                    )[0]
+                df.loc[sel, "field"] = kw["dst"]
+                if "dst_sub" in kw:
+                    df.loc[sel, "subfield"] = kw["dst_sub"]
         elif name == "add_field":
             recs = df["record_id"].drop_duplicates()
+            occ = (
+                _last_entity_occ(df, kw["field"], recs, _fresh_base(df))
+                if kw.get("dst_mode") == "last"
+                else _fresh_base(df)
+            )
             df = pd.concat(
                 [
                     df,
@@ -341,7 +385,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                             "record_id": recs,
                             "field": kw["field"],
                             "subfield": kw.get("subfield"),
-                            "occurrence": 0,
+                            "occurrence": occ,
                             "value": kw["value"],
                         }
                     ),
@@ -414,6 +458,14 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             )
             joined = joined[joined != ""].astype(object)
             if len(joined):
+                occ = (
+                    _last_entity_occ(
+                        df, kw["dst"], joined.index.to_series(),
+                        _fresh_base(df),
+                    ).to_numpy()
+                    if kw.get("dst_mode") == "last"
+                    else _fresh_base(df)
+                )
                 df = pd.concat(
                     [
                         df,
@@ -422,7 +474,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                                 "record_id": joined.index,
                                 "field": kw["dst"],
                                 "subfield": kw.get("dst_sub"),
-                                "occurrence": 0,
+                                "occurrence": occ,
                                 "value": joined.to_numpy(),
                             }
                         ),
@@ -482,6 +534,11 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                     lambda v: isinstance(v, list) and len(v) == 0
                 )
                 rep = rep[~gone].explode("value")
+                if kw.get("subfield") is None and len(rep):
+                    # a split SCALAR field becomes an array: one fresh
+                    # entity per part (subfield-path splits stay inside
+                    # their entity as a repeated subfield)
+                    rep["occurrence"] = _fresh_base(df) + np.arange(len(rep))
                 df = pd.concat(
                     [df[~sel], rep], ignore_index=False
                 ).sort_index(kind="stable").reset_index(drop=True)
@@ -534,7 +591,11 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                                 ),
                                 "field": kw["field"],
                                 "subfield": kw.get("subfield"),
-                                "occurrence": 0,
+                                # one fresh entity per array VALUE
+                                "occurrence": np.tile(
+                                    _fresh_base(df) + np.arange(len(vals)),
+                                    len(recs),
+                                ),
                                 "value": vals * len(recs),
                             }
                         ),
@@ -545,6 +606,13 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             entries = dict(kw["entries"])
             if entries:
                 recs = df["record_id"].drop_duplicates()
+                occ_per_rec = (
+                    _last_entity_occ(
+                        df, kw["field"], recs, _fresh_base(df)
+                    ).to_numpy()
+                    if kw.get("dst_mode") == "last"
+                    else np.full(len(recs), _fresh_base(df), dtype=np.int64)
+                )
                 subs, vals = zip(*entries.items())
                 df = pd.concat(
                     [
@@ -556,7 +624,9 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                                 ),
                                 "field": kw["field"],
                                 "subfield": list(subs) * len(recs),
-                                "occurrence": 0,
+                                # ONE entity per record: a hash's
+                                # entries are subfields of one entity
+                                "occurrence": np.repeat(occ_per_rec, len(subs)),
                                 "value": list(vals) * len(recs),
                             }
                         ),
@@ -579,12 +649,17 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 unmatched_idx = groups.index[~matched]
                 if len(unmatched_idx):
                     keep_frames.append(df.loc[unmatched_idx])
+                base = _fresh_base(df)
                 for gcol in groups.columns:
                     hit = groups.loc[matched, gcol].dropna()
                     if len(hit):
                         repl = df.loc[hit.index].copy()
                         repl["value"] = hit.to_numpy()
-                        repl["occurrence"] = int(gcol)
+                        # one fresh entity per capture (unique per
+                        # source row × group; array order = appearance)
+                        repl["occurrence"] = (
+                            base + int(gcol) * len(df) + hit.index.to_numpy()
+                        )
                         keep_frames.append(repl)
                 df = pd.concat(keep_frames, ignore_index=True)
                 df = df.reset_index(drop=True)
@@ -596,6 +671,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             # may legitimately be empty on a match)
             matched = groups.notna().any(axis=1)
             new_frames = []
+            base = _fresh_base(df)
             for gname in groups.columns:
                 hit = groups.loc[matched, gname].dropna()
                 if len(hit):
@@ -605,7 +681,8 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                                 "record_id": df.loc[hit.index, "record_id"].to_numpy(),
                                 "field": gname,
                                 "subfield": None,
-                                "occurrence": 0,
+                                # fresh entity per captured value
+                                "occurrence": base + hit.index.to_numpy(),
                                 "value": hit.to_numpy(),
                             }
                         )
@@ -720,6 +797,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 )
                 parent = dict(zip(syn, scoped["record_id"]))
                 elem_no = dict(zip(syn, elem))
+                base = _fresh_base(df)
                 scoped["record_id"] = syn
                 sub = apply_ops(scoped, list(kw["ops"]))
                 # restore ELEMENT order before re-parenting: branch-major
@@ -729,6 +807,16 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 sub = sub.assign(
                     __elem=sub["record_id"].map(elem_no)
                 ).sort_values("__elem", kind="stable")
+                # entities created in DIFFERENT elements must stay
+                # distinct after re-parenting (each element renumbers
+                # from 0 in its synthetic record): shift per element
+                # past the parent's ids, element-major
+                if len(sub):
+                    k = int(sub["occurrence"].max()) + 1
+                    sub["occurrence"] = (
+                        base + sub["__elem"].to_numpy() * k
+                        + sub["occurrence"].to_numpy()
+                    )
                 sub["record_id"] = sub["record_id"].map(parent)
                 sub = sub.drop(columns="__elem").reset_index(drop=True)
                 df = pd.concat([rest, sub], ignore_index=True)
@@ -859,14 +947,37 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             sub = apply_ops(df[pred].copy(), list(kw["ops"]))
             df = pd.concat([sub, df[~pred]], ignore_index=True)
         df = df.reset_index(drop=True)
-    # renumber occurrences per (record, field, subfield), stable order
+    # Renumber occurrences ENTITY-preserving: rows sharing a
+    # (record, field, occurrence) key are one entity (all subfield rows
+    # of one datafield repeat — the decoders' convention) and must keep
+    # sharing after renumbering. New occurrence = the entity's
+    # first-appearance rank within (record, field), so arrays stay in
+    # document/insertion order and inserted entities (allocated fresh
+    # ids via _fresh_base) land after existing ones.
     df = df.reset_index(drop=True)
-    df["occurrence"] = (
-        df.groupby(
-            ["record_id", "field", df["subfield"].fillna("\x00")], sort=False
-        ).cumcount()
-    ).astype(np.int32)
+    if len(df):
+        grp_key = (
+            df["record_id"].astype(str) + "\x00" + df["field"].astype(str)
+        ).to_numpy()
+        ent_key = grp_key + ("\x00" + df["occurrence"].astype(str)).to_numpy()
+        codes = pd.factorize(ent_key)[0]
+        first = ~pd.Series(codes).duplicated().to_numpy()
+        rank_at_first = (
+            pd.Series(first.astype(np.int64)).groupby(grp_key, sort=False)
+            .cumsum().to_numpy() - 1
+        )
+        df["occurrence"] = (
+            pd.Series(rank_at_first).groupby(codes).transform("first")
+        ).astype(np.int32)
     return df
+
+
+def _fresh_base(df: pd.DataFrame) -> int:
+    """First occurrence value guaranteed unused by any existing entity —
+    ops appending NEW entities number them from here so they cannot
+    merge with an existing (record, field, occurrence) entity; the
+    final renumbering compresses the gap."""
+    return int(df["occurrence"].max()) + 1 if len(df) else 0
 
 
 class RecordOps:
