@@ -480,6 +480,7 @@ class _Compiler:
         maps: dict[str, dict] | None = None,
         max_include_depth: int = 16,
         missing_maps: str = "error",
+        missing_vars: str = "error",
     ):
         self.vars = dict(vars or {})
         # caller-supplied vars win over file-level put_var defaults, the
@@ -500,6 +501,17 @@ class _Compiler:
         if missing_maps not in ("error", "empty"):
             raise ValueError(f"missing_maps must be 'error' or 'empty', got {missing_maps!r}")
         self.missing_maps = missing_maps
+        # missing_vars: "error" (default) raises on an undefined
+        # $[var]; "literal" keeps the marker text and records a warning
+        # — mirroring Metafix's LAZY resolution, where a $[var] inside
+        # a never-executed branch resolves never (the reference's
+        # transformation test suites compile with EMPTY vars,
+        # Limetrans.java:508, TransformationTestCase.java:103)
+        if missing_vars not in ("error", "literal"):
+            raise ValueError(
+                f"missing_vars must be 'error' or 'literal', got {missing_vars!r}"
+            )
+        self.missing_vars = missing_vars
         self.warnings: list[str] = []
         # array-shape hints harvested from []-marked path arguments —
         # the JSON sink needs them to emit Metafix's array containers
@@ -544,6 +556,11 @@ class _Compiler:
         def repl(m):
             name = m.group(1)
             if name not in self.vars:
+                if self.missing_vars == "literal":
+                    self.warnings.append(
+                        f"line {line}: undefined fix variable $[{name}] kept literal"
+                    )
+                    return m.group(0)
                 raise FixCompileError(f"line {line}: undefined fix variable $[{name}]")
             return str(self.vars[name])
 
@@ -628,6 +645,11 @@ class _Compiler:
                     f"line {line}: loop var {loopvar} is a value path; "
                     f"{path!r} cannot select a subfield of it"
                 )
+            if suffix.endswith("[]"):
+                # array-marked subfield key ("$i.controlNumber[]",
+                # DE-708-deposit.fix:80) — the marker is a shape hint
+                suffix = suffix[:-2]
+                self.shapes["array_subs"].add((lf, suffix))
             return lf, suffix
         if loopvar is None and path.startswith("$") and not path.startswith("$["):
             raise FixCompileError(
@@ -831,11 +853,26 @@ class _Compiler:
         elif name == "copy_field" or name == "move_field":
             src_f, src_s = self._resolve_path(args[0], loopvar, loop_sel, line)
             dst_f, dst_s = self._resolve_path(args[1], loopvar, loop_sel, line)
-            kw = {"src": src_f, "dst": dst_f, "dst_sub": dst_s}
+            kw = {"src": src_f, "dst": dst_f}
+            # dst without a key: a VALUE copy (subfielded src → scalar
+            # dst rows), but an ENTITY copy (no src subfield) keeps the
+            # source's subfields — Metafix copies the hash wholesale
+            # (person.fix:14 move_field("@person", "Person[]"))
+            if dst_s is not None or src_s is not None:
+                kw["dst_sub"] = dst_s
             if dst_s is not None:
                 kw["dst_mode"] = _dst_mode(args[1])
             if src_s is not None:
                 kw["src_sub"] = src_s
+            if dst_s is None and src_s is None:
+                # entity copy/move: the source's array-shape hints
+                # follow the rename (person.fix declares arrays on
+                # "@person.$last.x[]", then moves @person → Person[])
+                for f, s in list(self.shapes["array_subs"]):
+                    if f == src_f:
+                        self.shapes["array_subs"].add((dst_f, s))
+                if src_f in self.shapes["array_fields"]:
+                    self.shapes["array_fields"].add(dst_f)
             ops_out.append((name, kw))
         elif name == "add_field":
             kw = path_kw(args[0])
@@ -934,8 +971,14 @@ class _Compiler:
                 kw["entries"] = dict(kwargs)
                 kw["dst_mode"] = _dst_mode(args[0])
                 ops_out.append(("add_hash", kw))
-            # bare add_hash("X[].$append") is structural: the entity
-            # materializes when $last.* rows are written
+            else:
+                # bare add_hash("X[].$append") OPENS a new entity that
+                # subsequent $last destinations join (person.fix:1,
+                # publisherName.fix:3); realized as a placeholder row
+                # dropped at end-of-program (no empty containers)
+                kw = path_kw(args[0])
+                kw.pop("subfield", None)
+                ops_out.append(("new_entity", kw))
         elif name == "parse_text":
             kw = path_kw(args[0])
             kw["pattern"] = _java_regex_to_python(args[1])
@@ -1262,6 +1305,7 @@ def compile_fix(
     base_dir: str | None = None,
     maps: dict[str, dict] | None = None,
     missing_maps: str = "error",
+    missing_vars: str = "error",
     warnings: list | None = None,
     shapes: dict | None = None,
 ) -> list[tuple[str, dict]]:
@@ -1274,7 +1318,8 @@ def compile_fix(
     collect one entry per substituted map. Pass a dict as ``shapes`` to
     collect the program's array-shape hints (``array_fields`` /
     ``array_subs`` sets) for the JSON sink's container decisions."""
-    comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps, missing_maps=missing_maps)
+    comp = _Compiler(vars=vars, base_dir=base_dir, maps=maps,
+                     missing_maps=missing_maps, missing_vars=missing_vars)
     ops: list = []
     comp._compile_body(parse_fix(text), ops)
     if warnings is not None:

@@ -144,7 +144,21 @@ class _MorphCompiler:
         old = self.base_dir
         self.base_dir = os.path.dirname(path)
         try:
-            self._walk_children(tree.getroot())
+            root = tree.getroot()
+            t = _tag(root)
+            # an included document's ROOT may itself be a <map> or a
+            # <rules> block (transformation/maps/*.xml, common/*.xml)
+            # — XInclude splices the element where the include sits
+            if t == "map":
+                self.maps[root.get("name")] = {
+                    e.get("name"): e.get("value", "")
+                    for e in root if _tag(e) == "entry"
+                }
+            elif t == "rules":
+                for rule in root:
+                    self._compile_rule(rule)
+            else:
+                self._walk_children(root)
         finally:
             self.base_dir = old
 
@@ -291,6 +305,36 @@ class _MorphCompiler:
                     )
             elif tt == "switch-name-value":
                 inner.append(("switch_name_value", tkw()))
+            elif tt == "substring":
+                # SubstringFunction: Java value.substring(start, end),
+                # end exclusive; end absent/0 → to end of string
+                start = int(self._sub(tr.get("start", "0")))
+                end = int(self._sub(tr.get("end", "0")))
+                kw = tkw({"start": start})
+                if end > 0:
+                    kw["length"] = end - start
+                inner.append(("substring", kw))
+            elif tt == "occurrence":
+                only = self._sub(tr.get("only", "1"))
+                if not only.isdigit():
+                    raise MorphCompileError(
+                        f"<occurrence only={only!r}> — only plain Nth "
+                        "occurrence is supported"
+                    )
+                kw = tkw({"n": int(only)})
+                if tr.get("sameEntity") == "true":
+                    kw["same_entity"] = True
+                inner.append(("take_occurrence", kw))
+            elif tt == "unique":
+                inner.append(("unique_values", tkw()))
+            elif tt == "split":
+                inner.append(
+                    ("split_field", tkw({
+                        "pattern": _java_regex_to_python(
+                            self._sub(tr.get("delimiter"))
+                        ),
+                    }))
+                )
             elif tt == "lookup":
                 mname = self._sub(tr.get("in"))
                 if mname not in self.maps:

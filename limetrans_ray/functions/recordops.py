@@ -130,7 +130,21 @@ _KNOWN = {
     #   has NO match are dropped from the stream; matching rows' value
     #   becomes the match (or the format with ${n} group substitution)
     "switch_name_value", "regexp_match",
+    # take_occurrence — Metamorph <occurrence only="N" [sameEntity]>:
+    #   keep only the Nth (1-based) matching value per record, or per
+    #   entity when same_entity (Occurrence.java counter semantics)
+    # unique_values — Metamorph <unique/>: drop repeated values of the
+    #   selected source within a record, first wins
+    "take_occurrence", "unique_values",
+    # new_entity — OPEN a fresh entity of a field (bare Metafix
+    # ``add_hash("X[].$append")``): a placeholder row that $last
+    # destinations join; placeholders are dropped when the TOP-LEVEL
+    # program finishes (the flat model has no empty containers)
+    "new_entity",
 }
+
+# placeholder subfield marking an opened-but-still-empty entity
+_PH_SUB = "\x00ph"
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
 # conditional surface (reference alma.fix:44,177-216 if/elsif/unless
@@ -324,9 +338,13 @@ def _last_entity_occ(
     return rec_ids.map(last).fillna(fresh).astype(np.int64)
 
 
-def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
+def apply_ops(
+    df: pd.DataFrame, ops: list[tuple[str, dict]], _top: bool = True
+) -> pd.DataFrame:
     """Run a fix program over a flat-row record frame (whole records
-    per the module-level partitioning assumption)."""
+    per the module-level partitioning assumption). ``_top`` is internal:
+    sub-programs (do-list bodies, if branches) pass False so entity
+    placeholders survive until the top-level program finishes."""
     df = df.reset_index(drop=True)
     for name, kw in ops:
         if name not in _KNOWN:
@@ -633,6 +651,26 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                     ],
                     ignore_index=True,
                 )
+        elif name == "new_entity":
+            recs = df["record_id"].drop_duplicates()
+            nb = _fresh_base(df)
+            df = pd.concat(
+                [
+                    df,
+                    pd.DataFrame(
+                        {
+                            "record_id": recs,
+                            "field": kw["field"],
+                            "subfield": _PH_SUB,
+                            "occurrence": nb,
+                            # value unique per opening so uniq/dedup
+                            # never merges two placeholders
+                            "value": "\x00%d" % nb,
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
         elif name == "vacuum":
             df = df[df["value"].notna() & (df["value"] != "")]
         elif name == "parse_text":
@@ -693,7 +731,7 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             df = pd.concat([df[~drop], *new_frames], ignore_index=True)
         elif name == "do_list":
             sel = df["field"] == kw["field"]
-            sub = apply_ops(df[sel].copy(), list(kw["ops"]))
+            sub = apply_ops(df[sel].copy(), list(kw["ops"]), _top=False)
             df = pd.concat([df[~sel], sub], ignore_index=True)
         elif name == "prepend":
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
@@ -706,6 +744,25 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             start = int(kw["start"])
             stop = start + int(kw["length"]) if "length" in kw else None
             df.loc[sel, "value"] = df.loc[sel, "value"].str.slice(start, stop)
+        elif name == "take_occurrence":
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if sel.any():
+                rows = df.loc[sel]
+                if kw.get("same_entity"):
+                    grp = _entity_key(rows)
+                else:
+                    grp = rows["record_id"]
+                nth = rows.groupby(grp, sort=False).cumcount() + 1
+                keep = pd.Series(True, index=df.index)
+                keep.loc[sel] = nth == int(kw.get("n", 1))
+                df = df[keep]
+        elif name == "unique_values":
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if sel.any():
+                dup = df.loc[sel].duplicated(subset=["record_id", "value"])
+                keep = pd.Series(True, index=df.index)
+                keep.loc[sel] = ~dup
+                df = df[keep]
         elif name == "trim":
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             df.loc[sel, "value"] = df.loc[sel, "value"].str.strip()
@@ -759,10 +816,12 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 ids = _pred_ids(df, pred) - taken
                 taken |= ids
                 m = df["record_id"].isin(ids)
-                parts.append(apply_ops(df[m].copy(), list(bops)))
+                parts.append(apply_ops(df[m].copy(), list(bops), _top=False))
             rest = df[~df["record_id"].isin(taken)]
             if kw.get("else_ops") is not None:
-                parts.append(apply_ops(rest.copy(), list(kw["else_ops"])))
+                parts.append(
+                    apply_ops(rest.copy(), list(kw["else_ops"]), _top=False)
+                )
             else:
                 parts.append(rest)
             df = pd.concat(parts, ignore_index=True)
@@ -774,14 +833,34 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             # Metafix ``do list(path, var)`` with per-ELEMENT semantics:
             # each element of the path becomes a synthetic record (id =
             # parent \x1e element ordinal) so predicates and ops inside
-            # the body see exactly the current element — the reference's
-            # loop-variable scoping (alma.fix:43-51, 191-252). Element =
-            # one occurrence (entity) for a field path, one row for a
-            # field.subfield path. Rows the body creates inherit the
-            # synthetic id and are re-parented on merge; fields OUTSIDE
-            # the path are not visible inside the body (documented
-            # parser limitation — fixparser rejects such references
-            # it can detect and the docs spell the contract out).
+            # the body see exactly the current element at the loop path
+            # — the reference's loop-variable scoping (alma.fix:43-51,
+            # 191-252). Element = one occurrence (entity) for a field
+            # path, one row for a field.subfield path.
+            #
+            # The REST of the record rides along as READ-ONLY CONTEXT
+            # (replicated per element): body predicates can test
+            # record-level fields, and rows the body creates can join a
+            # record-level entity via a ``$last`` destination — the
+            # reference's nested-loop entity construction
+            # (marc/corporateBody.fix:2-34 add_hash $append at the
+            # outer level, inner loops copying into $last). On merge,
+            # context copies are dropped; body mutations of context
+            # rows do NOT propagate (documented contract — the
+            # reference's loop bodies mutate record-level state
+            # sequentially, which a per-element-parallel engine cannot
+            # reproduce; rule corpora only ADD from inside loops).
+            # nested loops: stash an ENCLOSING loop's tracking columns
+            # under prefixed names for the duration of this op (rows
+            # this body creates surface with NaN markers, which the
+            # enclosing loop resolves via their entity siblings)
+            _hidden = ("__ctx", "__orig_occ", "__orig_field")
+            nested = [c for c in _hidden if c in df.columns]
+            if nested:
+                pfx = "__o"  # depth-unique prefix (loops nest ≥3 deep)
+                while any((pfx + c) in df.columns for c in nested):
+                    pfx += "o"
+                df = df.rename(columns={c: pfx + c for c in nested})
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             scoped = df[sel].copy()
             rest = df[~sel]
@@ -789,7 +868,12 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 if kw.get("subfield") is not None:
                     elem = np.arange(len(scoped))
                 else:
-                    elem = scoped["occurrence"].to_numpy()
+                    # dense entity code in first-appearance order — NOT
+                    # the raw occurrence: a multi-field selector
+                    # ("[17]00[013] ", personContributor.fix:3) yields
+                    # same-occurrence entities of DIFFERENT fields,
+                    # which must stay distinct elements
+                    elem = pd.factorize(_entity_key(scoped))[0]
                 syn = (
                     scoped["record_id"].astype(str)
                     + "\x1e"
@@ -799,27 +883,85 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
                 elem_no = dict(zip(syn, elem))
                 base = _fresh_base(df)
                 scoped["record_id"] = syn
-                sub = apply_ops(scoped, list(kw["ops"]))
-                # restore ELEMENT order before re-parenting: branch-major
-                # partitioning inside the body (the "if" op) must not
-                # leak into the parent's array order — the reference
-                # emits loop results in element order
-                sub = sub.assign(
-                    __elem=sub["record_id"].map(elem_no)
-                ).sort_values("__elem", kind="stable")
-                # entities created in DIFFERENT elements must stay
-                # distinct after re-parenting (each element renumbers
-                # from 0 in its synthetic record): shift per element
-                # past the parent's ids, element-major
-                if len(sub):
-                    k = int(sub["occurrence"].max()) + 1
-                    sub["occurrence"] = (
-                        base + sub["__elem"].to_numpy() * k
-                        + sub["occurrence"].to_numpy()
+                scoped["__orig_occ"] = scoped["occurrence"]
+                scoped["__orig_field"] = scoped["field"]
+                scoped["__ctx"] = False
+                # context: each element's synthetic record also carries
+                # the parent's OTHER rows (one copy per element)
+                syn_per_rec = pd.DataFrame(
+                    {"record_id": scoped["record_id"].map(parent).to_numpy(),
+                     "__syn": scoped["record_id"].to_numpy()}
+                ).drop_duplicates()
+                ctx = rest.merge(syn_per_rec, on="record_id")
+                if len(ctx):
+                    ctx["__orig_occ"] = ctx["occurrence"]
+                    ctx["__orig_field"] = ctx["field"]
+                    ctx["__ctx"] = True
+                    ctx["record_id"] = ctx.pop("__syn")
+                    body_in = pd.concat(
+                        [scoped, ctx], ignore_index=True
                     )
+                else:
+                    ctx = ctx.drop(columns="__syn")
+                    body_in = scoped
+                sub = apply_ops(body_in, list(kw["ops"]), _top=False)
+                if "__ctx" not in sub.columns:  # body emptied the frame
+                    for c in ("__ctx", "__orig_occ", "__orig_field"):
+                        sub[c] = pd.Series(dtype=object)
+                # surviving INPUT rows (loop or context) that kept
+                # their field rejoin their original entity; build the
+                # (synthetic record, field, renumbered occ) → original
+                # occ map so CREATED rows sharing an entity with them
+                # (a $last destination) join it too
+                kept = sub["__orig_occ"].notna() & (
+                    sub["field"] == sub["__orig_field"]
+                )
+                ent_map = (
+                    sub.loc[kept]
+                    .drop_duplicates(["record_id", "field", "occurrence"])
+                    .set_index(["record_id", "field", "occurrence"])["__orig_occ"]
+                )
+                created = ~kept & ~sub["__ctx"].eq(True)
+                if created.any() and len(ent_map):
+                    midx = pd.MultiIndex.from_arrays(
+                        [sub.loc[created, "record_id"],
+                         sub.loc[created, "field"],
+                         sub.loc[created, "occurrence"]]
+                    )
+                    joined = ent_map.reindex(midx).to_numpy()
+                else:
+                    joined = np.full(int(created.sum()), np.nan)
+                # restore element order (branch-major partitioning
+                # inside the body must not leak into array order), then
+                # shift the remaining created rows element-major past
+                # the parent's ids so per-element entities stay distinct
+                sub = sub.assign(__elem=sub["record_id"].map(elem_no))
+                k = int(sub["occurrence"].max()) + 1 if len(sub) else 1
+                occ = sub["occurrence"].to_numpy(dtype=np.int64, copy=True)
+                kept_np = kept.to_numpy()
+                occ[kept_np] = sub.loc[kept, "__orig_occ"].to_numpy(
+                    dtype=np.int64
+                )
+                created_np = created.to_numpy()
+                cr_occ = (
+                    base
+                    + sub.loc[created, "__elem"].to_numpy(dtype=np.int64) * k
+                    + occ[created_np]
+                )
+                has_join = ~pd.isna(joined)
+                cr_occ[has_join] = joined[has_join].astype(np.int64)
+                occ[created_np] = cr_occ
+                sub["occurrence"] = occ
+                # drop context copies; keep loop + created rows
+                sub = sub[~sub["__ctx"].eq(True)]
+                sub = sub.sort_values("__elem", kind="stable")
                 sub["record_id"] = sub["record_id"].map(parent)
-                sub = sub.drop(columns="__elem").reset_index(drop=True)
+                sub = sub.drop(
+                    columns=["__elem", "__ctx", "__orig_occ", "__orig_field"]
+                ).reset_index(drop=True)
                 df = pd.concat([rest, sub], ignore_index=True)
+            if nested:
+                df = df.rename(columns={pfx + c: c for c in nested})
         elif name == "verify_links":
             # The reference's verify_links record contract
             # (VerifyLinks.java:112-197): for each linking-entry field,
@@ -944,9 +1086,15 @@ def apply_ops(df: pd.DataFrame, ops: list[tuple[str, dict]]) -> pd.DataFrame:
             m_eq = set(m_rows.loc[m_rows["value"] == member, "record_id"])
             rec_ids = df["record_id"]
             pred = ~rec_ids.isin(has_m) | rec_ids.isin(m_eq)
-            sub = apply_ops(df[pred].copy(), list(kw["ops"]))
+            sub = apply_ops(df[pred].copy(), list(kw["ops"]), _top=False)
             df = pd.concat([sub, df[~pred]], ignore_index=True)
         df = df.reset_index(drop=True)
+    # entity placeholders (bare add_hash openings) exist only while the
+    # top-level program runs; entities that stayed empty vanish
+    if _top and len(df):
+        ph = df["subfield"] == _PH_SUB
+        if ph.any():
+            df = df[~ph]
     # Renumber occurrences ENTITY-preserving: rows sharing a
     # (record, field, occurrence) key are one entity (all subfield rows
     # of one datafield repeat — the decoders' convention) and must keep

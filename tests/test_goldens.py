@@ -1,0 +1,139 @@
+"""The reference's OWN transformation golden suites, end-to-end.
+
+TransformationTestRunner.java:21-60 derives each suite's rule file from
+the directory name under test/resources/transformation/<name>/ and runs
+input MARC-XML through the stream pipe, comparing pretty-printed JSON
+records against reference.{fix,xml}/. pipelines/goldens.py re-runs the
+same fixtures through this engine (parse_marcxml → compile → apply_ops
+→ nest) and compares structurally.
+
+Pinned here: DE-708-deposit is EXACT under the Metamorph engine
+(12/12 records structurally equal), and the Metafix engine holds a
+≥0.83 leaf-path agreement floor on the same suite (known remaining
+gaps: entity-attachment order of @-var built containers — grinding
+this to 1.0 is tracked work, the floor stops regressions).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from limetrans_ray.functions.recordops import apply_ops
+
+SUITES = "/root/reference/main/src/test/resources/transformation"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SUITES), reason="reference golden suites not mounted"
+)
+
+
+def test_de708_xml_exact():
+    from limetrans_ray.pipelines.goldens import run_suite
+
+    r = run_suite("DE-708-deposit", engine="xml")
+    assert r["records"] == 12
+    assert r["equal_records"] == 12, r["per_record"]
+    assert r["leaf_agreement"] == 1.0
+
+
+def test_de708_fix_agreement_floor():
+    from limetrans_ray.pipelines.goldens import run_suite
+
+    r = run_suite("DE-708-deposit", engine="fix")
+    assert r["records"] == 12
+    assert r["leaf_agreement"] >= 0.83, r["leaf_agreement"]
+
+
+def test_real_morph_includes_compile():
+    """maps.xml / macros.xml / common/*.xml xi:includes resolve (root
+    may be <map>/<rules>); the remaining compile boundary on the full
+    production files is the <combine>/<entity> collector family, which
+    raises the documented subset error rather than mis-compiling."""
+    from limetrans_ray.functions.morphparser import (
+        MorphCompileError,
+        compile_morph,
+    )
+
+    R = "/root/reference/main/src/main/resources/transformation"
+    with pytest.raises(MorphCompileError, match="combine|entity"):
+        compile_morph(
+            open(os.path.join(R, "DE-2382.xml"), encoding="utf-8").read(),
+            base_dir=R,
+        )
+
+
+def _rows(*tuples):
+    return pd.DataFrame(
+        tuples,
+        columns=["record_id", "field", "subfield", "occurrence", "value"],
+    )
+
+
+def test_take_occurrence_per_record():
+    df = _rows(
+        ("r1", "650", "a", 0, "x"),
+        ("r1", "650", "a", 1, "y"),
+        ("r1", "650", "a", 2, "z"),
+        ("r2", "650", "a", 0, "q"),
+    )
+    out = apply_ops(df, [("take_occurrence", {"field": "650", "subfield": "a", "n": 2})])
+    assert sorted(out["value"]) == ["y"]
+
+
+def test_take_occurrence_same_entity():
+    # two entities (occurrence 0 and 1), two 'a' rows each: only=1
+    # sameEntity keeps the FIRST per entity
+    df = _rows(
+        ("r1", "689", "a", 0, "a0-first"),
+        ("r1", "689", "a", 0, "a0-second"),
+        ("r1", "689", "a", 1, "a1-first"),
+        ("r1", "689", "a", 1, "a1-second"),
+    )
+    out = apply_ops(
+        df,
+        [("take_occurrence", {"field": "689", "subfield": "a", "n": 1,
+                              "same_entity": True})],
+    )
+    assert sorted(out["value"]) == ["a0-first", "a1-first"]
+
+
+def test_unique_values():
+    df = _rows(
+        ("r1", "041", "a", 0, "ger"),
+        ("r1", "041", "a", 1, "ger"),
+        ("r1", "041", "a", 2, "eng"),
+        ("r2", "041", "a", 0, "ger"),
+    )
+    out = apply_ops(df, [("unique_values", {"field": "041", "subfield": "a"})])
+    assert sorted(out["value"]) == ["eng", "ger", "ger"]
+
+
+def test_morph_substring_occurrence_unique_split():
+    from limetrans_ray.functions.morphparser import compile_morph
+
+    xml = """<metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
+      <rules>
+        <data source="leader" name="pos6"><substring start="6" end="7"/></data>
+        <data source="650.a" name="firstsub"><occurrence only="1"/></data>
+        <data source="041.a" name="lang"><unique/></data>
+        <data source="260.c" name="year"><split delimiter="[,-]"/><unique/></data>
+      </rules>
+    </metamorph>"""
+    ops = compile_morph(xml)
+    df = _rows(
+        ("r1", "leader", None, 0, "01234cam a22"),
+        ("r1", "650", "a", 0, "Alpha"),
+        ("r1", "650", "a", 1, "Beta"),
+        ("r1", "041", "a", 0, "ger"),
+        ("r1", "041", "a", 1, "ger"),
+        ("r1", "260", "c", 0, "1999,1999-2001"),
+    )
+    out = apply_ops(df, ops)
+    got = dict(
+        out.groupby("field")["value"].apply(lambda s: sorted(s))
+    )
+    assert got["pos6"] == ["a"]
+    assert got["firstsub"] == ["Alpha"]
+    assert got["lang"] == ["ger"]
+    assert got["year"] == ["1999", "2001"]
