@@ -425,9 +425,14 @@ def _split_selector(path: str) -> tuple[str, str | None]:
         return field, key or None
     # single-character trailing component = MARC subfield code; a
     # bracketed class selects several codes ("$i.[abcdehnpqs]",
-    # alma.fix:811)
+    # alma.fix:811). On an @-variable (internal array, no subfields) a
+    # trailing NUMERIC component is a 1-based element index
+    # (marc/extent.fix:17-29 "@300a.1"/"@300a.2") — carried to the ops
+    # as an index-selector sentinel in the subfield slot.
     if "." in p:
         head, _, last = p.rpartition(".")
+        if head.startswith("@") and last.isdigit():
+            return head, "\x00idx:" + last
         if len(last) == 1 or (last.startswith("[") and last.endswith("]")):
             return head, last
     return p, None

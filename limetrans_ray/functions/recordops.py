@@ -146,6 +146,10 @@ _KNOWN = {
 # placeholder subfield marking an opened-but-still-empty entity
 _PH_SUB = "\x00ph"
 
+# subfield-slot sentinel carrying a 1-based array-index selector
+# ("@arr.N" paths); produced by fixparser._split_selector
+_IDX_SEL = "\x00idx:"
+
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
 # conditional surface (reference alma.fix:44,177-216 if/elsif/unless
 # chains); "not" wraps any other predicate (Metafix ``unless``).
@@ -215,7 +219,16 @@ def _sel_mask(df: pd.DataFrame, field: str, subfield=None) -> pd.Series:
     else:
         m = df["field"] == field
     if subfield is not None:
-        if "?" in subfield or "|" in subfield or "[" in subfield:
+        if subfield.startswith(_IDX_SEL):
+            # 1-based element-index selector ("@arr.N", Metafix array
+            # index paths — marc/extent.fix:17-29 @300a.1/@300a.2):
+            # the Nth matching row per record, in stable row order
+            n = int(subfield[len(_IDX_SEL):])
+            pos = df.loc[m].groupby(df.loc[m, "record_id"], sort=False).cumcount()
+            keep = pos == n - 1
+            m = m.copy()
+            m.loc[m] = keep.to_numpy()
+        elif "?" in subfield or "|" in subfield or "[" in subfield:
             m = m & df["subfield"].str.fullmatch(
                 _selector_rx(subfield), na=False
             )

@@ -9,9 +9,12 @@ same fixtures through this engine (parse_marcxml → compile → apply_ops
 
 Pinned here: DE-708-deposit is EXACT under the Metamorph engine
 (12/12 records structurally equal), and the Metafix engine holds a
-≥0.83 leaf-path agreement floor on the same suite (known remaining
-gaps: entity-attachment order of @-var built containers — grinding
-this to 1.0 is tracked work, the floor stops regressions).
+≥0.85 leaf-path agreement floor on the same suite (known remaining
+gaps: document-order of loop entities after an earlier loop reordered
+the frame, loop-var entity-key destinations inside nested loops
+("$i.verifiedIdentifierForLinkingEntry[].$append"), and @facet array
+append order — grinding these to 1.0 is tracked work, the floor stops
+regressions).
 """
 
 import os
@@ -42,7 +45,7 @@ def test_de708_fix_agreement_floor():
 
     r = run_suite("DE-708-deposit", engine="fix")
     assert r["records"] == 12
-    assert r["leaf_agreement"] >= 0.83, r["leaf_agreement"]
+    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
 
 
 def test_real_morph_includes_compile():
