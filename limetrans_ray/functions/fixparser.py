@@ -432,7 +432,7 @@ def _split_selector(path: str) -> tuple[str, str | None]:
     if "." in p:
         head, _, last = p.rpartition(".")
         if head.startswith("@") and last.isdigit():
-            return head, "\x00idx:" + last
+            return head, "\x1didx:" + last
         if len(last) == 1 or (last.startswith("[") and last.endswith("]")):
             return head, last
     return p, None
@@ -449,6 +449,11 @@ def _dst_mode(path: str) -> str:
     path ("X[].$last.y[].$append") decides — deeper markers concern
     repetition WITHIN the entity, which the flat model stores as
     sibling rows anyway."""
+    if path.startswith("$") and not path.startswith("$["):
+        # loop-var-rooted destination ("$i.key[].$append"): the loop
+        # ELEMENT is the entity anchor, so the write always joins it;
+        # markers past the var concern repetition within the entity
+        return "last"
     m = _DST_MARKER_RX.search(path)
     return "append" if m is not None and m.group(1) == "append" else "last"
 
@@ -525,7 +530,18 @@ class _Compiler:
         self.shapes: dict[str, set] = {
             "array_fields": set(),
             "array_subs": set(),
+            # keys also written WITHOUT the [] marker somewhere in the
+            # program: the shape is branch-dependent (seriesStatement.fix
+            # declares $last.title[] on the 490 path while
+            # seriesAddedEntryUniformTitle.fix sets scalar $last.title on
+            # the 830 path); program-global hints can't know which branch
+            # a record takes, so a scalar write elsewhere VETOES the
+            # array hint — the runtime repetition then decides
+            "scalar_subs": set(),
         }
+        # enclosing do-list loop variables visible inside nested loop
+        # bodies: name -> (field, subfield) selector
+        self._outer_loops: dict[str, tuple] = {}
 
     def _note_shape(self, path: str, field: str, sub) -> None:
         if "[]" not in path:
@@ -539,6 +555,8 @@ class _Compiler:
             self.shapes["array_fields"].add(field)
         if sub is not None and (sub + "[]") in segs:
             self.shapes["array_subs"].add((field, sub))
+        elif sub is not None and sub in segs:
+            self.shapes["scalar_subs"].add((field, sub))
 
     def _load_map_guarded(self, mname: str, path: str, line: int, loader):
         """Register map ``mname`` from ``loader()``; a missing/unreadable
@@ -633,7 +651,15 @@ class _Compiler:
 
     # -- path resolution ----------------------------------------------
     def _resolve_path(self, path, loopvar, loop_sel, line):
-        """A path arg → (field, subfield), mapping the loop variable."""
+        """A path arg → (field, subfield), mapping the loop variable
+        (current first, then any enclosing loop's)."""
+        if loopvar is None or not (
+            path == loopvar or path.startswith(loopvar + ".")
+        ):
+            for outer, outer_sel in reversed(self._outer_loops.items()):
+                if path == outer or path.startswith(outer + "."):
+                    loopvar, loop_sel = outer, outer_sel
+                    break
         if loopvar is not None and (path == loopvar or path.startswith(loopvar + ".")):
             lf, ls = loop_sel
             if path == loopvar:
@@ -650,11 +676,23 @@ class _Compiler:
                     f"line {line}: loop var {loopvar} is a value path; "
                     f"{path!r} cannot select a subfield of it"
                 )
+            if "." in suffix:
+                # marker-chained key ("$i.verifiedIdentifierForLinking
+                # Entry[].$append", DE-708-deposit.fix:81): drop the
+                # $append/$last/$first segments, keep the key
+                segs = [
+                    s for s in suffix.split(".")
+                    if s not in ("$append", "$last", "$first")
+                ]
+                suffix = ".".join(segs)
             if suffix.endswith("[]"):
                 # array-marked subfield key ("$i.controlNumber[]",
-                # DE-708-deposit.fix:80) — the marker is a shape hint
+                # DE-708-deposit.fix:80) — the marker is a shape hint;
+                # an alternation loop selector hints each alternative
+                # (the nester sees concrete field names)
                 suffix = suffix[:-2]
-                self.shapes["array_subs"].add((lf, suffix))
+                for alt in lf.split("|"):
+                    self.shapes["array_subs"].add((alt, suffix))
             return lf, suffix
         if loopvar is None and path.startswith("$") and not path.startswith("$["):
             raise FixCompileError(
@@ -781,7 +819,16 @@ class _Compiler:
             path = self._sub(path, line)
             field, sub = self._resolve_path(path, loopvar, loop_sel, line)
             inner: list = []
-            self._compile_body(body, inner, var, (field, sub))
+            # enclosing loop vars stay visible inside the body
+            # (DE-708-deposit.fix:78-82 pastes into the OUTER "$i."
+            # entity from within the inner "$j" loop)
+            if loopvar is not None:
+                self._outer_loops[loopvar] = loop_sel
+            try:
+                self._compile_body(body, inner, var, (field, sub))
+            finally:
+                if loopvar is not None:
+                    self._outer_loops.pop(loopvar, None)
             kw = {"field": field, "ops": inner}
             if sub is not None:
                 kw["subfield"] = sub
@@ -1330,6 +1377,9 @@ def compile_fix(
     if warnings is not None:
         warnings.extend(comp.warnings)
     if shapes is not None:
+        # scalar writes veto conflicting array hints (branch-dependent
+        # shape — see the scalar_subs comment in _Compiler.__init__)
+        comp.shapes["array_subs"] -= comp.shapes["scalar_subs"]
         for k, v in comp.shapes.items():
             shapes.setdefault(k, set()).update(v)
     return ops

@@ -144,11 +144,11 @@ _KNOWN = {
 }
 
 # placeholder subfield marking an opened-but-still-empty entity
-_PH_SUB = "\x00ph"
+_PH_SUB = "\x1dph"
 
 # subfield-slot sentinel carrying a 1-based array-index selector
 # ("@arr.N" paths); produced by fixparser._split_selector
-_IDX_SEL = "\x00idx:"
+_IDX_SEL = "\x1didx:"
 
 # predicates usable in ("if", {"pred": (name, kw), ...}) — the Metafix
 # conditional surface (reference alma.fix:44,177-216 if/elsif/unless
@@ -327,8 +327,8 @@ def _entity_key(df: pd.DataFrame) -> pd.Series:
     entity (a repeated field's occurrence groups its subfield rows)."""
     return (
         df["record_id"].astype(str)
-        + "\x00" + df["field"].astype(str)
-        + "\x00" + df["occurrence"].astype(str)
+        + "\x1d" + df["field"].astype(str)
+        + "\x1d" + df["occurrence"].astype(str)
     )
 
 
@@ -346,7 +346,7 @@ def _last_entity_occ(
     """Occurrence values attaching rows to the LAST existing entity of
     ``dst_field`` per record (Metafix ``$last`` / plain-dotted-path
     getOrCreate semantics); records without one get a fresh entity."""
-    existing = df.loc[df["field"] == dst_field]
+    existing = df.loc[_sel_mask(df, dst_field)]
     last = existing.groupby("record_id")["occurrence"].max()
     return rec_ids.map(last).fillna(fresh).astype(np.int64)
 
@@ -497,13 +497,27 @@ def apply_ops(
                     if kw.get("dst_mode") == "last"
                     else _fresh_base(df)
                 )
+                dstf = kw["dst"]
+                if "|" in dstf or "?" in dstf or "[" in dstf:
+                    # selector destination (loop-var dst "$i.key" —
+                    # the loop element's CONCRETE field varies per
+                    # record; each loop record has exactly one match)
+                    fmap = (
+                        df.loc[_sel_mask(df, dstf)]
+                        .groupby("record_id")["field"].first()
+                    )
+                    field_col = (
+                        joined.index.to_series().map(fmap).to_numpy()
+                    )
+                else:
+                    field_col = dstf
                 df = pd.concat(
                     [
                         df,
                         pd.DataFrame(
                             {
                                 "record_id": joined.index,
-                                "field": kw["dst"],
+                                "field": field_col,
                                 "subfield": kw.get("dst_sub"),
                                 "occurrence": occ,
                                 "value": joined.to_numpy(),
@@ -513,11 +527,38 @@ def apply_ops(
                     ignore_index=True,
                 )
         elif name == "uniq":
+            # Metafix uniq dedups whole array ELEMENTS: an entity (rows
+            # sharing record/field/occurrence) is dropped iff an EARLIER
+            # entity of the same record+field carries the identical
+            # (subfield, value) multiset — two linking entries with the
+            # same mainEntryHeading but different titles both survive
+            # (_linkingEntry.fix:22 uniq("$[target][]")). Single-row
+            # entities degrade to plain value dedup.
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
-            dup = df[sel].duplicated(["record_id", "subfield", "value"])
-            drop = sel.copy()
-            drop.loc[sel] = dup
-            df = df[~drop]
+            rows = df.loc[sel]
+            if len(rows):
+                k = (
+                    rows["record_id"].astype(str) + "\x1d"
+                    + rows["field"].astype(str) + "\x1d"
+                    + rows["occurrence"].astype(str)
+                )
+                sv = (
+                    rows["subfield"].fillna("") + "\x1e"
+                    + rows["value"].astype(str)
+                )
+                tmp = pd.DataFrame({"k": k, "sv": sv}).sort_values(
+                    ["k", "sv"], kind="mergesort"
+                )
+                sigs = tmp.groupby("k", sort=False)["sv"].agg("\x1f".join)
+                ent_first = rows.assign(__k=k).drop_duplicates("__k")
+                dup = ent_first.assign(
+                    __sig=ent_first["__k"].map(sigs)
+                ).duplicated(["record_id", "field", "__sig"])
+                drop_keys = set(ent_first.loc[dup.to_numpy(), "__k"])
+                if drop_keys:
+                    mask = sel.copy()
+                    mask.loc[sel] = k.isin(drop_keys).to_numpy()
+                    df = df[~mask]
         elif name == "join_field":
             # Metafix join_field(path, separator): the field's repeated
             # values collapse to ONE row per (record, field path) — a '?'
@@ -528,7 +569,7 @@ def apply_ops(
             if sel.any():
                 jc = kw.get("join_char", "")
                 subset = df.loc[sel]
-                sub_key = subset["subfield"].fillna("\x00")
+                sub_key = subset["subfield"].fillna("\x1d")
                 joined = (
                     subset["value"]
                     .fillna("")  # null leaves join like empty strings
@@ -542,7 +583,7 @@ def apply_ops(
                     ["record_id", "field", "subfield"]
                 ).copy()
                 midx = pd.MultiIndex.from_arrays(
-                    [rep["record_id"], rep["field"], rep["subfield"].fillna("\x00")]
+                    [rep["record_id"], rep["field"], rep["subfield"].fillna("\x1d")]
                 )
                 rep["value"] = joined.reindex(midx).to_numpy()
                 df = pd.concat(
@@ -678,7 +719,7 @@ def apply_ops(
                             "occurrence": nb,
                             # value unique per opening so uniq/dedup
                             # never merges two placeholders
-                            "value": "\x00%d" % nb,
+                            "value": "\x1d%d" % nb,
                         }
                     ),
                 ],
@@ -867,7 +908,7 @@ def apply_ops(
             # under prefixed names for the duration of this op (rows
             # this body creates surface with NaN markers, which the
             # enclosing loop resolves via their entity siblings)
-            _hidden = ("__ctx", "__orig_occ", "__orig_field")
+            _hidden = ("__ctx", "__orig_occ", "__orig_field", "__pos")
             nested = [c for c in _hidden if c in df.columns]
             if nested:
                 pfx = "__o"  # depth-unique prefix (loops nest ≥3 deep)
@@ -899,6 +940,13 @@ def apply_ops(
                 scoped["__orig_occ"] = scoped["occurrence"]
                 scoped["__orig_field"] = scoped["field"]
                 scoped["__ctx"] = False
+                # frame position: surviving rows merge back IN PLACE so
+                # DOCUMENT order survives the loop (an earlier loop must
+                # not reorder elements a later loop iterates —
+                # DE-708-deposit.fix:63-65 strips 260.c in one loop,
+                # then publisherName.fix:2 iterates "260??|264?[ 13]"
+                # expecting the 260 entity first)
+                scoped["__pos"] = scoped.index.to_numpy()
                 # context: each element's synthetic record also carries
                 # the parent's OTHER rows (one copy per element)
                 syn_per_rec = pd.DataFrame(
@@ -919,7 +967,8 @@ def apply_ops(
                     body_in = scoped
                 sub = apply_ops(body_in, list(kw["ops"]), _top=False)
                 if "__ctx" not in sub.columns:  # body emptied the frame
-                    for c in ("__ctx", "__orig_occ", "__orig_field"):
+                    for c in ("__ctx", "__orig_occ", "__orig_field",
+                              "__pos"):
                         sub[c] = pd.Series(dtype=object)
                 # surviving INPUT rows (loop or context) that kept
                 # their field rejoin their original entity; build the
@@ -966,13 +1015,30 @@ def apply_ops(
                 occ[created_np] = cr_occ
                 sub["occurrence"] = occ
                 # drop context copies; keep loop + created rows
+                sub = sub.assign(__kept=kept_np)
                 sub = sub[~sub["__ctx"].eq(True)]
                 sub = sub.sort_values("__elem", kind="stable")
                 sub["record_id"] = sub["record_id"].map(parent)
+                # merge back IN PLACE: only surviving INPUT rows return
+                # to their frame position; rows the body created —
+                # including COPIES, which inherit the source row's
+                # tracking columns — append after all existing rows,
+                # element-major (sorted by __elem above)
+                pos = sub["__pos"].to_numpy(dtype=float)
+                pos[~sub["__kept"].to_numpy(dtype=bool)] = np.nan
+                pos[np.isnan(pos)] = float(len(df))
+                sub["__pos"] = pos
                 sub = sub.drop(
-                    columns=["__elem", "__ctx", "__orig_occ", "__orig_field"]
+                    columns=["__elem", "__ctx", "__orig_occ",
+                             "__orig_field", "__kept"]
                 ).reset_index(drop=True)
-                df = pd.concat([rest, sub], ignore_index=True)
+                rest = rest.assign(__pos=rest.index.to_numpy(dtype=float))
+                df = (
+                    pd.concat([rest, sub], ignore_index=True)
+                    .sort_values("__pos", kind="stable")
+                    .drop(columns="__pos")
+                    .reset_index(drop=True)
+                )
             if nested:
                 df = df.rename(columns={pfx + c: c for c in nested})
         elif name == "verify_links":
@@ -1065,8 +1131,14 @@ def apply_ops(
             src_s = kw.get("source_sub", f"identifier{t}")
             sel = _sel_mask(df, src_f, src_s)
             src = df[sel]
-            if "source_idx" in kw:
-                src = src[src["occurrence"] == kw["source_idx"]]
+            if "source_idx" in kw and len(src):
+                # 1-based element index WITHIN each entity's source
+                # array (identifierISBN[].1 — _linkingEntry.fix:18),
+                # not a raw occurrence value
+                pos = src.groupby(
+                    _entity_key(src), sort=False
+                ).cumcount()
+                src = src[pos == int(kw["source_idx"]) - 1]
             new_rows = []
             for _, r in src.iterrows():
                 norm = _stdnum(str(r["value"]), t)
@@ -1086,9 +1158,10 @@ def apply_ops(
                         {**base, "subfield": f"variant{t}", "value": v}
                     )
             if new_rows:
+                # concat aligns columns: loop-tracking columns (inside
+                # a do-list body) fill NaN, marking the rows as created
                 df = pd.concat(
-                    [df, pd.DataFrame(new_rows)[df.columns.tolist()]],
-                    ignore_index=True,
+                    [df, pd.DataFrame(new_rows)], ignore_index=True
                 )
         elif name == "if_member_local":
             # MemberLocal.java:24-34: predicate true when field.M is
@@ -1118,9 +1191,9 @@ def apply_ops(
     df = df.reset_index(drop=True)
     if len(df):
         grp_key = (
-            df["record_id"].astype(str) + "\x00" + df["field"].astype(str)
+            df["record_id"].astype(str) + "\x1d" + df["field"].astype(str)
         ).to_numpy()
-        ent_key = grp_key + ("\x00" + df["occurrence"].astype(str)).to_numpy()
+        ent_key = grp_key + ("\x1d" + df["occurrence"].astype(str)).to_numpy()
         codes = pd.factorize(ent_key)[0]
         first = ~pd.Series(codes).duplicated().to_numpy()
         rank_at_first = (

@@ -7,14 +7,11 @@ records against reference.{fix,xml}/. pipelines/goldens.py re-runs the
 same fixtures through this engine (parse_marcxml → compile → apply_ops
 → nest) and compares structurally.
 
-Pinned here: DE-708-deposit is EXACT under the Metamorph engine
-(12/12 records structurally equal), and the Metafix engine holds a
-≥0.85 leaf-path agreement floor on the same suite (known remaining
-gaps: document-order of loop entities after an earlier loop reordered
-the frame, loop-var entity-key destinations inside nested loops
-("$i.verifiedIdentifierForLinkingEntry[].$append"), and @facet array
-append order — grinding these to 1.0 is tracked work, the floor stops
-regressions).
+Pinned here: DE-708-deposit is EXACT under BOTH engines — 12/12
+records structurally equal, leaf agreement 1.0 (Metamorph since round
+5 start; Metafix after in-place loop merges, nested-loop entity
+destinations, entity-level uniq, @arr.N index selectors, element-rank
+standard_number sources, and the NUL-safe hash keys).
 """
 
 import os
@@ -40,12 +37,15 @@ def test_de708_xml_exact():
     assert r["leaf_agreement"] == 1.0
 
 
-def test_de708_fix_agreement_floor():
+def test_de708_fix_exact():
     from limetrans_ray.pipelines.goldens import run_suite
 
     r = run_suite("DE-708-deposit", engine="fix")
     assert r["records"] == 12
-    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
+    assert r["equal_records"] == 12, [
+        p for p in r["per_record"] if not p["equal"]
+    ]
+    assert r["leaf_agreement"] == 1.0
 
 
 def test_real_morph_includes_compile():
