@@ -54,7 +54,9 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
+def parse_marcxml(
+    text: str, *, id_prefix: str = "record", unique_ids: bool = False
+) -> list[dict]:
     """Parse a MARC-XML blob (a single <record> or any element tree
     containing <record> descendants, e.g. <collection>) into flat rows.
 
@@ -62,7 +64,9 @@ def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
     controlfield — callers decoding many blobs MUST pass a per-blob
     prefix (decode_batch derives one from the blob content hash) or
     id-less records from different blobs would collide on
-    ``record-0``."""
+    ``record-0``. ``unique_ids=True`` ignores 001 and keys every record
+    by position — required when distinct records share a 001 (the
+    reference's DE-2382 test inputs reuse 001="1")."""
     root = ET.fromstring(text)
     records = (
         [root]
@@ -73,10 +77,11 @@ def parse_marcxml(text: str, *, id_prefix: str = "record") -> list[dict]:
     for ri, rec in enumerate(records):
         # first pass: the record id from controlfield 001
         record_id = f"{id_prefix}-{ri}"
-        for el in rec:
-            if _local(el.tag) == "controlfield" and el.get("tag") == "001":
-                record_id = (el.text or "").strip() or record_id
-                break
+        if not unique_ids:
+            for el in rec:
+                if _local(el.tag) == "controlfield" and el.get("tag") == "001":
+                    record_id = (el.text or "").strip() or record_id
+                    break
         occ: dict[str, int] = {}  # per-FIELD entity counter
 
         def emit(field: str, sub: str | None, value: str, n: int) -> None:

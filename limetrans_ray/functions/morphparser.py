@@ -76,6 +76,8 @@ class _MorphCompiler:
         self.ops: list = []
         self.out_fields: list[str] = []
         self.keep_all = False
+        self.rule_els: list = []   # rules gathered across includes
+        self.shapes: dict = {"array_fields": set(), "array_subs": set()}
 
     # -- var substitution ($[name], the reference's Metamorph syntax)
     def _sub(self, s: str | None) -> str | None:
@@ -102,6 +104,23 @@ class _MorphCompiler:
         if _tag(root) != "metamorph":
             raise MorphCompileError(f"root element is {_tag(root)!r}")
         self._walk_children(root)
+        from .morphstream import (
+            compile_stream_rules,
+            has_collectors,
+            spec_shapes,
+        )
+
+        if has_collectors(self.rule_els, _tag, self.macros):
+            # collector programs run as ONE per-record event machine
+            # (functions/morphstream.py) — Metamorph's own execution
+            # model; the vectorized path below stays the fast path for
+            # plain data-rule programs
+            spec = compile_stream_rules(self, self.rule_els)
+            for k, v in spec_shapes(spec).items():
+                self.shapes[k].update(v)
+            return [("morph_stream", {"spec": spec})]
+        for rule in self.rule_els:
+            self._compile_rule(rule)
         if not self.keep_all:
             self.ops.append(
                 ("retain", {"fields": list(dict.fromkeys(self.out_fields)),
@@ -131,8 +150,7 @@ class _MorphCompiler:
             elif t in ("macros", "maps", "metamorph"):
                 self._walk_children(child)
             elif t == "rules":
-                for rule in child:
-                    self._compile_rule(rule)
+                self.rule_els.extend(list(child))
             else:
                 raise MorphCompileError(f"unsupported top-level <{t}>")
 
@@ -155,8 +173,7 @@ class _MorphCompiler:
                     for e in root if _tag(e) == "entry"
                 }
             elif t == "rules":
-                for rule in root:
-                    self._compile_rule(rule)
+                self.rule_els.extend(list(root))
             else:
                 self._walk_children(root)
         finally:
@@ -173,10 +190,11 @@ class _MorphCompiler:
             if name not in self.macros:
                 raise MorphCompileError(f"unknown macro {name!r}")
             saved = self.vars
+            # ALL attributes become macro vars — including "name"
+            # (macros.xml personName uses $[name] as the literal name)
             self.vars = {
                 **self.vars,
-                **{k: self._sub(v) for k, v in rule.attrib.items()
-                   if k != "name"},
+                **{k: self._sub(v) for k, v in rule.attrib.items()},
             }
             try:
                 for inner in self.macros[name]:
@@ -416,11 +434,18 @@ def compile_morph(
     vars: dict[str, str] | None = None,
     base_dir: str | None = None,
     maps: dict[str, dict] | None = None,
+    shapes: dict | None = None,
 ) -> list[tuple[str, dict]]:
     """Metamorph XML text → RecordOps op-list (ready for
-    :class:`~limetrans_ray.functions.recordops.RecordOps`)."""
+    :class:`~limetrans_ray.functions.recordops.RecordOps`). Pass a dict
+    as ``shapes`` to collect []-declared array hints for the JSON sink
+    (mirrors fixparser.compile_fix)."""
     comp = _MorphCompiler(vars=vars, base_dir=base_dir, maps=maps)
-    return comp.compile(ET.fromstring(text))
+    ops = comp.compile(ET.fromstring(text))
+    if shapes is not None:
+        for k, v in comp.shapes.items():
+            shapes.setdefault(k, set()).update(v)
+    return ops
 
 
 def load_morph(path: str, **kwargs) -> list[tuple[str, dict]]:

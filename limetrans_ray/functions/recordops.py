@@ -136,6 +136,10 @@ _KNOWN = {
     # unique_values — Metamorph <unique/>: drop repeated values of the
     #   selected source within a record, first wins
     "take_occurrence", "unique_values",
+    # morph_stream — a whole Metamorph collector program as one
+    #   per-record event machine (functions/morphstream.py): REPLACES
+    #   the record's rows with the program's whitelist output
+    "morph_stream",
     # new_entity — OPEN a fresh entity of a field (bare Metafix
     # ``add_hash("X[].$append")``): a placeholder row that $last
     # destinations join; placeholders are dropped when the TOP-LEVEL
@@ -724,6 +728,34 @@ def apply_ops(
                     ),
                 ],
                 ignore_index=True,
+            )
+        elif name == "morph_stream":
+            from .morphstream import MorphStream, flatten_outputs
+
+            engine = MorphStream(kw["spec"])
+            out_rows: list[dict] = []
+            for rid, grp in df.groupby("record_id", sort=False):
+                lits = []
+                for field, sub, occ, val in zip(
+                    grp["field"], grp["subfield"],
+                    grp["occurrence"], grp["value"],
+                ):
+                    path = (
+                        f"{field}.{sub}"
+                        if sub is not None and not pd.isna(sub)
+                        else str(field)
+                    )
+                    lits.append((path, val, (field, occ)))
+                outputs = engine.run_record(lits)
+                out_rows.extend(flatten_outputs(outputs, rid))
+            df = (
+                pd.DataFrame(
+                    out_rows,
+                    columns=["record_id", "field", "subfield",
+                             "occurrence", "value"],
+                )
+                if out_rows
+                else df.iloc[0:0]
             )
         elif name == "vacuum":
             df = df[df["value"].notna() & (df["value"] != "")]

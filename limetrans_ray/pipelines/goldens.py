@@ -103,7 +103,9 @@ def run_fix_fixture(
 
         rules = os.path.join(RULES_DIR, suite + ".xml")
         ops = compile_morph(
-            open(rules, encoding="utf-8").read(), base_dir=RULES_DIR
+            open(rules, encoding="utf-8").read(),
+            base_dir=RULES_DIR,
+            shapes=shapes,
         )
 
     from ..functions.recordops import apply_ops
@@ -111,7 +113,7 @@ def run_fix_fixture(
     out: list[Any] = []
     for name in inputs:
         text = open(os.path.join(input_dir, name), encoding="utf-8").read()
-        rows = parse_marcxml(text, id_prefix=name)
+        rows = parse_marcxml(text, id_prefix=name, unique_ids=True)
         if not rows:
             continue
         df = pd.DataFrame(rows)

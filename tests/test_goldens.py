@@ -48,22 +48,26 @@ def test_de708_fix_exact():
     assert r["leaf_agreement"] == 1.0
 
 
-def test_real_morph_includes_compile():
-    """maps.xml / macros.xml / common/*.xml xi:includes resolve (root
-    may be <map>/<rules>); the remaining compile boundary on the full
-    production files is the <combine>/<entity> collector family, which
-    raises the documented subset error rather than mis-compiling."""
-    from limetrans_ray.functions.morphparser import (
-        MorphCompileError,
-        compile_morph,
-    )
+def test_real_morph_collector_programs_compile():
+    """The full production Metamorph programs — collectors, includes,
+    macros, maps — compile to the stream op and the four common-include
+    suites hold leaf-agreement floors against their own goldens (exact
+    counts tracked in COVERAGE.md; floors stop regressions)."""
+    from limetrans_ray.functions.morphparser import compile_morph
+    from limetrans_ray.pipelines.goldens import run_suite
 
     R = "/root/reference/main/src/main/resources/transformation"
-    with pytest.raises(MorphCompileError, match="combine|entity"):
-        compile_morph(
-            open(os.path.join(R, "DE-2382.xml"), encoding="utf-8").read(),
-            base_dir=R,
-        )
+    ops = compile_morph(
+        open(os.path.join(R, "DE-2382.xml"), encoding="utf-8").read(),
+        base_dir=R,
+    )
+    assert [n for n, _kw in ops] == ["morph_stream"]
+
+    r = run_suite("DE-2524", engine="xml")
+    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
+    r = run_suite("DE-2382", engine="xml")
+    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
+    assert r["equal_records"] >= 20
 
 
 def _rows(*tuples):

@@ -166,9 +166,16 @@ def test_if_guard_and_case():
     assert _got(out) == [("r1", "Title", "", 0, "BUCH")]
 
 
-def test_entity_raises_subset_boundary():
+def test_entity_compiles_to_stream_op():
+    # collector rules switch the whole program to the event-machine op
+    # (functions/morphstream.py); plain data programs keep the
+    # vectorized path
     xml = """<metamorph xmlns="http://www.culturegraph.org/metamorph">
-      <rules><entity name="E"><data source="x"/></entity></rules>
+      <rules><entity name="E" flushWith="record"><data source="x" name="k"/></entity></rules>
     </metamorph>"""
-    with pytest.raises(MorphCompileError, match="entity"):
-        compile_morph(xml)
+    ops = compile_morph(xml)
+    assert [n for n, _kw in ops] == ["morph_stream"]
+    df = _rows(("r1", "x", None, 0, "v"))
+    out = apply_ops(df, ops)
+    got = _got(out)
+    assert got == [("r1", "E", "k", 0, "v")]
