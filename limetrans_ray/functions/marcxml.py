@@ -113,7 +113,14 @@ def parse_marcxml(
                 n = next_occ(field)  # one entity per <datafield>
                 for sf in el:
                     if _local(sf.tag) == "subfield":
-                        emit(field, sf.get("code", ""), sf.text or "", n)
+                        # MarcXmlHandler trims subfield text (observed
+                        # in the reference's transformation goldens:
+                        # DE-2382 505 $t carries trailing spaces in the
+                        # input but single-space concatenations in the
+                        # expected output); leader/controlfields keep
+                        # positional whitespace
+                        emit(field, sf.get("code", ""),
+                             (sf.text or "").strip(), n)
     return rows
 
 

@@ -425,7 +425,7 @@ class _Node:
                 and not self.flush_record:
             # default combine: emit as soon as all parts are present
             if all(p in self.values for p in self.parts):
-                self.emit(ctx, sink)
+                self.emit(ctx, sink, keep_on_cond_fail=True)
         return took
 
     def _child_sink(self, i, ctx):
@@ -497,6 +497,10 @@ class _Node:
             return [kw["prefix"] + v + kw["postfix"]]
         if tname == "substring":
             start, end = kw["start"], kw["end"]
+            # Java String.substring THROWS beyond the string; Metamorph
+            # drops the value (008 language bytes on short fields)
+            if start > len(v) or (end > 0 and end > len(v)):
+                return []
             return [v[start:end] if end > 0 else v[start:]]
         if tname == "lookup":
             table = ctx.maps.get(kw["map"], {})
@@ -527,16 +531,28 @@ class _Node:
     # -- flushing --------------------------------------------------------
     _parent_sink = None  # set by parent before flush/emit
 
-    def emit(self, ctx: _Ctx, sink):
-        """Produce this collector's output literal(s) into sink."""
+    def emit(self, ctx: _Ctx, sink, keep_on_cond_fail=False):
+        """Produce this collector's output literal(s) into sink (a
+        None sink — condition position — still resets state)."""
         if sink is None:
+            self._post_emit()
             return
         if self.cond is not None and not self.cond.ok():
-            self._post_emit()
+            # a completion-driven combine RETAINS its parts when the
+            # condition is not yet satisfied — the trigger literal may
+            # precede the condition's source (DE-836 TypeMedia.xml
+            # record 2: 001 before 007) and the emission then happens
+            # at a later entity end
+            if not keep_on_cond_fail:
+                self._post_emit()
             return
         if self.kind == "entity":
             if self.collected:
                 sink(self.name or "", dict_entity(self.collected))
+            # (name [] marks pass through; the flattener interprets
+            # them on ENTITY values only — a scalar literal named
+            # "abstract[]" keeps its brackets, matching the
+            # reference's Metamorph JsonEncoder output)
         elif self.kind == "combine":
             if all(p in self.values for p in self.parts):
                 out = self.spec.get("value", "")
@@ -553,8 +569,10 @@ class _Node:
                      self.spec.get("delim", "").join(
                          str(v) for _n, v in self.collected))
         elif self.kind == "bool":
-            if self.ok() and (self.name is not None
-                              or self.spec.get("value") is not None):
+            # fires whenever the condition holds — a nameless bool in
+            # condition position still registers the hit with its
+            # parent (personCreator.xml:8-15 <any><none .../>...)
+            if self.ok():
                 sink(self.name or "", self.spec.get("value", ""))
         self._post_emit()
 
@@ -564,6 +582,16 @@ class _Node:
         self.choice = None
         self.child_hits = [False] * len(self.children)
         self.hit = False
+
+    def _combine_complete(self, ctx: _Ctx, sink):
+        """A flush-less combine emits the moment its parts complete —
+        including when the completing part arrives from a CHILD
+        collector flushing (the Extent choose-fed combine,
+        fields-1.xml:352-392)."""
+        if self.kind == "combine" and self.flush_rx is None \
+                and not self.flush_record and self.hit \
+                and all(p in self.values for p in self.parts):
+            self.emit(ctx, sink, keep_on_cond_fail=True)
 
     def on_entity_end(self, ent_paths: set[str], ctx: _Ctx, sink):
         """Source-entity end: flush flushWith-matching collectors and
@@ -578,8 +606,11 @@ class _Node:
 
         for i, ch in enumerate(self.children):
             ch.on_entity_end(ent_paths, ctx, self._child_sink(i, ctx))
-        if self.cond is not None:
-            self.cond.on_entity_end(ent_paths, ctx, None)
+        self._combine_complete(ctx, sink)
+        # flush SELF before ticking the condition: the condition's own
+        # flush/reset must not clear the state this emission consults
+        # (fields-1.xml:133-142 <any flushWith="100..."> guarding the
+        # person entity that flushes on the same boundary)
         if self.flush_rx is not None and any(
             self.flush_rx.match(p) for p in ent_paths
         ):
@@ -588,6 +619,8 @@ class _Node:
             if self.cond is not None:
                 self.cond.reset_scope()
             self.reset_scope()
+        if self.cond is not None:
+            self.cond.on_entity_end(ent_paths, ctx, None)
 
     def on_record_end(self, ctx: _Ctx, sink):
         if self.kind == "data":
@@ -595,13 +628,14 @@ class _Node:
 
         for i, ch in enumerate(self.children):
             ch.on_record_end(ctx, self._child_sink(i, ctx))
-        if self.cond is not None:
-            self.cond.on_record_end(ctx, None)
+        self._combine_complete(ctx, sink)
         if self.flush_record or (
             self.flush_rx is None and self.kind in
             ("entity", "choose", "concat", "bool")
         ):
             self.emit(ctx, sink)
+        if self.cond is not None:
+            self.cond.on_record_end(ctx, None)
 
 
 def dict_entity(collected: list[tuple[str, Any]]) -> list:
@@ -651,13 +685,18 @@ class MorphStream:
             # feedback literals re-enter the stream; each @literal is
             # its own one-literal "entity", so flushWith="@x"
             # collectors (fields-1.xml:10 RecordIdentifier) flush
-            # right after it is dispatched
+            # right after it is dispatched. The CASCADE a literal
+            # triggers (lookup chains @language_source →
+            # @language_long, fields-1.xml:64-79) completes before the
+            # literal's own entity-end fires — Metamorph receivers run
+            # synchronously within the upstream literal
             while pending:
                 n, v = pending.pop(0)
                 if not isinstance(v, str):
                     continue  # @-named entity: no feedback form
                 for r in self.roots:
                     r.receive(n, v, ctx, top_sink_for(r))
+                drain()
                 for r in self.roots:
                     r.on_entity_end({n}, ctx, top_sink_for(r))
 
@@ -725,7 +764,10 @@ def flatten_outputs(outputs, record_id, shapes=None):
 
     def entity_rows(field, occ, key_prefix, pairs):
         for name, value in pairs:
-            base, arr = _strip_mark(name)
+            if _is_pairs(value):
+                base, arr = _strip_mark(name)
+            else:
+                base, arr = (name or ""), False
             key = _join(key_prefix, base)
             if _is_pairs(value):
                 if arr and key:
@@ -743,7 +785,10 @@ def flatten_outputs(outputs, record_id, shapes=None):
     _seen_sub_arrays: set = set()
 
     for name, value in outputs:
-        base, arr = _strip_mark(name)
+        if _is_pairs(value):
+            base, arr = _strip_mark(name)
+        else:
+            base, arr = (name or ""), False
         if arr:
             note_field_array(base)
         if _is_pairs(value):
@@ -789,6 +834,8 @@ def spec_shapes(spec: dict) -> dict:
 
     def walk(node, field, prefix):
         name = node.get("name")
+        if node.get("kind") != "entity":
+            name = None
         base, arr = _strip_mark(name) if name is not None else ("", False)
         if field is None:
             # top-level rule: its name is the FIELD
