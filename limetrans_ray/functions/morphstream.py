@@ -366,10 +366,12 @@ class _Node:
             _Node(c, maps) for c in spec.get("children", ())
         ]
         flush = spec.get("flush")
-        self.flush_record = flush == "record"
-        self.flush_rx = (
-            _sel_rx(flush) if flush and flush != "record" else None
-        )
+        # "record" may be ONE ALTERNATIVE of a flushWith selector
+        # ("880??.a|record", DE-2382.xml title concat)
+        alts = flush.split("|") if flush else []
+        self.flush_record = "record" in alts
+        path_alts = [a for a in alts if a != "record"]
+        self.flush_rx = _sel_rx("|".join(path_alts)) if path_alts else None
         self.same = bool(spec.get("same"))
         self.reset_on_emit = bool(spec.get("reset"))
         if self.kind == "data":
@@ -388,6 +390,7 @@ class _Node:
         self.seen: set = set()          # unique
         self.occ_count = 0              # occurrence (record scope)
         self.choice = None              # choose winner (idx, name, value)
+        self.fired = False              # bool any/all one-shot latch
         self.emitted = False
         if self.cond is not None:
             self.cond.reset_record()
@@ -395,12 +398,17 @@ class _Node:
             ch.reset_record()
 
     def reset_scope(self):
-        """sameEntity window reset (source-entity end)."""
+        """sameEntity window reset (source-entity end) — nested bool
+        children share the window."""
         self.collected = []
         self.values = {}
         self.hit = False
         self.choice = None
+        self.fired = False
         self.child_hits = [False] * len(self.children)
+        for ch in self.children:
+            if ch.kind == "bool":
+                ch.reset_scope()
 
     # -- receiving -----------------------------------------------------
     def receive(self, path: str, value: str, ctx: _Ctx, sink) -> bool:
@@ -421,11 +429,17 @@ class _Node:
         for i, ch in enumerate(self.children):
             if ch.receive(path, value, ctx, self._child_sink(i, ctx)):
                 took = True
-        if took and self.kind == "combine" and not self.flush_rx \
-                and not self.flush_record:
-            # default combine: emit as soon as all parts are present
-            if all(p in self.values for p in self.parts):
-                self.emit(ctx, sink, keep_on_cond_fail=True)
+        # <any>/<all> fire the moment they become satisfied
+        if self.kind == "bool" and not self.fired \
+                and self.spec.get("mode", "any") != "none" and self.ok():
+            self.fired = True
+            sink(self.name or "", self.spec.get("value", ""))
+        # a completion-driven combine emits the MOMENT its parts are
+        # complete AND its condition holds — including when the
+        # deciding input is a condition literal arriving after the
+        # trigger (facets.xml Landkarte-before-Bild emission order on a
+        # single 006 field depends on this firing per literal)
+        self._combine_complete(ctx, sink)
         return took
 
     def _child_sink(self, i, ctx):
@@ -441,13 +455,25 @@ class _Node:
         elif self.kind == "combine":
             self.values[name] = value
         elif self.kind == "choose":
-            # children are priority-ordered; lowest index wins
-            if self.choice is None or i < self.choice[0]:
+            # children are priority-ordered; lowest index wins, and
+            # within one child the LAST received value overwrites
+            # (fields-2.xml:5 TypeMedia over repeated @facet_format)
+            if self.choice is None or i <= self.choice[0]:
                 self.choice = (i, name, value)
 
     # -- conditions ------------------------------------------------------
     def ok(self) -> bool:
-        """Evaluate this node as a CONDITION (bool collector)."""
+        """Evaluate this node as a CONDITION (bool collector).
+
+        Event discipline (matches the reference's boolean collectors):
+        <any>/<all> FIRE into their parent the moment they become
+        satisfied (receive path), while <none> can only fire at its
+        flush boundary — "never seen" is undecidable earlier. A
+        nested bool therefore contributes via child_hits (did it
+        fire), not its live truth: facets.xml:1136's fallback
+        all(any(Online), none(Elektronische)) must stay false until
+        the none's record-end flush, even though "no Elektronische
+        SO FAR" holds when Online arrives."""
         mode = self.spec.get("mode", "any")
         if mode == "all":
             res = all(self.child_hits) if self.children else False
@@ -497,9 +523,12 @@ class _Node:
             return [kw["prefix"] + v + kw["postfix"]]
         if tname == "substring":
             start, end = kw["start"], kw["end"]
-            # Java String.substring THROWS beyond the string; Metamorph
-            # drops the value (008 language bytes on short fields)
-            if start > len(v) or (end > 0 and end > len(v)):
+            # observed golden semantics: a start at/past the end drops
+            # the value (008 language bytes on short fields), while an
+            # out-of-range END clamps to the string length
+            # (facets.xml:13 @006Pos04 substring(4,6) over the 5-char
+            # "s   m" yields "m" and still matches <equals "m">)
+            if start >= len(v):
                 return []
             return [v[start:end] if end > 0 else v[start:]]
         if tname == "lookup":
@@ -535,7 +564,8 @@ class _Node:
         """Produce this collector's output literal(s) into sink (a
         None sink — condition position — still resets state)."""
         if sink is None:
-            self._post_emit()
+            # condition position: state resets are the OWNER's job
+            # (_post_emit resets the shared scope)
             return
         if self.cond is not None and not self.cond.ok():
             # a completion-driven combine RETAINS its parts when the
@@ -569,10 +599,10 @@ class _Node:
                      self.spec.get("delim", "").join(
                          str(v) for _n, v in self.collected))
         elif self.kind == "bool":
-            # fires whenever the condition holds — a nameless bool in
-            # condition position still registers the hit with its
-            # parent (personCreator.xml:8-15 <any><none .../>...)
-            if self.ok():
+            # flush-time firing (the only chance for <none>); a
+            # nameless bool in condition position still registers the
+            # hit with its parent (personCreator.xml:8-15)
+            if not self.fired and self.ok():
                 sink(self.name or "", self.spec.get("value", ""))
         self._post_emit()
 
@@ -582,6 +612,12 @@ class _Node:
         self.choice = None
         self.child_hits = [False] * len(self.children)
         self.hit = False
+        self.fired = False
+        # the condition shares this collect's scope: a per-entity
+        # guard must not stay satisfied into the next source entity
+        # (fields-1.xml:119-128 IdentifierDOI $2=doi filter)
+        if self.cond is not None:
+            self.cond.reset_scope()
 
     def _combine_complete(self, ctx: _Ctx, sink):
         """A flush-less combine emits the moment its parts complete —
@@ -604,6 +640,8 @@ class _Node:
                     self.occ_count = 0
             return
 
+        if self.cond is not None:
+            self.cond.on_entity_end(ent_paths, ctx, None)
         for i, ch in enumerate(self.children):
             ch.on_entity_end(ent_paths, ctx, self._child_sink(i, ctx))
         self._combine_complete(ctx, sink)
@@ -619,13 +657,13 @@ class _Node:
             if self.cond is not None:
                 self.cond.reset_scope()
             self.reset_scope()
-        if self.cond is not None:
-            self.cond.on_entity_end(ent_paths, ctx, None)
 
     def on_record_end(self, ctx: _Ctx, sink):
         if self.kind == "data":
             return
 
+        if self.cond is not None:
+            self.cond.on_record_end(ctx, None)
         for i, ch in enumerate(self.children):
             ch.on_record_end(ctx, self._child_sink(i, ctx))
         self._combine_complete(ctx, sink)
@@ -634,8 +672,6 @@ class _Node:
             ("entity", "choose", "concat", "bool")
         ):
             self.emit(ctx, sink)
-        if self.cond is not None:
-            self.cond.on_record_end(ctx, None)
 
 
 def dict_entity(collected: list[tuple[str, Any]]) -> list:
@@ -723,7 +759,10 @@ class MorphStream:
             i = j
         for r in self.roots:
             r.on_record_end(ctx, top_sink_for(r))
-        drain()
+            # record-end feedback (@300e_punct punctuation combines,
+            # fields-1.xml:330-349) must reach LATER rules before they
+            # flush — rule order is the reference's emission order
+            drain()
         return outputs
 
 

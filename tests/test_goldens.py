@@ -50,11 +50,8 @@ def test_de708_fix_exact():
 
 def test_real_morph_collector_programs_compile():
     """The full production Metamorph programs — collectors, includes,
-    macros, maps — compile to the stream op and the four common-include
-    suites hold leaf-agreement floors against their own goldens (exact
-    counts tracked in COVERAGE.md; floors stop regressions)."""
+    macros, maps — compile to the stream op."""
     from limetrans_ray.functions.morphparser import compile_morph
-    from limetrans_ray.pipelines.goldens import run_suite
 
     R = "/root/reference/main/src/main/resources/transformation"
     ops = compile_morph(
@@ -63,11 +60,23 @@ def test_real_morph_collector_programs_compile():
     )
     assert [n for n, _kw in ops] == ["morph_stream"]
 
-    r = run_suite("DE-2524", engine="xml")
-    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
-    r = run_suite("DE-2382", engine="xml")
-    assert r["leaf_agreement"] >= 0.85, r["leaf_agreement"]
-    assert r["equal_records"] >= 20
+
+@pytest.mark.parametrize(
+    "suite,n",
+    [("DE-2382", 39), ("DE-2524", 11), ("DE-380", 22), ("DE-836", 3349)],
+)
+def test_collector_suites_exact(suite, n):
+    """EVERY reference transformation golden suite reproduces exactly
+    under the Metamorph stream engine — 3421 records across the four
+    collector suites (plus DE-708-deposit's 12 pinned above)."""
+    from limetrans_ray.pipelines.goldens import run_suite
+
+    r = run_suite(suite, engine="xml")
+    assert r["records"] == n
+    assert r["equal_records"] == n, [
+        p["index"] for p in r["per_record"] if not p["equal"]
+    ][:10]
+    assert r["leaf_agreement"] == 1.0
 
 
 def _rows(*tuples):
