@@ -863,6 +863,53 @@ def _standard_numbers(sf_dir: str):
     )
 
 
+def _transformation_goldens(_sf_dir: str):
+    """The reference's OWN transformation golden suites, end-to-end:
+    each suite's MARC-XML inputs run through the engine's rule loaders
+    (Metafix text / Metamorph XML incl. the collector stream engine)
+    and compare structurally against the expected JSON records
+    (pipelines/goldens.py). The oracle pins the suite sizes and EXACT
+    parity as literals — the row hashes only while the engine keeps
+    reproducing the reference bit-for-bit. DE-836 (3349 records) runs
+    in pytest instead to keep this driver query fast; input is the
+    mounted reference checkout, so sf_dir is unused."""
+    import os
+
+    import pyarrow as pa
+
+    from limetrans_ray.pipelines.goldens import SUITES_DIR, run_suite
+
+    rows = []
+    if os.path.isdir(SUITES_DIR):
+        for suite, engine in (
+            ("DE-2382", "xml"),
+            ("DE-2524", "xml"),
+            ("DE-380", "xml"),
+            ("DE-708-deposit", "fix"),
+            ("DE-708-deposit", "xml"),
+        ):
+            r = run_suite(suite, engine=engine)
+            rows.append(
+                {
+                    "suite": suite,
+                    "engine": engine,
+                    "records": r["records"],
+                    "equal_records": r["equal_records"],
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("suite", pa.string()),
+                ("engine", pa.string()),
+                ("records", pa.int64()),
+                ("equal_records", pa.int64()),
+            ]
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from limetrans_ray.pipelines import relational as rel
 
@@ -912,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _quality_docs,
         "fingerprint_docs": _fingerprint_docs,
         "recordops_pipeline": _recordops_pipeline,
+        "transformation_goldens": _transformation_goldens,
     }
 
 
@@ -1901,6 +1949,15 @@ def oracle_sql() -> dict[str, str]:
     fr = _sql_words(_LANG_MARKERS["fr"])
     stop = _sql_words(_QUALITY_STOPWORDS)
     return {
+        "transformation_goldens": """
+            SELECT * FROM (VALUES
+              ('DE-2382', 'xml', CAST(39 AS BIGINT), CAST(39 AS BIGINT)),
+              ('DE-2524', 'xml', 11, 11),
+              ('DE-380', 'xml', 22, 22),
+              ('DE-708-deposit', 'fix', 12, 12),
+              ('DE-708-deposit', 'xml', 12, 12)
+            ) AS t(suite, engine, records, equal_records)
+        """,
         "bm25_simple_topk": _bm25_simple_sql(),
         "bm25_phrase_simple_topk": _bm25_phrase_simple_sql(),
         "fielded_simple_search": _fielded_simple_sql(),
