@@ -379,7 +379,42 @@ class _Node:
             self.tf = spec["tf"]
         if self.kind == "combine":
             self.parts = re.findall(r"\$\{([^}]*)\}", spec.get("value", ""))
+        # static dispatch filter: every source regex in this subtree
+        # (children + condition) — a literal whose path matches none
+        # of them can skip the whole subtree
+        self._src_rxs: list = []
+        self._flush_rxs: list = []
+        if self.kind == "data":
+            self._src_rxs.append(self.src_rx)
+        if self.flush_rx is not None:
+            self._flush_rxs.append(self.flush_rx)
+        self._has_same = self.same or (
+            self.kind == "data"
+            and any(t == "occurrence" and k.get("same")
+                    for t, k in self.tf)
+        )
+        for ch in self.children:
+            self._src_rxs.extend(ch._src_rxs)
+            self._flush_rxs.extend(ch._flush_rxs)
+            self._has_same = self._has_same or ch._has_same
+        if self.cond is not None:
+            self._src_rxs.extend(self.cond._src_rxs)
+            self._flush_rxs.extend(self.cond._flush_rxs)
+            self._has_same = self._has_same or self.cond._has_same
+        self._take_memo: dict[str, bool] = {}
+        self._ee_sensitive = bool(self._has_same or self._flush_rxs) \
+            or self.kind == "combine" \
+            or any(getattr(ch, "_ee_sensitive", False)
+                   for ch in self.children) \
+            or (self.cond is not None and self.cond._ee_sensitive)
         self.reset_record()
+
+    def might_take(self, path: str) -> bool:
+        t = self._take_memo.get(path)
+        if t is None:
+            t = any(rx.match(path) for rx in self._src_rxs)
+            self._take_memo[path] = t
+        return t
 
     # -- state ---------------------------------------------------------
     def reset_record(self):
@@ -424,9 +459,11 @@ class _Node:
                 took = True
             return took
 
-        if self.cond is not None:
+        if self.cond is not None and self.cond.might_take(path):
             self.cond.receive(path, value, ctx, _NULL_SINK)
         for i, ch in enumerate(self.children):
+            if not ch.might_take(path):
+                continue
             if ch.receive(path, value, ctx, self._child_sink(i, ctx)):
                 took = True
         # <any>/<all> fire the moment they become satisfied
@@ -629,21 +666,29 @@ class _Node:
                 and all(p in self.values for p in self.parts):
             self.emit(ctx, sink, keep_on_cond_fail=True)
 
-    def on_entity_end(self, ent_paths: set[str], ctx: _Ctx, sink):
+    def on_entity_end(self, ent_paths: set[str], ctx: _Ctx, sink,
+                      real=True):
         """Source-entity end: flush flushWith-matching collectors and
         reset sameEntity scopes (depth-first so inner collectors flush
-        into their parents before the parents flush)."""
+        into their parents before the parents flush). ``real=False``
+        marks a FEEDBACK literal's pseudo-entity: it can satisfy
+        flushWith="@x" selectors but must not reset sameEntity scopes
+        or per-entity transform state — those windows are defined by
+        SOURCE entities only."""
         if self.kind == "data":
-            # per-entity transform state
-            for tname, kw in self.tf:
-                if tname == "occurrence" and kw.get("same"):
-                    self.occ_count = 0
+            if real:
+                # per-entity transform state
+                for tname, kw in self.tf:
+                    if tname == "occurrence" and kw.get("same"):
+                        self.occ_count = 0
             return
 
-        if self.cond is not None:
-            self.cond.on_entity_end(ent_paths, ctx, None)
+        if self.cond is not None and self.cond._ee_sensitive:
+            self.cond.on_entity_end(ent_paths, ctx, None, real)
         for i, ch in enumerate(self.children):
-            ch.on_entity_end(ent_paths, ctx, self._child_sink(i, ctx))
+            if not ch._ee_sensitive:
+                continue
+            ch.on_entity_end(ent_paths, ctx, self._child_sink(i, ctx), real)
         self._combine_complete(ctx, sink)
         # flush SELF before ticking the condition: the condition's own
         # flush/reset must not clear the state this emission consults
@@ -653,7 +698,7 @@ class _Node:
             self.flush_rx.match(p) for p in ent_paths
         ):
             self.emit(ctx, sink)
-        elif self.same:
+        elif self.same and real:
             if self.cond is not None:
                 self.cond.reset_scope()
             self.reset_scope()
@@ -688,6 +733,10 @@ class MorphStream:
         self.maps = spec.get("maps", {})
         self.roots = [_Node(c, self.maps) for c in self._flatten_groups(
             spec.get("children", ()))]
+        # path → indices of roots whose subtree can consume it (the
+        # program is static; records share a small path vocabulary, so
+        # this cache removes ~all per-literal regex sweeps)
+        self._takers: dict[str, list[int]] = {}
 
     def _flatten_groups(self, children):
         out = []
@@ -730,19 +779,38 @@ class MorphStream:
                 n, v = pending.pop(0)
                 if not isinstance(v, str):
                     continue  # @-named entity: no feedback form
-                for r in self.roots:
+                for i in takers(n):
+                    r = self.roots[i]
                     r.receive(n, v, ctx, top_sink_for(r))
                 drain()
                 for r in self.roots:
-                    r.on_entity_end({n}, ctx, top_sink_for(r))
+                    if any(rx.match(n) for rx in r._flush_rxs):
+                        r.on_entity_end({n}, ctx, top_sink_for(r),
+                                        real=False)
+
+        def takers(path):
+            t = self._takers.get(path)
+            if t is None:
+                t = [i for i, r in enumerate(self.roots)
+                     if r.might_take(path)]
+                self._takers[path] = t
+            return t
 
         def dispatch(path, value):
-            for r in self.roots:
+            for i in takers(path):
+                r = self.roots[i]
                 r.receive(path, value, ctx, top_sink_for(r))
             drain()
 
         def entity_end(paths):
             for r in self.roots:
+                # skip subtrees a source-entity end cannot affect: no
+                # sameEntity window, no matching flush selector, and
+                # no pending combine completion
+                if not (r._has_same or r.hit or any(
+                    rx.match(p) for rx in r._flush_rxs for p in paths
+                )):
+                    continue
                 r.on_entity_end(paths, ctx, top_sink_for(r))
             drain()
 
