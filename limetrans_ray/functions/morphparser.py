@@ -68,7 +68,9 @@ def _tag(el) -> str:
 
 
 class _MorphCompiler:
-    def __init__(self, *, vars=None, base_dir=None, maps=None):
+    def __init__(self, *, vars=None, base_dir=None, maps=None,
+                 missing_maps="error"):
+        self.missing_maps = missing_maps
         self.vars = dict(vars or {})
         self.base_dir = base_dir
         self.maps: dict[str, dict] = dict(maps or {})
@@ -356,7 +358,12 @@ class _MorphCompiler:
             elif tt == "lookup":
                 mname = self._sub(tr.get("in"))
                 if mname not in self.maps:
-                    raise MorphCompileError(f"unknown morph map {mname!r}")
+                    if self.missing_maps == "empty":
+                        self.maps[mname] = {}
+                    else:
+                        raise MorphCompileError(
+                            f"unknown morph map {mname!r}"
+                        )
                 kw = tkw({"table": dict(self.maps[mname])})
                 dflt = tr.get("default")
                 if dflt is not None:
@@ -435,12 +442,14 @@ def compile_morph(
     base_dir: str | None = None,
     maps: dict[str, dict] | None = None,
     shapes: dict | None = None,
+    missing_maps: str = "error",
 ) -> list[tuple[str, dict]]:
     """Metamorph XML text → RecordOps op-list (ready for
     :class:`~limetrans_ray.functions.recordops.RecordOps`). Pass a dict
     as ``shapes`` to collect []-declared array hints for the JSON sink
     (mirrors fixparser.compile_fix)."""
-    comp = _MorphCompiler(vars=vars, base_dir=base_dir, maps=maps)
+    comp = _MorphCompiler(vars=vars, base_dir=base_dir, maps=maps,
+                          missing_maps=missing_maps)
     ops = comp.compile(ET.fromstring(text))
     if shapes is not None:
         for k, v in comp.shapes.items():

@@ -264,7 +264,11 @@ class _SpecBuilder:
             elif tt == "lookup":
                 mname = self._sub(tr.get("in"))
                 if mname not in self.comp.maps:
-                    raise _err(f"unknown morph map {mname!r}")
+                    if getattr(self.comp, "missing_maps", "error") \
+                            == "empty":
+                        self.comp.maps[mname] = {}
+                    else:
+                        raise _err(f"unknown morph map {mname!r}")
                 spec["tf"].append(("lookup", {
                     "map": mname,
                     "default": self._sub(tr.get("default")),

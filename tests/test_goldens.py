@@ -153,3 +153,40 @@ def test_morph_substring_occurrence_unique_split():
     assert got["firstsub"] == ["Alpha"]
     assert got["lang"] == ["ger"]
     assert got["year"] == ["1999", "2001"]
+
+
+def test_all_production_morph_programs_compile():
+    """Every .xml rule program the reference ships — including the
+    149-rule alma.xml flagship with its job vars (Limetrans.java:
+    290-400 var setup, missing external maps as empty per the
+    missing_maps conformance mode) — compiles through the loader."""
+    from limetrans_ray.functions.morphparser import compile_morph
+
+    R = "/root/reference/main/src/main/resources/transformation"
+    alma_vars = {
+        "member": "49HBZ_TEST", "isil": "DE-605", "catalogid": "DE-605",
+        "institution-code": "6441", "network": "49HBZ", "sigel": "605",
+        "id-suffix": "", "external-maps": "./maps",
+        "regexp.description": ".*", "regexp.isil": "DE-605",
+        "deletion-enabled": "false", "deletion-literal": "DEL",
+        "deletion-source": "DEL", "deletion-value": "Y",
+        "isil-path": ".",
+    }
+    for name, vars in (
+        ("alma", alma_vars),
+        ("DE-107-ebooks", {"isil": "DE-107"}),
+        ("DE-69", {}),
+        ("DE-709", {}),
+        ("DE-2382", {}),
+        ("DE-2524", {}),
+        ("DE-380", {}),
+        ("DE-836", {}),
+        ("DE-708-deposit", {}),
+    ):
+        ops = compile_morph(
+            open(os.path.join(R, name + ".xml"), encoding="utf-8").read(),
+            base_dir=R,
+            vars=dict(vars),
+            missing_maps="empty",
+        )
+        assert ops, name
