@@ -1277,6 +1277,10 @@ class RecordOps:
         "switch_name_value": ("field",),
         "regexp_match": ("field", "pattern"),
         "standard_number": ("type", "field"),
+        "take_occurrence": ("field",),
+        "unique_values": ("field",),
+        "new_entity": ("field",),
+        "morph_stream": ("spec",),
     }
 
     @classmethod

@@ -242,11 +242,19 @@ def run_settings(
         if str(tr["fix-file"]).endswith(".xml"):
             from ..functions.morphparser import load_morph
 
-            fix = load_morph(tr["fix-file"], vars=tr.get("vars"))
+            fix = load_morph(
+                tr["fix-file"],
+                vars=tr.get("vars"),
+                missing_maps=tr.get("missing-maps", "error"),
+            )
         else:
             from ..functions.fixparser import load_fix_file
 
-            fix = load_fix_file(tr["fix-file"], vars=tr.get("vars"))
+            fix = load_fix_file(
+                tr["fix-file"],
+                vars=tr.get("vars"),
+                missing_maps=tr.get("missing-maps", "error"),
+            )
     out_cfg = settings.get("output") or {}
     if len(out_cfg) != 1:
         raise ValueError(

@@ -242,3 +242,34 @@ def test_fix_and_fix_file_mutually_exclusive(ray_session, tmp_path, jsonl_dir):
     settings["transformation"]["fix-file"] = str(tmp_path / "nope.fix")
     with pytest.raises(ValueError, match="fix OR fix-file"):
         run_settings(settings)
+
+
+def test_run_settings_morph_collector_program(ray_session, tmp_path, jsonl_dir):
+    """A COLLECTOR Metamorph program (entity + combine) through the
+    settings runner: the .xml routes to the morph_stream event machine
+    and the jsonl sink carries its entity output."""
+    import json
+
+    xml_path = tmp_path / "collect.xml"
+    xml_path.write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+        <metamorph xmlns="http://www.culturegraph.org/metamorph" version="1">
+          <rules>
+            <entity name="Doc" flushWith="record">
+              <data source="title" name="title"/>
+              <combine name="tag" value="${l}:${t}">
+                <data source="lang" name="l"/>
+                <data source="title" name="t"/>
+              </combine>
+            </entity>
+          </rules>
+        </metamorph>"""
+    )
+    out = str(tmp_path / "out_collect.jsonl")
+    settings = _settings(jsonl_dir, {"jsonl": out})
+    settings["transformation"] = {"fix-file": str(xml_path)}
+    summary = run_settings(settings)
+    assert summary["records"] == 3
+    recs = [json.loads(line) for line in open(out)]
+    docs = sorted(r["Doc"]["tag"] for r in recs if "Doc" in r)
+    assert docs == ["de:Der Holzbau", "en:Payment", "xx:Unknown"]
