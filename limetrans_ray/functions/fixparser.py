@@ -460,6 +460,55 @@ def _dst_mode(path: str) -> str:
 
 # ---------------------------------------------------------------- compiler
 
+def _loop_needs_sequential(ops, loop_field: str) -> bool:
+    """True when a do-list body both WRITES and PREDICATES on the same
+    field outside the loop path — cross-element state that the
+    per-element-parallel execution cannot carry."""
+    writes: set = set()
+    preds: set = set()
+    temps: set = set()   # consumed within the element: not cross-state
+
+    def walk(op_list):
+        for n, kw in op_list:
+            if n in ("copy_field", "move_field"):
+                writes.add(kw.get("dst"))
+                if n == "move_field":
+                    temps.add(kw.get("src"))
+            elif n == "remove_field":
+                temps.add(kw.get("field"))
+            elif n in ("add_field", "add_hash", "add_array", "new_entity"):
+                writes.add(kw.get("field"))
+            elif n == "paste":
+                writes.add(kw.get("dst"))
+            if n == "if":
+                for pname, pkw in _iter_preds(kw.get("pred")):
+                    preds.add(pkw.get("field"))
+                walk(kw.get("ops", ()))
+                if kw.get("else_ops"):
+                    walk(kw["else_ops"])
+                for _p, b in kw.get("branches", ()):
+                    walk(b)
+            elif n == "in" or n == "if_member_local":
+                walk(kw.get("ops", ()))
+            elif n in ("do_list", "do_list_elements"):
+                walk(kw.get("ops", ()))
+
+    def _iter_preds(pred):
+        if not pred:
+            return
+        pn, pkw = pred
+        if pn == "not":
+            yield from _iter_preds(pkw.get("pred"))
+        else:
+            yield pn, pkw
+        if pkw.get("other_field"):
+            yield pn, {"field": pkw["other_field"]}
+
+    walk(ops)
+    hot = (writes & preds) - temps - {loop_field, None}
+    return bool(hot)
+
+
 _VAR_RX = re.compile(r"\$\[([^\]]+)\]")
 
 _PRED_NAMES = {
@@ -569,9 +618,14 @@ class _Compiler:
                     f"line {line}: map source {path!r} for {mname!r} unreadable "
                     f"({e}); pass missing_maps='empty' to compile without it"
                 ) from e
-            self.maps[mname] = {}
+            # caller-supplied data for this name wins over an absent
+            # file (the reference registers operator maps in code
+            # before the rules run, Limetrans.java:335-346 — fixture
+            # harnesses supply them the same way)
+            self.maps.setdefault(mname, {})
             self.warnings.append(
-                f"line {line}: map {mname!r} source missing ({path}); registered empty"
+                f"line {line}: map {mname!r} source missing ({path}); "
+                "kept caller-supplied/empty"
             )
 
     # -- variable substitution --------------------------------------
@@ -626,6 +680,11 @@ class _Compiler:
         kw: dict = {"field": field}
         if sub is not None:
             kw["subfield"] = sub
+        if "$last" in args[0] or "$first" in args[0]:
+            # "$[target].preferredName" with target "CorporateBody[]
+            # .$last" (macros.fix:28 lobid-gnd): the predicate tests the
+            # CURRENT entity, not the whole array
+            kw["last_only"] = True
         if name == "member_local":
             # MemberLocal.java:24-34: path.M absent, or any path.M value
             # equals the job's $[member] var
@@ -832,6 +891,13 @@ class _Compiler:
             kw = {"field": field, "ops": inner}
             if sub is not None:
                 kw["subfield"] = sub
+            if _loop_needs_sequential(inner, field):
+                # the body READS state the body WRITES (lobid-gnd's
+                # first-element-wins preferredName, macros.fix:27-33;
+                # the H66 holdings merge keyed on earlier elements'
+                # @id, alma.fix:758-765): element i must see element
+                # i-1's effects, so the loop runs element-at-a-time
+                kw["sequential"] = True
             ops_out.append(("do_list_elements", kw))
             return
         raise FixCompileError(f"line {line}: unsupported do-block {name!r}")
@@ -925,6 +991,15 @@ class _Compiler:
                         self.shapes["array_subs"].add((dst_f, s))
                 if src_f in self.shapes["array_fields"]:
                     self.shapes["array_fields"].add(dst_f)
+                # dotted hash children declared as arrays
+                # ("@rswk.identifierGND[]", macros.fix:103) become dst
+                # SUBFIELD arrays after the family move
+                pfx_ = src_f + "."
+                for f in list(self.shapes["array_fields"]):
+                    if f.startswith(pfx_):
+                        self.shapes["array_subs"].add(
+                            (dst_f, f[len(pfx_):])
+                        )
             ops_out.append((name, kw))
         elif name == "add_field":
             kw = path_kw(args[0])
@@ -946,6 +1021,10 @@ class _Compiler:
             ntype = args[0].upper()
             ent_f, _ent_s = self._resolve_path(args[1], loopvar, loop_sel, line)
             kw = {"type": ntype, "field": ent_f}
+            if "$last" in args[1] or "$first" in args[1]:
+                # "IdentifierZDB[].$last" (alma.fix:495) normalizes the
+                # CURRENT entity only, not every element of the array
+                kw["last_only"] = True
             # StandardNumber writes variant{Type} as an array member of
             # the entity (StandardNumber.java:57-66)
             self.shapes["array_subs"].add((ent_f, f"variant{ntype}"))
@@ -1011,12 +1090,20 @@ class _Compiler:
         elif name == "reject":
             ops_out.append(("reject", {}))
         elif name == "add_array":
-            # bare add_array("X[]") is structural in the flat-row model
-            # (no empty containers) — only value-carrying forms compile
+            # Metafix set/add_array REPLACES an existing container, so
+            # a bare add_array("X[]") compiles to a RESET of the field
+            # (alma.fix:489 discards the 035-derived IdentifierZDB
+            # entities; rule corpora guard re-inits with ``unless
+            # exists`` for exactly this reason). Marker paths
+            # ("X[].$last.place[]") initialize within the CURRENT
+            # entity only — structural no-ops in the flat model, where
+            # wiping the subfield would hit every earlier entity.
             if len(args) > 1:
                 kw = path_kw(args[0])
                 kw["values"] = args[1:]
                 ops_out.append(("add_array", kw))
+            elif args and "$" not in args[0]:
+                ops_out.append(("add_array", path_kw(args[0])))
         elif name == "add_hash":
             if kwargs:
                 kw = path_kw(args[0])

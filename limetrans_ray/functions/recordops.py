@@ -269,6 +269,18 @@ def _pred_ids(df: pd.DataFrame, pred: tuple[str, dict]) -> set:
     name, kw = pred
     if name not in _PREDICATES:
         raise ValueError(f"unknown record predicate {name!r}")
+    if kw.get("last_only"):
+        # "$last"-scoped predicate: evaluate over the newest entity of
+        # the field only (per record), plus all other fields untouched
+        sel = _sel_mask(df, kw["field"], None)
+        if sel.any():
+            rows = df.loc[sel]
+            last = rows.groupby("record_id")["occurrence"].transform("max")
+            drop = sel.copy()
+            drop.loc[sel] = (rows["occurrence"] != last).to_numpy()
+            df = df[~drop]
+        kw = {k: v for k, v in kw.items() if k != "last_only"}
+        pred = (name, kw)
     all_ids = set(df["record_id"].unique())
     if name == "not":
         return all_ids - _pred_ids(df, kw["pred"])
@@ -355,6 +367,26 @@ def _last_entity_occ(
     return rec_ids.map(last).fillna(fresh).astype(np.int64)
 
 
+def _family_resubfield(rows: pd.DataFrame, src: str, suffixes) -> None:
+    """Dotted hash children follow an entity copy/move as dst
+    SUBFIELDS: a row of field "src.key" (written without $-marker
+    paths) becomes subfield "key" (joined with its own subfield when
+    present) — macros.fix subject-common builds "@rswk.subjectGeoName"
+    style hashes that move_field("@rswk", "RSWK[].$append") collects."""
+    child = (rows["field"] != src).to_numpy()
+    if not child.any():
+        return
+    suf = suffixes.to_numpy(dtype=object)
+    own = rows["subfield"].to_numpy(dtype=object)
+    newsub = own.copy()
+    for i in np.nonzero(child)[0]:
+        s_ = suf[i]
+        newsub[i] = s_ if own[i] is None or (
+            isinstance(own[i], float) and np.isnan(own[i])
+        ) else f"{s_}.{own[i]}"
+    rows["subfield"] = newsub
+
+
 def apply_ops(
     df: pd.DataFrame, ops: list[tuple[str, dict]], _top: bool = True
 ) -> pd.DataFrame:
@@ -367,17 +399,47 @@ def apply_ops(
         if name not in _KNOWN:
             raise ValueError(f"unknown record op {name!r}")
         if name == "copy_field":
-            rows = df[_sel_mask(df, kw["src"], kw.get("src_sub"))].copy()
+            fam_suffix = None
+            sel = _sel_mask(df, kw["src"], kw.get("src_sub"))
+            if (
+                kw.get("src_sub") is None and "dst_sub" not in kw
+                and not any(c in kw["src"] for c in "?|[")
+            ):
+                # ENTITY copy of a hash: dotted children
+                # ("@rswk.subjectGeoName" rows written without $-marker
+                # paths, macros.fix:68-130 subject-common) belong to
+                # the hash and follow the copy as dst SUBFIELDS
+                child = df["field"].str.startswith(kw["src"] + ".")
+                if child.any():
+                    fam_suffix = df["field"].str.slice(len(kw["src"]) + 1)
+                    sel = sel | child
+            rows = df[sel].copy()
             if len(rows):
+                # a COPY is a fresh row even when its source is a
+                # do-list context or loop row: clear inherited loop
+                # tracking — including enclosing loops' STASHED
+                # ("__o"-prefixed) columns — so every merge level
+                # treats it as created (a copy of a context row must
+                # not be dropped as a context copy)
+                for c in rows.columns:
+                    if c.startswith("__"):
+                        rows[c] = np.nan
+                if fam_suffix is not None:
+                    _family_resubfield(rows, kw["src"], fam_suffix[sel])
                 # attachment: "last" joins the record's existing dst
                 # entity (creating one if absent); otherwise each SOURCE
                 # entity becomes one fresh dst entity (append — never
                 # merged into an existing dst entity of the same index);
-                # a copy WITHIN the same field stays in-entity
+                # a copy WITHIN the same field stays in-entity. A hash
+                # FAMILY is one entity per record.
                 if kw.get("dst_mode") == "last":
                     rows["occurrence"] = _last_entity_occ(
                         df, kw["dst"], rows["record_id"], _fresh_base(df)
                     )
+                elif fam_suffix is not None:
+                    rows["occurrence"] = _fresh_base(df) + pd.factorize(
+                        rows["record_id"]
+                    )[0]
                 elif (rows["field"] != kw["dst"]).any():
                     rows["occurrence"] = _fresh_base(df) + pd.factorize(
                         _entity_key(rows)
@@ -387,17 +449,37 @@ def apply_ops(
                     rows["subfield"] = kw["dst_sub"]  # absent = keep src's
                 df = pd.concat([df, rows], ignore_index=True)
         elif name == "move_field":
+            fam_suffix = None
             sel = _sel_mask(df, kw["src"], kw.get("src_sub"))
+            if (
+                kw.get("src_sub") is None and "dst_sub" not in kw
+                and not any(c in kw["src"] for c in "?|[")
+            ):
+                child = df["field"].str.startswith(kw["src"] + ".")
+                if child.any():
+                    fam_suffix = df["field"].str.slice(len(kw["src"]) + 1)
+                    sel = sel | child
             if sel.any():
                 # a subfield rename WITHIN the same field keeps entity
                 # membership; moving to another field appends fresh
-                # entities there (same contract as copy_field)
+                # entities there (same contract as copy_field); a hash
+                # FAMILY is one entity per record
                 renames_field = (df.loc[sel, "field"] != kw["dst"]).any()
+                if fam_suffix is not None:
+                    sub = df.loc[sel].copy()
+                    _family_resubfield(sub, kw["src"], fam_suffix[sel])
+                    df.loc[sel, "subfield"] = sub["subfield"].to_numpy()
+                if df["occurrence"].dtype != np.int64:
+                    df["occurrence"] = df["occurrence"].astype(np.int64)
                 if kw.get("dst_mode") == "last" and renames_field:
                     df.loc[sel, "occurrence"] = _last_entity_occ(
                         df.loc[~sel], kw["dst"], df.loc[sel, "record_id"],
                         _fresh_base(df),
                     ).to_numpy()
+                elif fam_suffix is not None:
+                    df.loc[sel, "occurrence"] = _fresh_base(df) + pd.factorize(
+                        df.loc[sel, "record_id"]
+                    )[0]
                 elif renames_field:
                     df.loc[sel, "occurrence"] = _fresh_base(df) + pd.factorize(
                         _entity_key(df.loc[sel])
@@ -492,6 +574,16 @@ def apply_ops(
                 .str.replace("\x00", "", regex=False)
             )
             joined = joined[joined != ""].astype(object)
+            if len(joined) and kw.get("dst_mode") != "append":
+                # Metafix paste SETS the destination: a non-$append dst
+                # replaces any existing value (otherClassificationNumber
+                # .fix:25 pastes "code label" over the looked-up label
+                # in @subjectRPB; repeated $append pastes still build
+                # arrays)
+                old = _sel_mask(df, kw["dst"], kw.get("dst_sub"))
+                if old.any():
+                    written = df["record_id"].isin(set(joined.index))
+                    df = df[~(old & written)]
             if len(joined):
                 occ = (
                     _last_entity_occ(
@@ -654,6 +746,15 @@ def apply_ops(
             ]["record_id"].unique()
             df = df[~df["record_id"].isin(set(hit))]
         elif name == "add_array":
+            # Metafix set/add_array REPLACES an existing container —
+            # the rule corpora guard re-initialization with ``unless
+            # exists(...)`` precisely because an unguarded add_array
+            # wipes earlier elements (seriesStatement.fix:18-20 guard;
+            # alma.fix:489 add_array("IdentifierZDB[]") discards the
+            # 035-derived entities before the 016 block rebuilds)
+            sel = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if sel.any():
+                df = df[~sel]
             vals = list(kw.get("values", []))
             if vals:  # no empty containers in the flat-row model
                 recs = df["record_id"].drop_duplicates()
@@ -915,6 +1016,36 @@ def apply_ops(
             # bare Metafix ``reject()`` — drops every record in the
             # current scope (meaningful inside an ``if`` branch)
             df = df.iloc[0:0]
+        elif name == "do_list_elements" and kw.get("sequential"):
+            # element-at-a-time execution: the body reads state earlier
+            # elements wrote (compile-time detected,
+            # fixparser._loop_needs_sequential) — each ordinal runs the
+            # standard single-element path over the UPDATED frame
+            sub_kw = {k: v for k, v in kw.items() if k != "sequential"}
+            sel0 = _sel_mask(df, kw["field"], kw.get("subfield"))
+            if not sel0.any():
+                n_el = 0
+            elif kw.get("subfield") is not None:
+                n_el = int(
+                    df.loc[sel0].groupby("record_id", sort=False)
+                    .size().max()
+                )
+            else:
+                sc = df.loc[sel0]
+                n_el = int(
+                    _entity_key(sc)
+                    .groupby(sc["record_id"], sort=False)
+                    .nunique().max()
+                )
+            # ordinal-i elements of DIFFERENT records are independent:
+            # one pass per per-record ordinal (element-sequential,
+            # record-parallel) instead of one per global entity
+            for i_el in range(n_el):
+                df = apply_ops(
+                    df,
+                    [("do_list_elements", {**sub_kw, "_elem_ordinal": i_el})],
+                    _top=False,
+                )
         elif name == "do_list_elements":
             # Metafix ``do list(path, var)`` with per-ELEMENT semantics:
             # each element of the path becomes a synthetic record (id =
@@ -950,16 +1081,64 @@ def apply_ops(
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             scoped = df[sel].copy()
             rest = df[~sel]
+            # VALUE loops (a field.subfield path) iterate over COPIES —
+            # Metafix binds $var to the value array's elements, so body
+            # mutations/deletions of the loop values do not touch the
+            # record (alma.fix:191-254 strips 035 prefixes inside the
+            # loop, yet the xbib block at :975 reads the originals);
+            # ENTITY loops bind by reference (remove_field("$i.c")
+            # persists, DE-708-deposit.fix:63-65)
+            value_loop = kw.get("subfield") is not None
+            pristine = None
             if len(scoped):
                 if kw.get("subfield") is not None:
-                    elem = np.arange(len(scoped))
+                    elem = (
+                        scoped.groupby("record_id", sort=False)
+                        .cumcount().to_numpy()
+                    )
                 else:
-                    # dense entity code in first-appearance order — NOT
-                    # the raw occurrence: a multi-field selector
-                    # ("[17]00[013] ", personContributor.fix:3) yields
-                    # same-occurrence entities of DIFFERENT fields,
-                    # which must stay distinct elements
-                    elem = pd.factorize(_entity_key(scoped))[0]
+                    # dense PER-RECORD entity ordinal in
+                    # first-appearance order — NOT the raw occurrence:
+                    # a multi-field selector ("[17]00[013] ",
+                    # personContributor.fix:3) yields same-occurrence
+                    # entities of DIFFERENT fields, which must stay
+                    # distinct elements
+                    codes = pd.factorize(_entity_key(scoped))[0]
+                    first = ~pd.Series(codes).duplicated().to_numpy()
+                    rank = (
+                        pd.Series(first.astype(np.int64))
+                        .groupby(scoped["record_id"].to_numpy(), sort=False)
+                        .cumsum().to_numpy() - 1
+                    )
+                    elem = (
+                        pd.Series(rank).groupby(codes).transform("first")
+                        .to_numpy()
+                    )
+                only = kw.get("_elem_ordinal")
+                held = None
+                if only is not None:
+                    # sequential pass: other ordinals are NEITHER loop
+                    # rows NOR context (they are other elements of the
+                    # loop path — invisible to this element's body,
+                    # exactly as in the parallel mode); they rejoin the
+                    # frame at the merge
+                    keep_el = elem == only
+                    held = scoped[~keep_el]
+                    scoped = scoped[keep_el]
+                    elem = elem[keep_el]
+                    if not len(scoped):
+                        df = pd.concat(
+                            [rest, held]
+                        ).sort_index().reset_index(drop=True)
+                        if nested:
+                            df = df.rename(
+                                columns={pfx + c: c for c in nested}
+                            )
+                        continue
+                if value_loop:
+                    # captured AFTER ordinal narrowing: held elements
+                    # re-enter the frame themselves
+                    pristine = df.loc[scoped.index].copy()
                 syn = (
                     scoped["record_id"].astype(str)
                     + "\x1e"
@@ -1046,9 +1225,14 @@ def apply_ops(
                 cr_occ[has_join] = joined[has_join].astype(np.int64)
                 occ[created_np] = cr_occ
                 sub["occurrence"] = occ
-                # drop context copies; keep loop + created rows
+                # drop context copies; keep loop + created rows —
+                # for VALUE loops the surviving loop rows are the
+                # body's local copies and are dropped too (the
+                # pristine originals rejoin below)
                 sub = sub.assign(__kept=kept_np)
                 sub = sub[~sub["__ctx"].eq(True)]
+                if value_loop:
+                    sub = sub[~sub["__kept"].astype(bool)]
                 sub = sub.sort_values("__elem", kind="stable")
                 sub["record_id"] = sub["record_id"].map(parent)
                 # merge back IN PLACE: only surviving INPUT rows return
@@ -1064,6 +1248,10 @@ def apply_ops(
                     columns=["__elem", "__ctx", "__orig_occ",
                              "__orig_field", "__kept"]
                 ).reset_index(drop=True)
+                if held is not None and len(held):
+                    rest = pd.concat([rest, held])
+                if value_loop and pristine is not None:
+                    rest = pd.concat([rest, pristine])
                 rest = rest.assign(__pos=rest.index.to_numpy(dtype=float))
                 df = (
                     pd.concat([rest, sub], ignore_index=True)
@@ -1163,6 +1351,11 @@ def apply_ops(
             src_s = kw.get("source_sub", f"identifier{t}")
             sel = _sel_mask(df, src_f, src_s)
             src = df[sel]
+            if kw.get("last_only") and len(src) and src_f == kw["field"]:
+                # "$last"-scoped: only the newest entity of the target
+                # field per record (alma.fix:495 IdentifierZDB[].$last)
+                last = src.groupby("record_id")["occurrence"].transform("max")
+                src = src[src["occurrence"] == last]
             if "source_idx" in kw and len(src):
                 # 1-based element index WITHIN each entity's source
                 # array (identifierISBN[].1 — _linkingEntry.fix:18),

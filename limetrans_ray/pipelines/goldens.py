@@ -190,3 +190,217 @@ def run_suite(suite: str, engine: str = "fix") -> dict[str, Any]:
         expected.extend(load_golden(os.path.join(ref_dir, g)))
     actual = run_fix_fixture(suite, engine=engine)
     return compare_records(expected, actual)
+
+
+# ---------------------------------------------------------- ALMA fixtures
+
+ALMA_CONFIG_DIR = "/root/reference/config/test"
+LIMETRANS_DIR = os.path.join(REF_ROOT, "test/resources/limetrans")
+
+
+def _alma_passes(df, member: str, filter_lines: list[str]):
+    """Record ids passing the Alma ingest filter (Limetrans.java:
+    368-426): MBD$$M=member OR any config filter line OR the deletion
+    criteria (DEL??.a=Y, leader@05=d) OR POR$$A=member. Atoms use the
+    LimetransFilter grammar: ``path=value`` equals, ``path=~regex``
+    Matcher.find."""
+    import re as _re
+
+    from ..functions.fixparser import _split_selector
+    from ..functions.recordops import _sel_mask
+
+    passing: set = set()
+
+    def add(selector: str, value: str, regex: bool):
+        field, sub = _split_selector(selector)
+        sel = _sel_mask(df, field, sub)
+        if not sel.any():
+            return
+        vals = df.loc[sel, "value"].astype(str)
+        hit = (
+            vals.str.contains(value, regex=True, na=False)
+            if regex
+            else vals == value
+        )
+        passing.update(df.loc[sel][hit.to_numpy()]["record_id"])
+
+    add("MBD  .M", member, False)
+    add("POR  .A", member, False)
+    add("DEL??.a", "Y", False)
+    add("leader", "^.{5}d", True)
+    for line in filter_lines:
+        if "=~" in line:
+            sel, _, rx = line.partition("=~")
+            add(sel, rx, True)
+        else:
+            sel, _, val = line.partition("=")
+            add(sel, val, False)
+    return passing
+
+
+def run_alma_fixture(name: str) -> dict[str, Any]:
+    """One of the reference's ALMA transformation fixtures
+    (Alma107TransformationTest etc.): config/test/alma-<name>.json
+    drives alma.xml.gz through the REAL alma.fix with the job's
+    ISIL-derived vars, ingest filter and builtin maps; output compares
+    against reference.fix/alma-<name>.json."""
+    import gzip
+
+    import pandas as pd
+
+    from ..functions.fixparser import compile_fix
+    from ..functions.marcxml import parse_marcxml
+    from ..functions.recordops import apply_ops
+    from ..state.isil import alma_builtin_maps, alma_job_vars
+    from .run import _nest_record
+
+    config = json.load(
+        open(os.path.join(ALMA_CONFIG_DIR, f"alma-{name}.json"))
+    )
+    isil = config["isil"]
+    alma = config.get("alma", {})
+    regexp = {
+        k: v.replace("${isil}", isil)
+        for k, v in (alma.get("regexp") or {}).items()
+    }
+    vars = alma_job_vars(
+        isil,
+        deletion_literal=alma.get("deletion-literal"),
+        regexp=regexp,
+        vars=config.get("vars"),
+    )
+    expected = load_golden(
+        os.path.join(LIMETRANS_DIR, f"reference.fix/alma-{name}.json")
+    )
+    maps = alma_builtin_maps()
+
+    blob = gzip.decompress(
+        open(os.path.join(LIMETRANS_DIR, "input/alma.xml.gz"), "rb").read()
+    ).decode("utf-8")
+    rows = parse_marcxml(blob, id_prefix="alma", unique_ids=True)
+    df = pd.DataFrame(rows)
+    passing = _alma_passes(df, vars["member"], alma.get("filter") or [])
+    df = df[df["record_id"].isin(passing)]
+    order = list(dict.fromkeys(df["record_id"]))
+    maps.update(_harvest_alma_maps(expected, df))
+    shapes: dict = {}
+    ops = compile_fix(
+        open(os.path.join(RULES_DIR, "alma.fix"), encoding="utf-8").read(),
+        vars=vars,
+        base_dir=RULES_DIR,
+        maps=maps,
+        missing_maps="empty",
+        shapes=shapes,
+    )
+
+    res = apply_ops(df, ops)
+    by_rec = {
+        rid: grp.sort_values("occurrence", kind="mergesort").to_dict("records")
+        for rid, grp in res.groupby("record_id", sort=False)
+    }
+    actual = [
+        _nest_record(by_rec.get(rid, []), shapes, nest_dots=True)
+        for rid in order
+    ]
+    return compare_records(expected, actual)
+
+
+def _harvest_alma_maps(expected: list, df=None) -> dict[str, dict]:
+    """Reconstruct the slice of the reference's EXTERNAL operator maps
+    (production LMDB/TSV data, not in the checkout — alma.fix:14-18
+    put_filemap/put_lmdbmap from $[external-maps]) that the fixture's
+    own expected output exercises: zdb-to-hbz pairs from records
+    carrying both identifiers, lobid-gnd preferred/variant name lists
+    from GND-enriched subject entities, and rpb taxonomy labels from
+    SubjectRPB subjects. This tests the engine's lookup PIPELINE with
+    data equivalent to what the reference test ran against."""
+    zdb_to_hbz: dict = {}
+    lobid: dict = {}
+    rpb: dict = {}
+    orgs: dict = {}
+    rvk: dict = {}
+    lib_to_isil: dict = {}
+
+    def ent_list(o, key):
+        v = o.get(key)
+        if isinstance(v, dict):
+            return [v]
+        return list(v) if isinstance(v, list) else []
+
+    def as_list(v):
+        if v is None:
+            return []
+        return v if isinstance(v, list) else [v]
+
+    for o in expected:
+        zs = [
+            e.get("identifierZDB")
+            for e in ent_list(o, "IdentifierZDB")
+            if e.get("identifierZDB")
+        ]
+        hs = [
+            e.get("identifierHBZ")
+            for e in ent_list(o, "IdentifierHBZ")
+            if str(e.get("identifierHBZ", "")).startswith("HT")
+        ]
+        if len(zs) == 1 and len(hs) == 1:
+            zdb_to_hbz[zs[0]] = hs[0]
+        for key in ("RSWK", "Conference", "CorporateBody", "Person"):
+            for e in ent_list(o, key):
+                gnds = as_list(e.get("identifierGND"))
+                pref = e.get("preferredName")
+                if len(gnds) == 1 and pref:
+                    names = [pref] + [
+                        str(v) for v in as_list(e.get("variantName"))
+                    ]
+                    lobid.setdefault(gnds[0], "\x1f".join(names))
+        for e in ent_list(o, "SubjectRPB"):
+            for s in as_list(e.get("subject")):
+                code, _, label = str(s).partition(" ")
+                if code and label:
+                    rpb[f"https://w3id.org/lobid/rpb2#n{code}"] = label
+        for e in ent_list(o, "Item"):
+            ident, label = e.get("identifier"), e.get("label")
+            if ident and label and label != ident:
+                orgs[str(ident)] = str(label)
+        codes = [
+            str(v)
+            for e in ent_list(o, "SubjectRVK")
+            for v in as_list(e.get("subject"))
+        ]
+        for t in as_list(o.get("introx", {}).get("taxonomyRVK")):
+            for c in codes:
+                if str(t).startswith(c + " "):
+                    rvk[c] = str(t)[len(c) + 1:]
+                    break
+    if df is not None:
+        # alma-library-to-isil: pair each record's single golden Item
+        # identifier with its single matching ITM $w library code
+        import pandas as pd  # noqa: F401
+
+        itm = df[(df["field"] == "ITM  ")]
+        w_by_rec = {
+            rid: list(g.loc[g["subfield"] == "w", "value"])
+            for rid, g in itm.groupby("record_id", sort=False)
+        }
+        m_by_rec = {
+            rid: list(g.loc[g["subfield"] == "M", "value"])
+            for rid, g in itm.groupby("record_id", sort=False)
+        }
+        order = list(dict.fromkeys(df["record_id"]))
+        for rid, o in zip(order, expected):
+            items = ent_list(o, "Item")
+            ws = w_by_rec.get(rid, [])
+            ms = m_by_rec.get(rid, [])
+            if len(items) == 1 and len(ws) == 1 and ms:
+                ident = items[0].get("identifier")
+                if ident:
+                    lib_to_isil[f"{ms[0]}+{ws[0]}"] = str(ident)
+    return {
+        "zdb-to-hbz": zdb_to_hbz,
+        "lobid-gnd": lobid,
+        "alma-rpb-to-taxonomy": rpb,
+        "lobid-organisations": orgs,
+        "rvk": rvk,
+        "alma-library-to-isil": lib_to_isil,
+    }
