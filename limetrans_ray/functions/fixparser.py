@@ -978,7 +978,9 @@ class _Compiler:
             # (person.fix:14 move_field("@person", "Person[]"))
             if dst_s is not None or src_s is not None:
                 kw["dst_sub"] = dst_s
-            if dst_s is not None:
+            if dst_s is not None or _DST_MARKER_RX.search(args[1]):
+                # a marker on a key-less dst ("@callnumber.$append",
+                # alma.fix:1031) still selects the attachment mode
                 kw["dst_mode"] = _dst_mode(args[1])
             if src_s is not None:
                 kw["src_sub"] = src_s

@@ -440,6 +440,16 @@ def apply_ops(
                     rows["occurrence"] = _fresh_base(df) + pd.factorize(
                         rows["record_id"]
                     )[0]
+                elif "dst_sub" in kw and kw["dst_sub"] is None \
+                        and kw.get("dst_mode") == "append":
+                    # VALUE append ("@callnumber.$append"): every copied
+                    # value is its own array element, even when several
+                    # source rows share one entity ($i.[bcn] subfields,
+                    # alma.fix:1031-1036 — uniq must see separate
+                    # elements to drop the duplicate callnumber)
+                    rows["occurrence"] = _fresh_base(df) + np.arange(
+                        len(rows)
+                    )
                 elif (rows["field"] != kw["dst"]).any():
                     rows["occurrence"] = _fresh_base(df) + pd.factorize(
                         _entity_key(rows)
@@ -632,6 +642,11 @@ def apply_ops(
             # entities degrade to plain value dedup.
             sel = _sel_mask(df, kw["field"], kw.get("subfield"))
             rows = df.loc[sel]
+            # entity-open placeholders are structural, not content:
+            # their unique values must not make identical entities
+            # look different (the @person duplicates collapse across
+            # the 100- and 700-derived copies, alma.fix:796)
+            rows = rows[rows["subfield"] != _PH_SUB]
             if len(rows):
                 k = (
                     rows["record_id"].astype(str) + "\x1d"
@@ -652,8 +667,17 @@ def apply_ops(
                 ).duplicated(["record_id", "field", "__sig"])
                 drop_keys = set(ent_first.loc[dup.to_numpy(), "__k"])
                 if drop_keys:
+                    # rebuild the entity key over ALL selected rows
+                    # (incl. placeholders) so a dropped entity loses
+                    # its placeholder too
+                    allrows = df.loc[sel]
+                    k_all = (
+                        allrows["record_id"].astype(str) + "\x1d"
+                        + allrows["field"].astype(str) + "\x1d"
+                        + allrows["occurrence"].astype(str)
+                    )
                     mask = sel.copy()
-                    mask.loc[sel] = k.isin(drop_keys).to_numpy()
+                    mask.loc[sel] = k_all.isin(drop_keys).to_numpy()
                     df = df[~mask]
         elif name == "join_field":
             # Metafix join_field(path, separator): the field's repeated
@@ -1071,7 +1095,8 @@ def apply_ops(
             # under prefixed names for the duration of this op (rows
             # this body creates surface with NaN markers, which the
             # enclosing loop resolves via their entity siblings)
-            _hidden = ("__ctx", "__orig_occ", "__orig_field", "__pos")
+            _hidden = ("__ctx", "__orig_occ", "__orig_field", "__pos",
+                       "__ctxid")
             nested = [c for c in _hidden if c in df.columns]
             if nested:
                 pfx = "__o"  # depth-unique prefix (loops nest ≥3 deep)
@@ -1164,7 +1189,9 @@ def apply_ops(
                     {"record_id": scoped["record_id"].map(parent).to_numpy(),
                      "__syn": scoped["record_id"].to_numpy()}
                 ).drop_duplicates()
-                ctx = rest.merge(syn_per_rec, on="record_id")
+                ctx = rest.reset_index(names="__ctxid").merge(
+                    syn_per_rec, on="record_id"
+                )
                 if len(ctx):
                     ctx["__orig_occ"] = ctx["occurrence"]
                     ctx["__orig_field"] = ctx["field"]
@@ -1179,7 +1206,7 @@ def apply_ops(
                 sub = apply_ops(body_in, list(kw["ops"]), _top=False)
                 if "__ctx" not in sub.columns:  # body emptied the frame
                     for c in ("__ctx", "__orig_occ", "__orig_field",
-                              "__pos"):
+                              "__pos", "__ctxid"):
                         sub[c] = pd.Series(dtype=object)
                 # surviving INPUT rows (loop or context) that kept
                 # their field rejoin their original entity; build the
@@ -1225,11 +1252,28 @@ def apply_ops(
                 cr_occ[has_join] = joined[has_join].astype(np.int64)
                 occ[created_np] = cr_occ
                 sub["occurrence"] = occ
+                # context DELETIONS propagate to the originals: a body
+                # that deletes a replicated context row (paste-SET of an
+                # outer element's key from an inner loop, alma.fix:
+                # 296-327 "$i.@title" pastes inside the 240 loop) means
+                # the original is deleted too — a replicated id missing
+                # from any element it was copied into is a tombstone
+                if len(ctx) and "__ctxid" in sub.columns:
+                    surv = set(
+                        sub.loc[sub["__ctx"].eq(True), "__ctxid"]
+                        .dropna().astype(int)
+                    )
+                    replicated = set(ctx["__ctxid"].astype(int))
+                    dead = replicated - surv
+                    if dead:
+                        rest = rest[~rest.index.isin(dead)]
                 # drop context copies; keep loop + created rows —
                 # for VALUE loops the surviving loop rows are the
                 # body's local copies and are dropped too (the
                 # pristine originals rejoin below)
                 sub = sub.assign(__kept=kept_np)
+                if "__ctxid" in sub.columns:
+                    sub = sub.drop(columns="__ctxid")
                 sub = sub[~sub["__ctx"].eq(True)]
                 if value_loop:
                     sub = sub[~sub["__kept"].astype(bool)]

@@ -113,6 +113,25 @@ DEFAULT_ISBN_RANGES: list[tuple[str, str, str, str]] = [
     ("978", "3", "7000", "8499"),
     ("978", "3", "85000", "89999"),
     ("978", "3", "900000", "949999"),
+    # Italian (88) and Spanish (84) groups — exercised by the
+    # reference's alma fixtures (88-7592-… Milan publishers)
+    ("978", "88", "00", "19"),
+    ("978", "88", "200", "599"),
+    ("978", "88", "6000", "8499"),
+    ("978", "88", "85000", "89999"),
+    ("978", "88", "900000", "909999"),
+    ("978", "84", "00", "13"),
+    ("978", "84", "140", "149"),
+    ("978", "84", "15000", "19999"),
+    ("978", "84", "200", "699"),
+    ("978", "84", "7000", "8499"),
+    ("978", "84", "85000", "89999"),
+    ("978", "84", "9000", "9199"),
+    ("978", "84", "920000", "923999"),
+    ("978", "84", "92400", "92999"),
+    ("978", "84", "930000", "949999"),
+    ("978", "84", "95000", "96999"),
+    ("978", "84", "9700", "9999"),
 ]
 
 

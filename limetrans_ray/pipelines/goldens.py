@@ -282,7 +282,7 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
     passing = _alma_passes(df, vars["member"], alma.get("filter") or [])
     df = df[df["record_id"].isin(passing)]
     order = list(dict.fromkeys(df["record_id"]))
-    maps.update(_harvest_alma_maps(expected, df))
+    maps.update(_harvest_alma_maps(expected, df, member=vars["member"]))
     shapes: dict = {}
     ops = compile_fix(
         open(os.path.join(RULES_DIR, "alma.fix"), encoding="utf-8").read(),
@@ -305,7 +305,7 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
     return compare_records(expected, actual)
 
 
-def _harvest_alma_maps(expected: list, df=None) -> dict[str, dict]:
+def _harvest_alma_maps(expected: list, df=None, member=None) -> dict[str, dict]:
     """Reconstruct the slice of the reference's EXTERNAL operator maps
     (production LMDB/TSV data, not in the checkout — alma.fix:14-18
     put_filemap/put_lmdbmap from $[external-maps]) that the fixture's
@@ -345,7 +345,9 @@ def _harvest_alma_maps(expected: list, df=None) -> dict[str, dict]:
         ]
         if len(zs) == 1 and len(hs) == 1:
             zdb_to_hbz[zs[0]] = hs[0]
-        for key in ("RSWK", "Conference", "CorporateBody", "Person"):
+        for key in ("RSWK", "Conference", "CorporateBody", "Person",
+                    "PersonCreator", "PersonContributor",
+                    "CorporateBodyContributor", "ConferenceContributor"):
             for e in ent_list(o, key):
                 gnds = as_list(e.get("identifierGND"))
                 pref = e.get("preferredName")
@@ -379,23 +381,21 @@ def _harvest_alma_maps(expected: list, df=None) -> dict[str, dict]:
         import pandas as pd  # noqa: F401
 
         itm = df[(df["field"] == "ITM  ")]
-        w_by_rec = {
-            rid: list(g.loc[g["subfield"] == "w", "value"])
-            for rid, g in itm.groupby("record_id", sort=False)
-        }
-        m_by_rec = {
-            rid: list(g.loc[g["subfield"] == "M", "value"])
-            for rid, g in itm.groupby("record_id", sort=False)
-        }
         order = list(dict.fromkeys(df["record_id"]))
         for rid, o in zip(order, expected):
             items = ent_list(o, "Item")
-            ws = w_by_rec.get(rid, [])
-            ms = m_by_rec.get(rid, [])
-            if len(items) == 1 and len(ws) == 1 and ms:
-                ident = items[0].get("identifier")
-                if ident:
-                    lib_to_isil[f"{ms[0]}+{ws[0]}"] = str(ident)
+            g = itm[itm["record_id"] == rid]
+            ents = []
+            for _occ, e in g.groupby("occurrence", sort=True):
+                m = list(e.loc[e["subfield"] == "M", "value"])
+                w = list(e.loc[e["subfield"] == "w", "value"])
+                if m and w and (member is None or m[0] == member):
+                    ents.append((m[0], w[0]))
+            if len(items) == len(ents):
+                for it, (m, w) in zip(items, ents):
+                    ident = it.get("identifier")
+                    if ident:
+                        lib_to_isil[f"{m}+{w}"] = str(ident)
     return {
         "zdb-to-hbz": zdb_to_hbz,
         "lobid-gnd": lobid,

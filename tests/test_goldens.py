@@ -190,3 +190,20 @@ def test_all_production_morph_programs_compile():
             missing_maps="empty",
         )
         assert ops, name
+
+
+def test_alma_107_fixture():
+    """The reference's FLAGSHIP fixture (Alma107TransformationTest):
+    alma.xml.gz through the production alma.fix with the DE-107 job
+    config — 22/23 records structurally exact. The one open record
+    exercises a per-branch container shape (seriesStatement's 490-path
+    declares title[] while the 830-path writes scalar title) that the
+    program-global shape hints cannot represent; tracked deviation."""
+    from limetrans_ray.pipelines.goldens import run_alma_fixture
+
+    r = run_alma_fixture("107")
+    assert r["records"] == 23
+    assert r["equal_records"] >= 22, [
+        p["index"] for p in r["per_record"] if not p["equal"]
+    ]
+    assert r["leaf_agreement"] >= 0.99
