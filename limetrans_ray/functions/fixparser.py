@@ -441,6 +441,15 @@ def _split_selector(path: str) -> tuple[str, str | None]:
 _DST_MARKER_RX = re.compile(r"\$(append|last|first)")
 
 
+def _key_is_array(path: str) -> bool:
+    """True when the path's final KEY segment is []-marked — the write
+    site declares an array container for that key ("...$last.title[]
+    .$append" vs the scalar "...$last.title")."""
+    segs = [seg for seg in path.split(".")
+            if seg not in ("$append", "$last", "$first")]
+    return bool(segs) and segs[-1].endswith("[]")
+
+
 def _dst_mode(path: str) -> str:
     """Entity-attachment mode of a destination path: ``$append`` starts
     a NEW entity; ``$last``/``$first`` (and a plain dotted path, the
@@ -982,6 +991,14 @@ class _Compiler:
                 # a marker on a key-less dst ("@callnumber.$append",
                 # alma.fix:1031) still selects the attachment mode
                 kw["dst_mode"] = _dst_mode(args[1])
+            if dst_s is not None and _key_is_array(args[1]) \
+                    and _DST_MARKER_RX.search(args[1]):
+                # the write site declares the key an ARRAY: emit a
+                # per-entity shape marker so the sink renders a list
+                # even when the program's OTHER branches write the same
+                # key scalar (seriesStatement.fix 490-path title[] vs
+                # seriesAddedEntryUniformTitle.fix 830-path title)
+                kw["dst_arr"] = True
             if src_s is not None:
                 kw["src_sub"] = src_s
             if dst_s is None and src_s is None:

@@ -150,6 +150,12 @@ _KNOWN = {
 # placeholder subfield marking an opened-but-still-empty entity
 _PH_SUB = "\x1dph"
 
+# per-entity array-shape marker subfield prefix: a row
+# (record, field, "\x1da:<key>", occ, "\x1d") declares <key> an array
+# within that entity — emitted by []-marked write sites, consumed by
+# the JSON nester (pipelines/run.py::_nest_record)
+_ARR_SUB = "\x1da:"
+
 # subfield-slot sentinel carrying a 1-based array-index selector
 # ("@arr.N" paths); produced by fixparser._split_selector
 _IDX_SEL = "\x1didx:"
@@ -457,7 +463,15 @@ def apply_ops(
                 rows["field"] = kw["dst"]
                 if "dst_sub" in kw:  # explicit dst selector (fix-compiled);
                     rows["subfield"] = kw["dst_sub"]  # absent = keep src's
-                df = pd.concat([df, rows], ignore_index=True)
+                frames = [df, rows]
+                if kw.get("dst_arr") and kw.get("dst_sub") is not None:
+                    mk = rows.drop_duplicates(
+                        ["record_id", "occurrence"]
+                    ).copy()
+                    mk["subfield"] = _ARR_SUB + kw["dst_sub"]
+                    mk["value"] = "\x1d"
+                    frames.append(mk)
+                df = pd.concat(frames, ignore_index=True)
         elif name == "move_field":
             fam_suffix = None
             sel = _sel_mask(df, kw["src"], kw.get("src_sub"))
@@ -646,7 +660,7 @@ def apply_ops(
             # their unique values must not make identical entities
             # look different (the @person duplicates collapse across
             # the 100- and 700-derived copies, alma.fix:796)
-            rows = rows[rows["subfield"] != _PH_SUB]
+            rows = rows[~rows["subfield"].fillna("").str.startswith("\x1d")]
             if len(rows):
                 k = (
                     rows["record_id"].astype(str) + "\x1d"

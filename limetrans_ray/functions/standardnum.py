@@ -92,11 +92,13 @@ DEFAULT_ISBN_RANGES: list[tuple[str, str, str, str]] = [
     ("978", "0", "7000", "8499"),
     ("978", "0", "85000", "89999"),
     ("978", "0", "900000", "949999"),
+    ("978", "0", "9500000", "9999999"),
     ("978", "1", "00", "09"),
     ("978", "1", "100", "399"),
     ("978", "1", "4000", "5499"),
     ("978", "1", "55000", "86979"),
     ("978", "1", "869800", "998999"),
+    ("978", "1", "9990000", "9999999"),
     ("978", "2", "00", "19"),
     ("978", "2", "200", "349"),
     ("978", "2", "35000", "39999"),

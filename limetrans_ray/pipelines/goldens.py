@@ -198,43 +198,44 @@ ALMA_CONFIG_DIR = "/root/reference/config/test"
 LIMETRANS_DIR = os.path.join(REF_ROOT, "test/resources/limetrans")
 
 
-def _alma_passes(df, member: str, filter_lines: list[str]):
+def _alma_passes(df, member: str, filter_lines: list[str],
+                 deletions_pass: bool = True):
     """Record ids passing the Alma ingest filter (Limetrans.java:
-    368-426): MBD$$M=member OR any config filter line OR the deletion
-    criteria (DEL??.a=Y, leader@05=d) OR POR$$A=member. Atoms use the
+    368-426): MBD$$M=member OR any config filter line OR POR$$A=member;
+    the deletion criteria (DEL??.a=Y, leader@05=d) are an additional
+    PASS alternative when a deletion-literal is configured with filter
+    lines, and an EXCLUSION (noDeletionFilter) otherwise. Atoms use the
     LimetransFilter grammar: ``path=value`` equals, ``path=~regex``
     Matcher.find."""
-    import re as _re
-
     from ..functions.fixparser import _split_selector
     from ..functions.recordops import _sel_mask
 
-    passing: set = set()
-
-    def add(selector: str, value: str, regex: bool):
+    def ids(selector: str, value: str, regex: bool) -> set:
         field, sub = _split_selector(selector)
         sel = _sel_mask(df, field, sub)
         if not sel.any():
-            return
+            return set()
         vals = df.loc[sel, "value"].astype(str)
         hit = (
             vals.str.contains(value, regex=True, na=False)
             if regex
             else vals == value
         )
-        passing.update(df.loc[sel][hit.to_numpy()]["record_id"])
+        return set(df.loc[sel][hit.to_numpy()]["record_id"])
 
-    add("MBD  .M", member, False)
-    add("POR  .A", member, False)
-    add("DEL??.a", "Y", False)
-    add("leader", "^.{5}d", True)
+    passing = ids("MBD  .M", member, False) | ids("POR  .A", member, False)
     for line in filter_lines:
         if "=~" in line:
             sel, _, rx = line.partition("=~")
-            add(sel, rx, True)
+            passing |= ids(sel, rx, True)
         else:
             sel, _, val = line.partition("=")
-            add(sel, val, False)
+            passing |= ids(sel, val, False)
+    deletions = ids("DEL??.a", "Y", False) | ids("leader", "^.{5}d", True)
+    if deletions_pass:
+        passing |= deletions
+    else:
+        passing -= deletions
     return passing
 
 
@@ -279,7 +280,12 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
     ).decode("utf-8")
     rows = parse_marcxml(blob, id_prefix="alma", unique_ids=True)
     df = pd.DataFrame(rows)
-    passing = _alma_passes(df, vars["member"], alma.get("filter") or [])
+    passing = _alma_passes(
+        df,
+        vars["member"],
+        alma.get("filter") or [],
+        deletions_pass=alma.get("deletion-literal") is not None,
+    )
     df = df[df["record_id"].isin(passing)]
     order = list(dict.fromkeys(df["record_id"]))
     maps.update(_harvest_alma_maps(expected, df, member=vars["member"]))
@@ -298,9 +304,12 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
         rid: grp.sort_values("occurrence", kind="mergesort").to_dict("records")
         for rid, grp in res.groupby("record_id", sort=False)
     }
+    # a record the rules reject()ed (the @suppressed deletion path,
+    # alma.fix:1162-1171) leaves no rows — it produces NO output record
     actual = [
-        _nest_record(by_rec.get(rid, []), shapes, nest_dots=True)
+        _nest_record(by_rec[rid], shapes, nest_dots=True)
         for rid in order
+        if rid in by_rec
     ]
     return compare_records(expected, actual)
 

@@ -123,7 +123,15 @@ def _nest_record(
     obj: dict[str, Any] = {}
     by_field: dict[str, list[dict]] = {}
     order: list[str] = []
+    # per-entity shape markers (recordops._ARR_SUB rows): the write
+    # site declared the key an array WITHIN that entity — overrides
+    # the program-global hints where branches disagree
+    local_arr: set = set()
     for r in rows:
+        sub = r.get("subfield")
+        if isinstance(sub, str) and sub.startswith("\x1da:"):
+            local_arr.add((r["field"], int(r["occurrence"] or 0), sub[3:]))
+            continue
         f = r["field"]
         if f not in by_field:
             by_field[f] = []
@@ -142,13 +150,14 @@ def _nest_record(
             continue
         by_occ: dict[int, dict] = {}
         for r in grp:
-            ent = by_occ.setdefault(int(r["occurrence"] or 0), {})
+            occ = int(r["occurrence"] or 0)
+            ent = by_occ.setdefault(occ, {})
             sub = r["subfield"] or ""
             if sub in ent:
                 ent[sub] = (
                     ent[sub] if isinstance(ent[sub], list) else [ent[sub]]
                 ) + [r["value"]]
-            elif (f, sub) in array_subs:
+            elif (f, sub) in array_subs or (f, occ, sub) in local_arr:
                 ent[sub] = [r["value"]]
             else:
                 ent[sub] = r["value"]
