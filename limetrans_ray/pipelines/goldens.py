@@ -273,6 +273,17 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
     expected = load_golden(
         os.path.join(LIMETRANS_DIR, f"reference.fix/alma-{name}.json")
     )
+    # rules selection mirrors Limetrans.initializeAlma: a
+    # deletion-literal WITHOUT config filter lines switches the whole
+    # job to the alma-deletion.fix ROUTER (rules suffix "-deletion",
+    # Limetrans.java:406-411) and disables the ingest pre-filter — the
+    # router itself rejects non-member records; otherwise the main
+    # alma.fix runs behind the member/filter/deletion ingest filter
+    deletion_router = (
+        alma.get("deletion-literal") is not None
+        and not alma.get("filter")
+    )
+    rules_file = "alma-deletion.fix" if deletion_router else "alma.fix"
     maps = alma_builtin_maps()
 
     blob = gzip.decompress(
@@ -280,18 +291,19 @@ def run_alma_fixture(name: str) -> dict[str, Any]:
     ).decode("utf-8")
     rows = parse_marcxml(blob, id_prefix="alma", unique_ids=True)
     df = pd.DataFrame(rows)
-    passing = _alma_passes(
-        df,
-        vars["member"],
-        alma.get("filter") or [],
-        deletions_pass=alma.get("deletion-literal") is not None,
-    )
-    df = df[df["record_id"].isin(passing)]
+    if not deletion_router:
+        passing = _alma_passes(
+            df,
+            vars["member"],
+            alma.get("filter") or [],
+            deletions_pass=alma.get("deletion-literal") is not None,
+        )
+        df = df[df["record_id"].isin(passing)]
     order = list(dict.fromkeys(df["record_id"]))
     maps.update(_harvest_alma_maps(expected, df, member=vars["member"]))
     shapes: dict = {}
     ops = compile_fix(
-        open(os.path.join(RULES_DIR, "alma.fix"), encoding="utf-8").read(),
+        open(os.path.join(RULES_DIR, rules_file), encoding="utf-8").read(),
         vars=vars,
         base_dir=RULES_DIR,
         maps=maps,
